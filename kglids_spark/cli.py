@@ -1,0 +1,104 @@
+"""spark-submit / python -m entry point.
+
+Usage:
+    python -m kglids_spark.cli generate --rows 100000 --out /tmp/tokens
+    python -m kglids_spark.cli validate --input /tmp/tokens \
+        --ledger /tmp/ledger [--buckets 64] [--baseline /tmp/base_hist.json]
+    python -m kglids_spark.cli profile --input /tmp/tokens [--exact]
+
+On a real cluster the same module runs via
+``spark-submit --py-files kglids_spark.zip -m kglids_spark.cli ...``
+(north_rule: spark-submit --py-files job, resumable from checkpoint).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from pyspark.sql import functions as F
+
+from kglids_spark.session import get_spark
+from kglids_spark.operators import constraints as C
+from kglids_spark.operators import drift as D
+from kglids_spark.operators.validate import validate
+from kglids_spark.operators.profiler import profile_table
+from kglids_spark.sources.tables import TableStore
+from kglids_spark.sources.tokens import SOURCES, generate_tokens
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="kglids_spark")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    g = sub.add_parser("generate", help="write a deterministic tokens table")
+    g.add_argument("--rows", type=int, required=True)
+    g.add_argument("--out", required=True)
+    g.add_argument("--seed", type=int, default=42)
+    g.add_argument("--partitions", type=int, default=None)
+    g.add_argument("--no-violations", action="store_true")
+
+    v = sub.add_parser("validate", help="run the constraint suite")
+    v.add_argument("--input", required=True)
+    v.add_argument("--ledger", default=None)
+    v.add_argument("--buckets", type=int, default=64)
+    v.add_argument("--baseline", default=None, help="JSON file with baseline histogram")
+    v.add_argument("--no-violation-rows", action="store_true")
+    v.add_argument("--cpus", type=int, default=None)
+
+    p = sub.add_parser("profile", help="single-pass column profiles")
+    p.add_argument("--input", required=True)
+    p.add_argument("--exact", action="store_true")
+
+    args = ap.parse_args(argv)
+    spark = get_spark(app_name=f"kglids_spark.{args.cmd}", cpus=getattr(args, "cpus", None))
+
+    if args.cmd == "generate":
+        df = generate_tokens(
+            spark,
+            args.rows,
+            seed=args.seed,
+            plant_violations=not args.no_violations,
+            partitions=args.partitions,
+        )
+        df.write.mode("overwrite").parquet(args.out)
+        print(json.dumps({"written": args.out, "rows": args.rows}))
+        return 0
+
+    if args.cmd == "validate":
+        df = spark.read.parquet(args.input)
+        suite = C.default_suite(SOURCES)
+        baseline_hist = None
+        if args.baseline:
+            with open(args.baseline) as f:
+                baseline_hist = json.load(f)
+        ledger = TableStore(spark, args.ledger) if args.ledger else None
+        res = validate(
+            df,
+            suite,
+            n_buckets=args.buckets,
+            ledger=ledger,
+            baseline_hist=baseline_hist,
+            extract_violation_rows=not args.no_violation_rows,
+        )
+        summary = {
+            r.constraint_id: {"violations": r.total, "passed": bool(r.ok)}
+            for r in res.verdicts.groupBy("constraint_id")
+            .agg(F.sum("n_violations").alias("total"), F.min("passed").alias("ok"))
+            .collect()
+        }
+        print(json.dumps({"metrics": res.metrics, "verdict_summary": summary}, default=str))
+        return 0
+
+    if args.cmd == "profile":
+        df = spark.read.parquet(args.input)
+        prof = profile_table(df, table_id=args.input.rstrip("/").split("/")[-1], exact=args.exact)
+        for row in prof.collect():
+            print(json.dumps(row.asDict(), default=str))
+        return 0
+    return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

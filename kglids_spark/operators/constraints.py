@@ -1,0 +1,214 @@
+"""Constraint registry + vectorized evaluation.
+
+Constraint families (BASELINE.json north_star): not_null, unique,
+range, token-length consistency, referential integrity, distribution
+drift (KS/PSI — see drift.py), and schema checks. The reference has no
+constraint engine; its nearest analogs are the fine-grained type rules
+(kg_governor/data_profiling/fine_grained_type_detector.py:16-41 →
+our `schema`/`dtype` family) and similarity thresholds. Everything
+row-level compiles to a single Spark Column expression so the whole
+suite evaluates in ONE scan with whole-stage codegen — no per-row
+Python anywhere.
+
+Uniqueness is the one constraint that needs a shuffle: rows are
+bucketed by xxhash64(doc_id) (plans/buckets.py), so all copies of a
+doc_id land in the same logical bucket and per-bucket duplicate
+detection is globally exact *and* mergeable across resumed runs.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class Constraint:
+    cid: str
+    kind: str  # not_null|unique|range|tok_len_consistency|referential|drift_ks|drift_psi|schema_type
+    column: str | None = None
+    params: dict = field(default_factory=dict)
+
+    def signature(self) -> str:
+        items = ",".join(f"{k}={self.params[k]}" for k in sorted(self.params))
+        return f"{self.cid}:{self.kind}:{self.column}:{items}"
+
+
+def constraint_set_hash(constraints: list[Constraint]) -> str:
+    """Stable hash of the constraint suite — part of checkpoint lineage
+    so a resumed run refuses to merge sketches from a different suite."""
+    import hashlib
+
+    sig = "|".join(sorted(c.signature() for c in constraints))
+    return hashlib.md5(sig.encode()).hexdigest()
+
+
+# ---------------------------------------------------------------------------
+# factory helpers
+
+
+def not_null(column: str, cid: str | None = None) -> Constraint:
+    return Constraint(cid or f"not_null({column})", "not_null", column)
+
+
+def unique(column: str, cid: str | None = None) -> Constraint:
+    return Constraint(cid or f"unique({column})", "unique", column)
+
+
+def in_range(column: str, lo: float, hi: float, cid: str | None = None) -> Constraint:
+    return Constraint(cid or f"range({column})", "range", column, {"lo": lo, "hi": hi})
+
+
+def tok_len_consistency(
+    array_col: str = "tokens", len_col: str = "n_tok", cid: str | None = None
+) -> Constraint:
+    return Constraint(
+        cid or f"consistency({len_col}=size({array_col}))",
+        "tok_len_consistency",
+        len_col,
+        {"array_col": array_col},
+    )
+
+
+def referential(
+    column: str,
+    valid_values: list | None = None,
+    dim_table: str | None = None,
+    cid: str | None = None,
+) -> Constraint:
+    """RI against a closed vocabulary (broadcast literal / bloom) or a
+    dim table name resolved at evaluation time (broadcast anti-join).
+    Reference analog: SURVEY.md §2.3 J8."""
+    return Constraint(
+        cid or f"referential({column})",
+        "referential",
+        column,
+        {"valid_values": tuple(valid_values) if valid_values else None, "dim_table": dim_table},
+    )
+
+
+def drift_ks(column: str, threshold: float = 0.1, cid: str | None = None) -> Constraint:
+    return Constraint(cid or f"drift_ks({column})", "drift_ks", column, {"threshold": threshold})
+
+
+def drift_psi(column: str, threshold: float = 0.2, cid: str | None = None) -> Constraint:
+    return Constraint(cid or f"drift_psi({column})", "drift_psi", column, {"threshold": threshold})
+
+
+def schema_type(column: str, expected_type: str, cid: str | None = None) -> Constraint:
+    """Schema assertion: the column exists with the expected Spark SQL
+    type string (replaces the reference's inference-then-dispatch)."""
+    return Constraint(
+        cid or f"schema({column}:{expected_type})", "schema_type", column, {"expected": expected_type}
+    )
+
+
+def default_suite(valid_source_values: list[str]) -> list[Constraint]:
+    """The fixture constraint suite (FIXTURES.md F5.2)."""
+    return [
+        not_null("doc_id"),
+        unique("doc_id"),
+        in_range("n_tok", 1, 8192),
+        tok_len_consistency(),
+        referential("source", valid_source_values),
+        drift_ks("n_tok"),
+        drift_psi("n_tok"),
+    ]
+
+
+# ---------------------------------------------------------------------------
+# row-level compilation
+
+ROW_LEVEL_KINDS = {"not_null", "range", "tok_len_consistency", "referential"}
+
+
+class BloomFilter:
+    """Minimal pure-python bloom filter over 64-bit hashes, for RI dims
+    too big to ship as an `isin` literal but cheap as a broadcast bitmap
+    (the `bloom_filter_agg` SQL function is not exposed in this Spark
+    build). Double hashing: h_i = h1 + i*h2 (Kirsch-Mitzenmacher)."""
+
+    def __init__(self, n_items: int, fpp: float = 0.001):
+        import numpy as np
+
+        m = max(64, int(-n_items * math.log(fpp) / (math.log(2) ** 2)))
+        self.m = (m + 63) // 64 * 64
+        self.k = max(1, int(round(self.m / max(n_items, 1) * math.log(2))))
+        self.bits = np.zeros(self.m // 64, dtype=np.uint64)
+
+    def _hashes(self, h64: int):
+        h1 = h64 & 0xFFFFFFFF
+        h2 = (h64 >> 32) & 0xFFFFFFFF
+        for i in range(self.k):
+            yield (h1 + i * h2) % self.m
+
+    def add_hash(self, h64: int) -> None:
+        for pos in self._hashes(h64):
+            self.bits[pos // 64] |= 1 << (pos % 64)
+
+    def might_contain(self, h64: int) -> bool:
+        return all(self.bits[p // 64] >> (p % 64) & 1 for p in self._hashes((h64)))
+
+
+def violation_expr(c: Constraint, df: DataFrame) -> Column:
+    """Column<boolean>: true iff the row violates constraint ``c``."""
+    if c.kind == "not_null":
+        return F.col(c.column).isNull()
+    if c.kind == "range":
+        col = F.col(c.column)
+        return col.isNotNull() & ((col < F.lit(c.params["lo"])) | (col > F.lit(c.params["hi"])))
+    if c.kind == "tok_len_consistency":
+        arr, n = F.col(c.params["array_col"]), F.col(c.column)
+        return n.isNotNull() & (F.size(arr) != n)
+    if c.kind == "referential":
+        col = F.col(c.column)
+        vals = c.params.get("valid_values")
+        if vals is None:
+            raise ValueError(f"{c.cid}: dim-table RI is resolved in validate.py, not here")
+        return col.isNotNull() & ~col.isin(list(vals))
+    raise ValueError(f"{c.cid}: kind {c.kind} is not row-level")
+
+
+def row_constraints(constraints: list[Constraint]) -> list[Constraint]:
+    return [c for c in constraints if c.kind in ROW_LEVEL_KINDS]
+
+
+def extract_violations(
+    df: DataFrame, constraints: list[Constraint], key: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, constraint_id) rows for every row-level violation, in a
+    single scan: an array of failed ids per row, filtered and exploded.
+    Unique-constraint violations come from evaluate_uniqueness()."""
+    rcs = row_constraints(constraints)
+    if not rcs:
+        return df.sparkSession.createDataFrame([], f"{key} string, constraint_id string")
+    failed = F.array_compact(
+        F.array(*[F.when(violation_expr(c, df), F.lit(c.cid)) for c in rcs])
+    )
+    return (
+        df.select(F.col(key), failed.alias("_failed"))
+        .filter(F.size("_failed") > 0)
+        .select(key, F.explode("_failed").alias("constraint_id"))
+    )
+
+
+def evaluate_uniqueness(
+    df: DataFrame, column: str, bucket_col: str = "bucket_id"
+) -> tuple[DataFrame, DataFrame]:
+    """Exact duplicate detection. Returns (per_bucket_counts, violations).
+
+    per_bucket_counts: (bucket_id, dup_keys, dup_rows) — dup_keys is the
+    number of distinct duplicated values, dup_rows the number of excess
+    rows. violations: one (key, cid) row per duplicated value. Buckets
+    hash on the same key, so grouping is bucket-local and the shuffle is
+    the minimal exact-uniqueness shuffle (map-side partial counts)."""
+    keyed = df.filter(F.col(column).isNotNull())
+    counts = keyed.groupBy(bucket_col, column).count().filter(F.col("count") > 1)
+    per_bucket = counts.groupBy(bucket_col).agg(
+        F.count(F.lit(1)).alias("dup_keys"), F.sum(F.col("count") - 1).alias("dup_rows")
+    )
+    violations = counts.select(F.col(column), F.lit(f"unique({column})").alias("constraint_id"))
+    return per_bucket, violations

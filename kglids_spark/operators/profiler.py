@@ -1,0 +1,278 @@
+"""Single-pass column profiler.
+
+Replaces the reference's one-pandas-task-per-column profiler, which
+re-reads a k-column CSV k times (reference: kg_governor/data_profiling/
+profile_data.py:89-135 — the I/O pathology called out in SURVEY.md
+§3.1). Here every statistic for every column is an aggregate expression
+in ONE ``df.agg(...)`` pass: Catalyst prunes the scan to referenced
+columns, computes partial aggregates map-side (whole-stage codegen, no
+Python in the loop), and a single-row result comes back to the driver,
+which unpivots it into one profile row per column.
+
+Profile record fields mirror the reference's ColumnProfile
+(kg_governor/data_profiling/model/column_profile.py:8-56):
+data_type, total_values_count, distinct_values_count,
+missing_values_count, true_ratio, min_value, max_value, mean, median,
+iqr. Embedding fields are out of scope (model weights absent from the
+reference checkout — .MISSING_LARGE_BLOBS).
+
+Fine-grained type detection (reference: kg_governor/data_profiling/
+fine_grained_type_detector.py:16-41) is re-expressed as vectorized
+signals in the same pass:
+  - int column with value set within {0,1}        -> boolean
+  - string column fully numeric-castable          -> int/float
+  - string column >50% date-parseable             -> date
+  - everything else                               -> string
+ML-based natural_language/named_entity types are a documented
+divergence (they need fastText/spaCy weights); such columns profile as
+`string`.
+"""
+
+from __future__ import annotations
+
+from urllib.parse import quote_plus
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# NA markers coerced to null at read time (reference: profile_data.py:111-116)
+NA_MARKERS = [" ", "?", "-"]
+
+# formats accepted by the date detector; the reference uses the
+# `dateparser` library (locale en-CA, strict) — divergence documented in
+# SURVEY.md §2.7 F5.
+DATE_FORMATS = [
+    "yyyy-MM-dd",
+    "yyyy/MM/dd",
+    "MM/dd/yyyy",
+    "dd-MM-yyyy",
+    "yyyy-MM-dd HH:mm:ss",
+    "yyyy-MM-dd'T'HH:mm:ss",
+]
+
+PROFILE_SCHEMA = T.StructType(
+    [
+        T.StructField("column_id", T.StringType(), False),
+        T.StructField("dataset_id", T.StringType(), True),
+        T.StructField("table_id", T.StringType(), False),
+        T.StructField("column_name", T.StringType(), False),
+        T.StructField("data_type", T.StringType(), False),
+        T.StructField("total_values_count", T.LongType(), True),
+        T.StructField("distinct_values_count", T.LongType(), True),
+        T.StructField("missing_values_count", T.LongType(), True),
+        T.StructField("true_ratio", T.DoubleType(), True),
+        T.StructField("min_value", T.DoubleType(), True),
+        T.StructField("max_value", T.DoubleType(), True),
+        T.StructField("mean", T.DoubleType(), True),
+        T.StructField("median", T.DoubleType(), True),
+        T.StructField("iqr", T.DoubleType(), True),
+    ]
+)
+
+_NUMERIC_TYPES = (
+    T.ByteType,
+    T.ShortType,
+    T.IntegerType,
+    T.LongType,
+    T.FloatType,
+    T.DoubleType,
+    T.DecimalType,
+)
+_INTEGRAL_TYPES = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+
+
+def _sanitize(col: F.Column, dtype: T.DataType) -> F.Column:
+    """NA-marker coercion for string columns (reference P3)."""
+    if isinstance(dtype, T.StringType):
+        return F.when(F.trim(col).isin([m.strip() for m in NA_MARKERS]) | (col == ""), None).otherwise(col)
+    return col
+
+
+def _try_ts(col: F.Column) -> F.Column:
+    parsed = F.try_to_timestamp(col)
+    for fmt in DATE_FORMATS:
+        parsed = F.coalesce(parsed, F.try_to_timestamp(col, F.lit(fmt)))
+    return parsed
+
+
+def column_id(dataset_id: str, table_id: str, column_name: str) -> str:
+    """Percent-encoded hierarchical id (reference:
+    kg_governor/data_profiling/utils.py:4-17)."""
+    return "/".join(quote_plus(p) for p in (dataset_id, table_id, column_name) if p != "")
+
+
+def _agg_exprs(name: str, dtype: T.DataType, exact: bool) -> list[F.Column]:
+    """All aggregate expressions for one column, aliased `{name}__{stat}`."""
+    c = _sanitize(F.col(name), dtype)
+
+    def q(col: F.Column) -> F.Column:
+        if exact:
+            return F.percentile(col, F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)))
+        return F.percentile_approx(col, F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)), 10000)
+
+    distinct = F.count_distinct(c) if exact else F.approx_count_distinct(c)
+    exprs = [
+        F.count(c).alias(f"{name}__nonnull"),
+        distinct.alias(f"{name}__distinct"),
+    ]
+    if isinstance(dtype, _NUMERIC_TYPES):
+        d = c.cast("double")
+        exprs += [
+            F.min(d).alias(f"{name}__min"),
+            F.max(d).alias(f"{name}__max"),
+            F.avg(d).alias(f"{name}__mean"),
+            q(d).alias(f"{name}__q"),
+        ]
+    elif isinstance(dtype, T.BooleanType):
+        exprs += [F.avg(c.cast("double")).alias(f"{name}__true_ratio")]
+    elif isinstance(dtype, (T.TimestampType, T.TimestampNTZType, T.DateType)):
+        e = F.unix_timestamp(c).cast("double")
+        exprs += [
+            F.min(e).alias(f"{name}__min"),
+            F.max(e).alias(f"{name}__max"),
+            F.avg(e).alias(f"{name}__mean"),
+            q(e).alias(f"{name}__q"),
+        ]
+    elif isinstance(dtype, T.StringType):
+        num = c.try_cast("double")
+        ts = F.unix_timestamp(_try_ts(c)).cast("double")
+        nonnull = F.count(c)
+        exprs += [
+            # detection signals: fraction of non-null values that parse
+            (F.count(num) / F.greatest(nonnull, F.lit(1))).alias(f"{name}__num_ratio"),
+            F.avg((num == F.round(num)).cast("double")).alias(f"{name}__int_ratio"),
+            (F.count(ts) / F.greatest(nonnull, F.lit(1))).alias(f"{name}__date_ratio"),
+            # stats under both interpretations; the winner is picked at unpivot
+            F.min(num).alias(f"{name}__nmin"),
+            F.max(num).alias(f"{name}__nmax"),
+            F.avg(num).alias(f"{name}__nmean"),
+            q(num).alias(f"{name}__nq"),
+            F.min(ts).alias(f"{name}__tmin"),
+            F.max(ts).alias(f"{name}__tmax"),
+            F.avg(ts).alias(f"{name}__tmean"),
+            q(ts).alias(f"{name}__tq"),
+        ]
+    return exprs
+
+
+def profile_table(
+    df: DataFrame,
+    table_id: str,
+    dataset_id: str = "",
+    exact: bool = False,
+    columns: list[str] | None = None,
+) -> DataFrame:
+    """Profile every (scalar) column of ``df`` in one aggregation pass.
+
+    ``exact=True`` switches approx sketches (HLL++ distinct,
+    percentile_approx) to exact aggregates for oracle tests; production
+    keeps the mergeable approximations (north_star).
+    """
+    spark = df.sparkSession
+    fields = [
+        f
+        for f in df.schema.fields
+        if (columns is None or f.name in columns)
+        and not isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType, T.BinaryType))
+    ]
+    exprs: list[F.Column] = [F.count(F.lit(1)).alias("__total")]
+    for f in fields:
+        exprs += _agg_exprs(f.name, f.dataType, exact)
+    row = df.agg(*exprs).collect()[0].asDict()
+
+    total = row["__total"]
+    out_rows = []
+    for f in fields:
+        name, dtype = f.name, f.dataType
+        g = lambda s, n=name: row.get(f"{n}__{s}")
+        nonnull = g("nonnull") or 0
+        missing = total - nonnull
+        distinct = g("distinct")
+        true_ratio = None
+        mn = mx = mean = median = iqr = None
+
+        def unpack_q(qv):
+            if qv is None:
+                return None, None
+            q25, q50, q75 = [float(x) if x is not None else None for x in qv]
+            iqr_ = (q75 - q25) if (q75 is not None and q25 is not None) else None
+            return q50, iqr_
+
+        if isinstance(dtype, _NUMERIC_TYPES):
+            mn, mx, mean = g("min"), g("max"), g("mean")
+            median, iqr = unpack_q(g("q"))
+            # {0,1}-valued integral column -> boolean (reference rule,
+            # fine_grained_type_detector.py:20-23)
+            if (
+                isinstance(dtype, _INTEGRAL_TYPES)
+                and nonnull > 0
+                and mn is not None
+                and mn >= 0
+                and mx is not None
+                and mx <= 1
+            ):
+                data_type = "boolean"
+                true_ratio = mean
+            elif isinstance(dtype, _INTEGRAL_TYPES):
+                data_type = "int"
+            else:
+                data_type = "float"
+        elif isinstance(dtype, T.BooleanType):
+            data_type = "boolean"
+            true_ratio = g("true_ratio")
+        elif isinstance(dtype, (T.TimestampType, T.TimestampNTZType, T.DateType)):
+            data_type = "date"
+            mn, mx, mean = g("min"), g("max"), g("mean")
+            median, iqr = unpack_q(g("q"))
+        elif isinstance(dtype, T.StringType):
+            num_ratio = g("num_ratio") or 0.0
+            date_ratio = g("date_ratio") or 0.0
+            int_ratio = g("int_ratio") or 0.0
+            if nonnull > 0 and num_ratio >= 1.0:
+                data_type = "int" if int_ratio >= 1.0 else "float"
+                mn, mx, mean = g("nmin"), g("nmax"), g("nmean")
+                median, iqr = unpack_q(g("nq"))
+                if data_type == "int" and mn is not None and mn >= 0 and mx is not None and mx <= 1:
+                    data_type = "boolean"
+                    true_ratio = mean
+            elif date_ratio > 0.5:
+                data_type = "date"
+                mn, mx, mean = g("tmin"), g("tmax"), g("tmean")
+                median, iqr = unpack_q(g("tq"))
+            else:
+                data_type = "string"
+        else:
+            data_type = "string"
+
+        out_rows.append(
+            (
+                column_id(dataset_id, table_id, name),
+                dataset_id,
+                table_id,
+                name,
+                data_type,
+                int(total),
+                int(distinct) if distinct is not None else None,
+                int(missing),
+                float(true_ratio) if true_ratio is not None else None,
+                float(mn) if mn is not None else None,
+                float(mx) if mx is not None else None,
+                float(mean) if mean is not None else None,
+                float(median) if median is not None else None,
+                float(iqr) if iqr is not None else None,
+            )
+        )
+    return spark.createDataFrame(out_rows, PROFILE_SCHEMA)
+
+
+def profile_tables(
+    spark: SparkSession, tables: dict[str, DataFrame], dataset_id: str = "", exact: bool = False
+) -> DataFrame:
+    """Profile several tables into one profiles DataFrame (the engine's
+    analog of the reference's profile-JSON directory)."""
+    out = None
+    for name, df in tables.items():
+        p = profile_table(df, name, dataset_id=dataset_id, exact=exact)
+        out = p if out is None else out.unionByName(p)
+    return out

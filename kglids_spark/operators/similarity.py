@@ -1,0 +1,199 @@
+"""Data-discovery layer: column-similarity edges + table recommendation
++ regex search + k-hop paths (SURVEY.md §2.3 J1-J6, §2.4 A13, §2.5 W1).
+
+The reference computes an O(n²/2) all-pairs column similarity with one
+Python task per left column carrying the full profile list in its
+closure (kg_governor/data_global_schema_builder/workers.py:57-85,
+build_data_global_schema.py:150-171). Here the same θ-join is a real
+Spark join:
+
+    profiles a JOIN profiles b
+      ON a.data_type = b.data_type        -- equi-key → hash partition (P6)
+     AND a.table_id != b.table_id         -- same-table exclusion (P7)
+     AND a.column_id < b.column_id        -- triangular halving (workers.py:64)
+
+Catalyst partitions by data_type and broadcasts the smaller side; at
+catalog scale (millions of columns, still ≪ data scale) this is a
+shuffle of profile rows only — never the data.
+
+Scores (thresholds from the reference, kglids_config.py:50-55 → 0.75):
+- boolean content:  1 - |true_ratio_a - true_ratio_b|
+  (workers.py:105-110, J3)
+- numeric content:  1 - tanh(L2 distance of scale-normalized stat
+  vectors). The reference uses learned 300-d embeddings + scaling
+  factors (workers.py:111-121); the model weights are absent from the
+  checkout, so the stat-vector form keeps the operator shape
+  (distance → tanh squash → threshold) with public inputs. Documented
+  divergence.
+- label: exact sanitized-label match → 1.0, else token-set Jaccard
+  (reference uses GloVe mean pairwise dot, word_embeddings.py:47-75 —
+  same divergence reason).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from kglids_spark.functions.scalar import generate_label
+
+DEFAULT_THRESHOLD = 0.75
+
+
+def _stat_vec(prefix: str):
+    return [F.col(f"{prefix}.{c}") for c in ("min_value", "max_value", "mean", "median", "iqr")]
+
+
+def column_similarity_edges(
+    profiles: DataFrame, threshold: float = DEFAULT_THRESHOLD
+) -> DataFrame:
+    """All-pairs same-dtype cross-table column similarity.
+
+    Returns (col1_id, col2_id, table1_id, table2_id, kind, score) —
+    the engine's `similarities` table, the DataFrame analog of the
+    reference's RDF-star <<c1 sim c2>> withCertainty s triples."""
+    a = profiles.alias("a")
+    b = profiles.alias("b")
+    joined = a.join(
+        b,
+        (F.col("a.data_type") == F.col("b.data_type"))
+        & (F.col("a.table_id") != F.col("b.table_id"))
+        & (F.col("a.column_id") < F.col("b.column_id")),
+        "inner",
+    )
+
+    # ---- content scores ------------------------------------------------
+    bool_score = 1.0 - F.abs(F.col("a.true_ratio") - F.col("b.true_ratio"))
+
+    # scale-normalize each stat by the pair's max |value| then L2 → tanh
+    diffs = []
+    for x, y in zip(_stat_vec("a"), _stat_vec("b")):
+        scale = F.greatest(F.abs(x), F.abs(y), F.lit(1e-9))
+        diffs.append(F.pow((x - y) / scale, F.lit(2)))
+    num_dist = F.sqrt(sum(diffs[1:], diffs[0]))
+    num_score = 1.0 - F.tanh(num_dist)
+
+    content_score = (
+        F.when(F.col("a.data_type") == "boolean", bool_score)
+        .when(F.col("a.data_type").isin("int", "float", "date"), num_score)
+        .otherwise(F.lit(None))
+    )
+
+    # ---- label score -----------------------------------------------------
+    la = F.split(generate_label(F.col("a.column_name")), " ")
+    lb = F.split(generate_label(F.col("b.column_name")), " ")
+    inter = F.size(F.array_intersect(la, lb)).cast("double")
+    uni = F.size(F.array_union(la, lb)).cast("double")
+    jaccard = F.when(uni > 0, inter / uni).otherwise(F.lit(0.0))
+    label_score = F.when(
+        generate_label(F.col("a.column_name")) == generate_label(F.col("b.column_name")),
+        F.lit(1.0),
+    ).otherwise(jaccard)
+
+    base = joined.select(
+        F.col("a.column_id").alias("col1_id"),
+        F.col("b.column_id").alias("col2_id"),
+        F.col("a.table_id").alias("table1_id"),
+        F.col("b.table_id").alias("table2_id"),
+        content_score.alias("content_score"),
+        label_score.alias("label_score"),
+    )
+    content = base.filter(F.col("content_score") >= threshold).select(
+        "col1_id", "col2_id", "table1_id", "table2_id",
+        F.lit("content").alias("kind"), F.col("content_score").alias("score"),
+    )
+    label = base.filter(F.col("label_score") >= threshold).select(
+        "col1_id", "col2_id", "table1_id", "table2_id",
+        F.lit("label").alias("kind"), F.col("label_score").alias("score"),
+    )
+    return content.unionByName(label)
+
+
+def recommend_top_k_tables(
+    edges: DataFrame, query_table: str, k: int = 5, kind: str = "content"
+) -> DataFrame:
+    """Group-sum certainty per candidate table, top-k, max-normalized —
+    the reference's recommend_k_joinable/unionable_tables
+    (api/api.py:23-57, get_top_k_tables template.py:61-83, score
+    normalization api/api.py:33-39)."""
+    e = edges.filter(F.col("kind") == kind)
+    fwd = e.filter(F.col("table1_id") == query_table).select(
+        F.col("table2_id").alias("candidate"), "score"
+    )
+    rev = e.filter(F.col("table2_id") == query_table).select(
+        F.col("table1_id").alias("candidate"), "score"
+    )
+    scores = (
+        fwd.unionByName(rev)
+        .groupBy("candidate")
+        .agg(F.sum("score").alias("total_score"))
+    )
+    max_score = scores.agg(F.max("total_score")).collect()[0][0]
+    if max_score is None:
+        return scores.withColumn("norm_score", F.lit(None).cast("double"))
+    return (
+        scores.withColumn("norm_score", F.col("total_score") / F.lit(float(max_score)))
+        .orderBy(F.desc("total_score"), "candidate")
+        .limit(k)
+    )
+
+
+def search_columns(profiles: DataFrame, conditions: list[list[str]]) -> DataFrame:
+    """AND-of-ORs regex search over column names — the reference's
+    search_tables_on (api/api.py:92-103, SPARQL regex template.py:
+    225-247). ``conditions=[["emp","staff"],["id"]]`` means
+    (emp OR staff) AND (id), case-insensitive."""
+    out = profiles
+    for group in conditions:
+        pat = "(?i)(" + "|".join(group) + ")"
+        out = out.filter(F.col("column_name").rlike(pat))
+    return out
+
+
+def k_hop_paths(
+    edges: DataFrame,
+    start_table: str,
+    target_table: str,
+    max_hops: int = 3,
+    threshold: float = DEFAULT_THRESHOLD,
+) -> DataFrame:
+    """Paths start→…→target of ≤ max_hops similarity edges — the
+    reference's get_path_between_tables (api/template.py:311-390,
+    hop-unions helper/queries.py:119-199), as an iterative self-join.
+
+    Edges are undirected: symmetrize once, then join hop-by-hop. Cycles
+    are excluded by checking table membership in the accumulated path.
+    Returns (path:array<string>, hops:int, min_score:double)."""
+    sym = edges.filter(F.col("score") >= threshold).select(
+        F.col("table1_id").alias("src"), F.col("table2_id").alias("dst"), "score"
+    ).unionByName(
+        edges.filter(F.col("score") >= threshold).select(
+            F.col("table2_id").alias("src"), F.col("table1_id").alias("dst"), "score"
+        )
+    ).distinct()
+
+    frontier = sym.filter(F.col("src") == start_table).select(
+        F.array(F.col("src"), F.col("dst")).alias("path"),
+        F.col("dst").alias("end"),
+        F.col("score").alias("min_score"),
+    )
+    results = frontier.filter(F.col("end") == target_table).select(
+        "path", F.size("path").alias("nodes"), "min_score"
+    )
+    for _ in range(max_hops - 1):
+        frontier = (
+            frontier.filter(F.col("end") != target_table)
+            .join(sym, frontier["end"] == sym["src"], "inner")
+            .filter(~F.array_contains(F.col("path"), F.col("dst")))
+            .select(
+                F.array_append("path", F.col("dst")).alias("path"),
+                F.col("dst").alias("end"),
+                F.least(F.col("min_score"), F.col("score")).alias("min_score"),
+            )
+        )
+        results = results.unionByName(
+            frontier.filter(F.col("end") == target_table).select(
+                "path", F.size("path").alias("nodes"), "min_score"
+            )
+        )
+    return results.withColumn("hops", F.col("nodes") - 1).drop("nodes")

@@ -1,0 +1,254 @@
+"""End-to-end validation orchestration: plan → collect per-bucket
+sketches → merge → evaluate → verdicts + violations, resumable.
+
+Reference analogs: the skip-already-profiled filter
+(kg_governor/data_profiling/profile_data.py:66-84) becomes an anti-join
+against the checkpoint ledger's completed-bucket set; the
+JSON-per-column side-effect writes (model/column_profile.py:58-64)
+become transactional appends of mergeable sketch rows.
+
+Scale design (10^12 rows, 1000 executors):
+- ONE main scan per run computes, per logical bucket: row count, every
+  row-level violation count, an HLL++ sketch of doc_id
+  (hll_sketch_agg — binary, mergeable), and an exact fixed-width
+  histogram of the drift column. All are algebraic aggregates with
+  map-side partials; the shuffle moves only n_buckets tiny rows.
+- Uniqueness adds the one unavoidable key shuffle (groupBy doc_id),
+  bucket-local because buckets hash the same key.
+- Resume: completed bucket ids are read from the ledger; on an Iceberg
+  table partitioned by bucket(N, doc_id) the NOT IN filter prunes file
+  scans, so a restarted job reads only unvalidated data. Sketch merges
+  are idempotent: dedupe on bucket_id (earliest run wins) before merge
+  (SURVEY.md §7.2 hard-parts 1-3).
+- Verdicts are keyed on the logical bucket, never
+  spark_partition_id(), so N- and 4N-executor runs produce identical
+  pass/fail matrices (tested in tests/test_validate.py).
+"""
+
+from __future__ import annotations
+
+import time
+import uuid
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.window import Window
+
+from kglids_spark.operators import constraints as C
+from kglids_spark.operators import drift as D
+from kglids_spark.plans.buckets import BUCKET_COL, DEFAULT_BUCKETS, with_bucket
+from kglids_spark.sources.tables import TableStore
+
+VERDICT_SCHEMA = T.StructType(
+    [
+        T.StructField("bucket_id", T.IntegerType(), False),
+        T.StructField("constraint_id", T.StringType(), False),
+        T.StructField("n_checked", T.LongType(), False),
+        T.StructField("n_violations", T.LongType(), False),
+        T.StructField("passed", T.BooleanType(), False),
+    ]
+)
+
+GLOBAL_BUCKET = -1  # verdict rows for table-level constraints
+
+
+@dataclass
+class ValidationResult:
+    verdicts: DataFrame
+    violations: DataFrame
+    metrics: dict
+
+
+def _stats_pass(
+    df_b: DataFrame,
+    row_cs: list[C.Constraint],
+    unique_cs: list[C.Constraint],
+    drift_spec: D.HistSpec | None,
+    key: str,
+) -> DataFrame:
+    """The main per-bucket aggregation (one scan) + the uniqueness
+    shuffle, joined into one sketch row per bucket."""
+    viol_sums = [
+        F.sum(C.violation_expr(c, df_b).cast("long")).alias(f"v_{i}")
+        for i, c in enumerate(row_cs)
+    ]
+    aggs = [F.count(F.lit(1)).alias("n_rows"), F.hll_sketch_agg(F.col(key)).alias("hll_key")]
+    aggs += viol_sums
+    if drift_spec is not None:
+        aggs.append(D.histogram_array_expr(drift_spec).alias("hist"))
+    stats = df_b.groupBy(BUCKET_COL).agg(*aggs)
+
+    if row_cs:
+        stats = stats.withColumn(
+            "viol_counts",
+            F.map_from_arrays(
+                F.array(*[F.lit(c.cid) for c in row_cs]),
+                F.array(*[F.coalesce(F.col(f"v_{i}"), F.lit(0)) for i in range(len(row_cs))]),
+            ),
+        ).drop(*[f"v_{i}" for i in range(len(row_cs))])
+    else:
+        stats = stats.withColumn("viol_counts", F.create_map().cast("map<string,long>"))
+
+    for uc in unique_cs:
+        per_bucket, _ = C.evaluate_uniqueness(df_b, uc.column, BUCKET_COL)
+        dup = per_bucket.select(
+            F.col(BUCKET_COL), F.col("dup_keys").alias(f"u_{uc.cid}")
+        )
+        stats = stats.join(dup, BUCKET_COL, "left").withColumn(
+            "viol_counts",
+            F.map_concat(
+                "viol_counts",
+                F.create_map(F.lit(uc.cid), F.coalesce(F.col(f"u_{uc.cid}"), F.lit(0))),
+            ),
+        ).drop(f"u_{uc.cid}")
+    if drift_spec is None:
+        stats = stats.withColumn("hist", F.lit(None).cast("array<long>"))
+    return stats
+
+
+def validate(
+    df: DataFrame,
+    constraints: list[C.Constraint],
+    *,
+    key: str = "doc_id",
+    n_buckets: int = DEFAULT_BUCKETS,
+    ledger: TableStore | None = None,
+    run_id: str | None = None,
+    baseline_hist: list[int] | None = None,
+    drift_spec: D.HistSpec | None = None,
+    extract_violation_rows: bool = True,
+) -> ValidationResult:
+    spark = df.sparkSession
+    run_id = run_id or uuid.uuid4().hex[:12]
+    t_start = time.time()
+    chash = C.constraint_set_hash(constraints)
+
+    row_cs = C.row_constraints(constraints)
+    unique_cs = [c for c in constraints if c.kind == "unique"]
+    drift_cs = [c for c in constraints if c.kind in ("drift_ks", "drift_psi")]
+    schema_cs = [c for c in constraints if c.kind == "schema_type"]
+    if drift_cs and drift_spec is None:
+        drift_spec = D.HistSpec(column=drift_cs[0].column)
+
+    # resolve dim-table RI into broadcastable literals if values missing
+    for c in row_cs:
+        if c.kind == "referential" and c.params.get("valid_values") is None:
+            raise ValueError(f"{c.cid}: provide valid_values (dim-table RI: pass the "
+                             "collected dim values; broadcast join variant in ri_anti_join)")
+
+    df_b = with_bucket(df, key, n_buckets)
+
+    # ---- resume: skip completed buckets -------------------------------
+    completed: set[int] = set()
+    if ledger is not None and ledger.exists("bucket_stats"):
+        prior = ledger.read("bucket_stats").filter(
+            (F.col("constraint_hash") == chash) & (F.col("n_buckets") == n_buckets)
+        )
+        completed = {r.bucket_id for r in prior.select("bucket_id").distinct().collect()}
+    remaining_df = df_b
+    if completed:
+        # On Iceberg: bucket partition pruning turns this into file skips.
+        remaining_df = df_b.filter(~F.col(BUCKET_COL).isin(list(completed)))
+
+    # ---- collect sketches for remaining buckets ------------------------
+    new_stats = _stats_pass(remaining_df, row_cs, unique_cs, drift_spec, key)
+    new_stats = (
+        new_stats.withColumn("run_id", F.lit(run_id))
+        .withColumn("constraint_hash", F.lit(chash))
+        .withColumn("n_buckets", F.lit(n_buckets))
+        .withColumn("completed_at", F.lit(time.time()))
+    )
+
+    if ledger is not None:
+        ledger.append("bucket_stats", new_stats)
+        all_stats = ledger.read("bucket_stats").filter(
+            (F.col("constraint_hash") == chash) & (F.col("n_buckets") == n_buckets)
+        )
+    else:
+        all_stats = new_stats
+
+    # ---- idempotent merge: earliest run wins per bucket ----------------
+    w_first = F.row_number().over(
+        Window.partitionBy("bucket_id").orderBy("completed_at", "run_id")
+    )
+    merged = all_stats.withColumn("_rn", w_first).filter(F.col("_rn") == 1).drop("_rn")
+    merged_rows = merged.collect()
+
+    # ---- verdicts -------------------------------------------------------
+    verdict_rows: list[tuple] = []
+    n_rows_total = 0
+    baseline = baseline_hist
+    merged_hist: list[int] = []
+    for r in merged_rows:
+        n_rows_total += r.n_rows
+        vc = r.viol_counts or {}
+        for c in row_cs + unique_cs:
+            nv = int(vc.get(c.cid, 0))
+            verdict_rows.append((int(r.bucket_id), c.cid, int(r.n_rows), nv, nv == 0))
+        if drift_spec is not None and r.hist is not None:
+            merged_hist = D.merge_histograms([merged_hist, list(r.hist)]) if merged_hist else list(r.hist)
+
+    drift_metrics = {}
+    if drift_cs and merged_hist:
+        if baseline is None:
+            baseline = merged_hist  # self-comparison => trivially passing
+        for c in drift_cs:
+            # Drift is a table-level property: per-bucket histograms are
+            # kept only as mergeable sketches. Per-bucket PSI/KS verdicts
+            # would fail from sampling noise alone on small buckets
+            # (observed: clean 625-row buckets exceed PSI 0.2 vs the
+            # global distribution purely from epsilon-smoothed noise).
+            gstat = (
+                D.ks_statistic(merged_hist, baseline)
+                if c.kind == "drift_ks"
+                else D.psi(merged_hist, baseline)
+            )
+            thr = c.params["threshold"]
+            verdict_rows.append((GLOBAL_BUCKET, c.cid, n_rows_total, int(gstat > thr), gstat <= thr))
+            drift_metrics[c.cid] = gstat
+
+    # schema constraints: table-level verdicts
+    schema_fields = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    for c in schema_cs:
+        ok = schema_fields.get(c.column) == c.params["expected"]
+        verdict_rows.append((GLOBAL_BUCKET, c.cid, 1, int(not ok), ok))
+
+    verdicts = spark.createDataFrame(verdict_rows, VERDICT_SCHEMA)
+
+    # ---- violation rows --------------------------------------------------
+    if extract_violation_rows:
+        viols = C.extract_violations(df, constraints, key=key)
+        for uc in unique_cs:
+            _, uviol = C.evaluate_uniqueness(df_b, uc.column, BUCKET_COL)
+            viols = viols.unionByName(
+                uviol.withColumnRenamed(uc.column, key) if uc.column != key else uviol
+            )
+    else:
+        viols = spark.createDataFrame([], f"{key} string, constraint_id string")
+
+    # ---- distinct estimate + lineage metrics -----------------------------
+    est = merged.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("hll_key")).alias("est")
+    ).collect()[0].est if merged_rows else 0
+    elapsed = time.time() - t_start
+    metrics = {
+        "run_id": run_id,
+        "constraint_hash": chash,
+        "n_buckets": n_buckets,
+        "buckets_completed_prior": len(completed),
+        "buckets_this_run": len(merged_rows) - len(completed),
+        "rows_validated": int(n_rows_total),
+        "distinct_key_estimate": int(est),
+        "elapsed_sec": elapsed,
+        "sequences_per_sec": (int(n_rows_total) / elapsed) if elapsed > 0 else 0.0,
+        **drift_metrics,
+    }
+    if ledger is not None:
+        lineage = spark.createDataFrame(
+            [(run_id, chash, n_buckets, time.time(), str(metrics))],
+            "run_id string, constraint_hash string, n_buckets int, ts double, metrics string",
+        )
+        ledger.append("runs", lineage)
+    return ValidationResult(verdicts=verdicts, violations=viols, metrics=metrics)

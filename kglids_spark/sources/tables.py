@@ -1,0 +1,133 @@
+"""Table IO: testdata loaders and an Iceberg-or-parquet TableStore.
+
+The sandbox has no Iceberg catalog jars, so TableStore emulates the two
+Iceberg features the engine depends on — snapshot ids and transactional
+append — with parquet directories plus a JSON manifest. The interface
+is deliberately narrow (read / append / snapshot_id) so a real Iceberg
+catalog drops in by swapping ``format("iceberg")`` for the parquet
+calls (SURVEY.md §7.2 hard-part 5).
+
+Reference analog: one JSON file per column profile with md5 filenames
+(kg_governor/data_profiling/model/column_profile.py:58-64) and .nt
+fragments concatenated by the driver — replaced here by transactional
+table appends.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+TESTDATA_TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+
+def load_testdata(spark: SparkSession, sf_dir: str, tables: list[str] | None = None) -> dict[str, DataFrame]:
+    """Load driver-provided parquet tables and register temp views."""
+    out: dict[str, DataFrame] = {}
+    for name in tables or TESTDATA_TABLES:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if os.path.exists(path):
+            df = spark.read.parquet(path)
+            df.createOrReplaceTempView(name)
+            out[name] = df
+    return out
+
+
+class TableStore:
+    """Parquet-dir table store with Iceberg-style snapshot manifests.
+
+    Layout:  <root>/<table>/data/part-*.parquet
+             <root>/<table>/manifest.json   {"snapshots": [{"id", "ts", "op"}]}
+    Appends write to a unique subdir then record a snapshot — readers
+    only see data listed in the manifest, giving atomic-append
+    semantics good enough for checkpoint ledgers in the sandbox.
+    """
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    def _tdir(self, table: str) -> str:
+        return os.path.join(self.root, table)
+
+    def _manifest_path(self, table: str) -> str:
+        return os.path.join(self._tdir(table), "manifest.json")
+
+    def _load_manifest(self, table: str) -> dict:
+        p = self._manifest_path(table)
+        if os.path.exists(p):
+            with open(p) as f:
+                return json.load(f)
+        return {"snapshots": []}
+
+    def exists(self, table: str) -> bool:
+        return bool(self._load_manifest(table)["snapshots"])
+
+    def snapshot_id(self, table: str) -> str | None:
+        snaps = self._load_manifest(table)["snapshots"]
+        return snaps[-1]["id"] if snaps else None
+
+    def append(self, table: str, df: DataFrame, op: str = "append") -> str:
+        snap_id = uuid.uuid4().hex[:16]
+        data_dir = os.path.join(self._tdir(table), "data", snap_id)
+        df.write.mode("overwrite").parquet(data_dir)
+        manifest = self._load_manifest(table)
+        manifest["snapshots"].append(
+            {"id": snap_id, "ts": time.time(), "op": op, "path": data_dir}
+        )
+        os.makedirs(self._tdir(table), exist_ok=True)
+        tmp = self._manifest_path(table) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        os.replace(tmp, self._manifest_path(table))
+        return snap_id
+
+    def overwrite(self, table: str, df: DataFrame) -> str:
+        # new snapshot replaces all prior ones (readers use the manifest)
+        snap_id = uuid.uuid4().hex[:16]
+        data_dir = os.path.join(self._tdir(table), "data", snap_id)
+        df.write.mode("overwrite").parquet(data_dir)
+        manifest = {"snapshots": [{"id": snap_id, "ts": time.time(), "op": "overwrite", "path": data_dir}]}
+        tmp = self._manifest_path(table) + ".tmp"
+        os.makedirs(self._tdir(table), exist_ok=True)
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        os.replace(tmp, self._manifest_path(table))
+        return snap_id
+
+    def read(self, table: str, snapshot_id: str | None = None) -> DataFrame:
+        """Read the table as of a snapshot (time-travel emulation)."""
+        manifest = self._load_manifest(table)
+        snaps = manifest["snapshots"]
+        if snapshot_id is not None:
+            upto = [s for s in snaps if s["id"] == snapshot_id]
+            if not upto:
+                raise KeyError(f"snapshot {snapshot_id} not found for {table}")
+            idx = snaps.index(upto[0])
+            snaps = snaps[: idx + 1]
+            # respect overwrites: keep only snapshots after the last overwrite
+        live: list[dict] = []
+        for s in snaps:
+            if s["op"] == "overwrite":
+                live = [s]
+            else:
+                live.append(s)
+        if not live:
+            raise KeyError(f"table {table} is empty")
+        return self.spark.read.parquet(*[s["path"] for s in live])

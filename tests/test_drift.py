@@ -1,0 +1,78 @@
+"""Drift constraints: unshifted baseline passes, shifted distribution
+fails KS and PSI at the documented thresholds (FIXTURES.md F2)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from kglids_spark.operators import constraints as C
+from kglids_spark.operators import drift as D
+from kglids_spark.operators.validate import validate, GLOBAL_BUCKET
+from kglids_spark.sources.tokens import SOURCES, generate_tokens
+
+
+@pytest.fixture(scope="module")
+def baseline_hist(spark):
+    base = generate_tokens(spark, 20000, seed=7, plant_violations=False)
+    spec = D.HistSpec(column="n_tok")
+    return list(D.histogram_df(base, spec).collect()[0].hist)
+
+
+def test_unshifted_passes(spark, tokens_df, baseline_hist):
+    suite = [C.drift_ks("n_tok"), C.drift_psi("n_tok")]
+    res = validate(
+        tokens_df, suite, n_buckets=8, baseline_hist=baseline_hist, extract_violation_rows=False
+    )
+    glob = {
+        r.constraint_id: r.passed
+        for r in res.verdicts.filter(F.col("bucket_id") == GLOBAL_BUCKET).collect()
+    }
+    assert glob["drift_ks(n_tok)"]
+    assert glob["drift_psi(n_tok)"]
+
+
+def test_shifted_fails(spark, baseline_hist):
+    drifted = generate_tokens(spark, 20000, seed=9, plant_violations=False, ntok_shift=0.8)
+    suite = [C.drift_ks("n_tok"), C.drift_psi("n_tok")]
+    res = validate(
+        drifted, suite, n_buckets=8, baseline_hist=baseline_hist, extract_violation_rows=False
+    )
+    glob = {
+        r.constraint_id: (r.passed, r)
+        for r in res.verdicts.filter(F.col("bucket_id") == GLOBAL_BUCKET).collect()
+    }
+    assert not glob["drift_ks(n_tok)"][0]
+    assert not glob["drift_psi(n_tok)"][0]
+    assert res.metrics["drift_ks(n_tok)"] > 0.1
+    assert res.metrics["drift_psi(n_tok)"] > 0.2
+
+
+def test_ks_psi_math():
+    h1 = [10, 20, 30, 40]
+    assert D.ks_statistic(h1, h1) == 0.0
+    assert D.psi(h1, h1) == pytest.approx(0.0, abs=1e-9)
+    h2 = [40, 30, 20, 10]
+    ks = D.ks_statistic(h1, h2)
+    assert 0 < ks <= 1
+    # hand-computed: cdf1=[.1,.3,.6,1], cdf2=[.4,.7,.9,1] -> max diff 0.4
+    assert ks == pytest.approx(0.4)
+    assert D.psi(h1, h2) > 0
+
+
+def test_histogram_matches_duckdb(spark, tokens_df, duck):
+    spec = D.HistSpec(column="n_tok", lo=0.0, hi=8192.0, nbins=8)
+    got = list(D.histogram_df(tokens_df, spec).collect()[0].hist)
+    w = spec.width
+    oracle = duck.execute(
+        f"""
+        SELECT
+          sum(CASE WHEN n_tok < 0 THEN 1 ELSE 0 END),
+          {", ".join(
+            f"sum(CASE WHEN n_tok >= {i*w} AND n_tok " +
+            ("<= 8192" if i == 7 else f"< {(i+1)*w}") + " THEN 1 ELSE 0 END)"
+            for i in range(8)
+          )},
+          sum(CASE WHEN n_tok > 8192 THEN 1 ELSE 0 END)
+        FROM tokens
+        """
+    ).fetchone()
+    assert got == [int(x or 0) for x in oracle]

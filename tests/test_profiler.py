@@ -1,0 +1,102 @@
+"""Profiler vs exact DuckDB oracle (SURVEY.md §5 test 1) + the
+fine-grained type rules on the profiler_mixed fixture (FIXTURES.md F4)."""
+
+import math
+
+import pytest
+
+from kglids_spark.operators.profiler import profile_table
+
+
+def _profiles_by_col(pdf):
+    return {r["column_name"]: r for r in pdf.collect()}
+
+
+def test_tokens_profile_matches_duckdb(spark, tokens_df, duck):
+    prof = _profiles_by_col(
+        profile_table(tokens_df.drop("tokens"), "tokens", exact=True)
+    )
+    o = duck.execute(
+        """
+        SELECT count(*) AS total,
+               count(doc_id) AS docid_nonnull,
+               count(DISTINCT doc_id) AS docid_distinct,
+               count(DISTINCT n_tok) AS ntok_distinct,
+               min(n_tok)::double AS ntok_min,
+               max(n_tok)::double AS ntok_max,
+               avg(n_tok) AS ntok_mean,
+               quantile_cont(n_tok, 0.5) AS ntok_median,
+               quantile_cont(n_tok, 0.75) - quantile_cont(n_tok, 0.25) AS ntok_iqr
+        FROM tokens
+        """
+    ).fetchone()
+    d = prof["doc_id"]
+    assert d["total_values_count"] == o[0]
+    assert d["missing_values_count"] == o[0] - o[1]
+    assert d["distinct_values_count"] == o[2]
+    n = prof["n_tok"]
+    assert n["distinct_values_count"] == o[3]
+    assert n["min_value"] == o[4]
+    assert n["max_value"] == o[5]
+    assert n["mean"] == pytest.approx(o[6], rel=1e-9)
+    assert n["median"] == pytest.approx(o[7], rel=1e-9)
+    assert n["iqr"] == pytest.approx(o[8], rel=1e-9)
+    assert n["data_type"] == "int"
+    assert d["data_type"] == "string"
+
+
+def test_approx_profile_within_epsilon(tokens_df, duck):
+    prof = _profiles_by_col(profile_table(tokens_df.drop("tokens"), "tokens", exact=False))
+    exact_distinct = duck.execute("SELECT count(DISTINCT doc_id) FROM tokens").fetchone()[0]
+    approx = prof["doc_id"]["distinct_values_count"]
+    assert abs(approx - exact_distinct) / exact_distinct < 0.05  # HLL++ rsd
+    exact_median = duck.execute("SELECT quantile_cont(n_tok, 0.5) FROM tokens").fetchone()[0]
+    assert abs(prof["n_tok"]["median"] - exact_median) / exact_median < 0.05
+
+
+def test_fine_grained_types(spark):
+    """FIXTURES.md F4 profiler_mixed: one column per reference type rule
+    (fine_grained_type_detector.py:16-41; NL/NER divergence documented)."""
+    rows = []
+    for i in range(200):
+        rows.append(
+            (
+                i - 100,                                   # c_int
+                float(i) * 1.5 if i % 7 else None,          # c_float
+                i % 2,                                      # c_bool01
+                bool(i % 3) if i % 11 else None,            # c_bool
+                f"2021-{(i % 12) + 1:02d}-{(i % 28) + 1:02d}",  # c_date
+                f"A-{i}-xyz",                               # c_string
+                "the quick brown fox jumps",                # c_text
+                [" ", "?", "-", "ok"][i % 4],               # c_na_markers
+                str(i * 3),                                 # c_numstr
+            )
+        )
+    df = spark.createDataFrame(
+        rows,
+        "c_int long, c_float double, c_bool01 long, c_bool boolean, "
+        "c_date string, c_string string, c_text string, c_na_markers string, c_numstr string",
+    )
+    prof = _profiles_by_col(profile_table(df, "mixed", exact=True))
+    assert prof["c_int"]["data_type"] == "int"
+    assert prof["c_float"]["data_type"] == "float"
+    assert prof["c_bool01"]["data_type"] == "boolean"
+    assert prof["c_bool01"]["true_ratio"] == pytest.approx(0.5)
+    assert prof["c_bool"]["data_type"] == "boolean"
+    assert prof["c_date"]["data_type"] == "date"
+    assert prof["c_string"]["data_type"] == "string"
+    assert prof["c_text"]["data_type"] == "string"  # documented divergence: NL needs ML weights
+    # NA markers coerced to null (reference profile_data.py:111-116)
+    assert prof["c_na_markers"]["missing_values_count"] == 150
+    assert prof["c_numstr"]["data_type"] == "int"  # numeric-castable string
+
+
+def test_float_nan_handling(spark):
+    df = spark.createDataFrame(
+        [(1.0,), (float("nan"),), (None,), (3.0,)], "x double"
+    )
+    prof = _profiles_by_col(profile_table(df, "t", exact=True))
+    p = prof["x"]
+    assert p["total_values_count"] == 4
+    assert p["missing_values_count"] == 1
+    assert p["mean"] is None or not math.isinf(p["mean"])

@@ -1,0 +1,132 @@
+"""Constraint engine vs DuckDB oracle: golden pass/fail matrices,
+violation-row sets, verdict identity under different parallelism, and
+resumability (SURVEY.md §5 tests 2, 4, 5)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from kglids_spark.operators import constraints as C
+from kglids_spark.operators.validate import validate, GLOBAL_BUCKET
+from kglids_spark.plans.buckets import with_bucket, BUCKET_COL
+from kglids_spark.sources.tables import TableStore
+from kglids_spark.sources.tokens import SOURCES, generate_tokens
+
+N_BUCKETS = 16
+
+
+@pytest.fixture(scope="module")
+def result(tokens_df):
+    return validate(tokens_df, C.default_suite(SOURCES), n_buckets=N_BUCKETS)
+
+
+def test_violation_counts_match_duckdb(result, duck):
+    got = {
+        r.constraint_id: r.total
+        for r in result.verdicts.filter(F.col("bucket_id") != GLOBAL_BUCKET)
+        .groupBy("constraint_id")
+        .agg(F.sum("n_violations").alias("total"))
+        .collect()
+    }
+    oracle = duck.execute(
+        """
+        SELECT
+          (SELECT count(*) FROM tokens WHERE doc_id IS NULL) AS nn,
+          (SELECT count(*) FROM tokens WHERE n_tok < 1 OR n_tok > 8192) AS rng,
+          (SELECT count(*) FROM tokens WHERE n_tok IS NOT NULL AND len(tokens) != n_tok) AS cons,
+          (SELECT count(*) FROM tokens WHERE source NOT IN ('web','books','code','wiki','forums','news','papers')) AS ri,
+          (SELECT count(*) FROM (SELECT doc_id FROM tokens WHERE doc_id IS NOT NULL GROUP BY doc_id HAVING count(*) > 1)) AS dup
+        """
+    ).fetchone()
+    assert got["not_null(doc_id)"] == oracle[0]
+    assert got["range(n_tok)"] == oracle[1]
+    assert got["consistency(n_tok=size(tokens))"] == oracle[2]
+    assert got["referential(source)"] == oracle[3]
+    assert got["unique(doc_id)"] == oracle[4]
+
+
+def test_violation_rows_match_duckdb(result, duck):
+    got = {
+        (r.doc_id, r.constraint_id)
+        for r in result.violations.filter(F.col("constraint_id") == "referential(source)").collect()
+    }
+    want = {
+        (r[0], "referential(source)")
+        for r in duck.execute(
+            "SELECT doc_id FROM tokens WHERE source NOT IN "
+            "('web','books','code','wiki','forums','news','papers')"
+        ).fetchall()
+    }
+    assert got == want
+
+    got_dup = {
+        r.doc_id
+        for r in result.violations.filter(F.col("constraint_id") == "unique(doc_id)").collect()
+    }
+    want_dup = {
+        r[0]
+        for r in duck.execute(
+            "SELECT doc_id FROM tokens WHERE doc_id IS NOT NULL GROUP BY doc_id HAVING count(*) > 1"
+        ).fetchall()
+    }
+    assert got_dup == want_dup
+
+
+def test_verdict_identity_under_repartitioning(spark, tokens_df, result):
+    """North-rule hard requirement: verdicts keyed on logical buckets
+    are identical whatever the physical partitioning."""
+    repartitioned = tokens_df.repartition(3)
+    r2 = validate(repartitioned, C.default_suite(SOURCES), n_buckets=N_BUCKETS)
+    a = sorted(map(tuple, result.verdicts.collect()))
+    b = sorted(map(tuple, r2.verdicts.collect()))
+    # drift stats include float statistics — compare pass/fail and counts
+    assert a == b
+
+
+def test_schema_constraint(tokens_df):
+    suite = [
+        C.schema_type("doc_id", "string"),
+        C.schema_type("tokens", "array<int>"),
+        C.schema_type("n_tok", "int"),
+        C.schema_type("n_tok", "bigint", cid="wrong_type"),
+    ]
+    res = validate(tokens_df, suite, n_buckets=N_BUCKETS, extract_violation_rows=False)
+    verd = {r.constraint_id: r.passed for r in res.verdicts.collect()}
+    assert verd["schema(doc_id:string)"]
+    assert verd["schema(tokens:array<int>)"]
+    assert verd["schema(n_tok:int)"]
+    assert not verd["wrong_type"]
+
+
+def test_resume_skips_completed_and_matches_direct(spark, tokens_df, result, tmp_path):
+    ledger = TableStore(spark, str(tmp_path / "ledger"))
+    suite = C.default_suite(SOURCES)
+    half = (
+        with_bucket(tokens_df, n_buckets=N_BUCKETS)
+        .filter(F.col(BUCKET_COL) < N_BUCKETS // 2)
+        .drop(BUCKET_COL)
+    )
+    r1 = validate(half, suite, n_buckets=N_BUCKETS, ledger=ledger, run_id="r1")
+    assert r1.metrics["buckets_this_run"] == N_BUCKETS // 2
+    r2 = validate(tokens_df, suite, n_buckets=N_BUCKETS, ledger=ledger, run_id="r2")
+    assert r2.metrics["buckets_completed_prior"] == N_BUCKETS // 2
+    assert r2.metrics["rows_validated"] == tokens_df.count()
+    assert sorted(map(tuple, r2.verdicts.collect())) == sorted(
+        map(tuple, result.verdicts.collect())
+    )
+
+
+def test_resume_is_idempotent(spark, tokens_df, tmp_path):
+    """Re-running an already-complete validation must not double-count
+    (sketch merge dedupes by bucket)."""
+    ledger = TableStore(spark, str(tmp_path / "ledger2"))
+    suite = C.default_suite(SOURCES)
+    r1 = validate(tokens_df, suite, n_buckets=N_BUCKETS, ledger=ledger, run_id="a")
+    r2 = validate(tokens_df, suite, n_buckets=N_BUCKETS, ledger=ledger, run_id="b")
+    assert r2.metrics["rows_validated"] == r1.metrics["rows_validated"]
+    assert sorted(map(tuple, r2.verdicts.collect())) == sorted(map(tuple, r1.verdicts.collect()))
+
+
+def test_distinct_estimate_accuracy(result, duck):
+    exact = duck.execute("SELECT count(DISTINCT doc_id) FROM tokens").fetchone()[0]
+    est = result.metrics["distinct_key_estimate"]
+    assert abs(est - exact) / exact < 0.05
