@@ -1,0 +1,997 @@
+"""Query registry backing __spark_entry__.py.
+
+One entry per implemented operator family from SURVEY.md §2 (+ the
+training-pipeline operators). Each query has a Spark callable
+``(spark, sf_dir) -> DataFrame`` and, where SQL-expressible, a DuckDB
+oracle producing identical column names and (rounded) values. Floats
+are rounded identically on both sides; money aggregates go through
+decimal so sums are exact and order-independent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from kglids_spark.functions.scalar import cosine_similarity, generate_label
+from kglids_spark.operators import ann, dedup, text
+from kglids_spark.operators.similarity import k_hop_paths  # noqa: F401 (rows-only path query)
+
+QUERIES: dict = {}
+ORACLES: dict[str, str] = {}
+
+
+def register(name: str, sql: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLES[name] = sql
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# =====================================================================
+# Aggregations (SURVEY §2.4)
+# =====================================================================
+
+
+@register(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE), 2) AS sum_disc_price,
+           round(avg(l_quantity), 4) AS avg_qty,
+           round(avg(l_discount), 6) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    dec = lambda c: F.col(c).cast("decimal(18,2)")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+        F.sum(dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+        F.round(
+            F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))).cast("double"), 2
+        ).alias("sum_disc_price"),
+        F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+        F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+_PROFILE_COLS = [
+    ("lineitem", "l_quantity"),
+    ("lineitem", "l_extendedprice"),
+    ("lineitem", "l_discount"),
+    ("orders", "o_totalprice"),
+    ("customer", "c_acctbal"),
+    ("part", "p_retailprice"),
+    ("part", "p_size"),
+    ("supplier", "s_acctbal"),
+]
+
+_PROFILE_SQL = " UNION ALL ".join(
+    f"""
+    SELECT '{t}' AS table_id, '{c}' AS column_name,
+           count(*) AS total_values, count({c}) AS nonnull_values,
+           count(DISTINCT {c}) AS distinct_values,
+           round(min({c})::DOUBLE, 4) AS min_value,
+           round(max({c})::DOUBLE, 4) AS max_value,
+           round(avg({c}), 4) AS mean,
+           round(quantile_cont({c}, 0.5)::DOUBLE, 4) AS median,
+           round((quantile_cont({c}, 0.75) - quantile_cont({c}, 0.25))::DOUBLE, 4) AS iqr
+    FROM {t}
+    """
+    for t, c in _PROFILE_COLS
+)
+
+
+@register("profile_stats", _PROFILE_SQL)
+def profile_stats(spark, sf_dir):
+    """Single-pass per-column stats — the ColumnProfile record fields
+    (reference: kg_governor/data_profiling/model/column_profile.py:8-33)."""
+    out = None
+    for t, c in _PROFILE_COLS:
+        df = _t(spark, sf_dir, t)
+        col = F.col(c).cast("double")
+        q = F.percentile(col, F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)))
+        row = df.agg(
+            F.lit(t).alias("table_id"),
+            F.lit(c).alias("column_name"),
+            F.count(F.lit(1)).alias("total_values"),
+            F.count(col).alias("nonnull_values"),
+            F.count_distinct(F.col(c)).alias("distinct_values"),
+            F.round(F.min(col), 4).alias("min_value"),
+            F.round(F.max(col), 4).alias("max_value"),
+            F.round(F.avg(col), 4).alias("mean"),
+            F.round(q[1], 4).alias("median"),
+            F.round(q[2] - q[0], 4).alias("iqr"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+@register(
+    "true_ratio_returnflag",
+    """
+    SELECT round(avg(CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END), 6) AS true_ratio,
+           count(*) AS n
+    FROM lineitem
+    """,
+)
+def true_ratio_returnflag(spark, sf_dir):
+    """Boolean-coded column true_ratio (reference A8,
+    boolean_profile_creator.py:30-31)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.round(F.avg(F.when(F.col("l_returnflag") == "R", 1.0).otherwise(0.0)), 6).alias(
+            "true_ratio"
+        ),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "group_count_customers_per_nation",
+    """
+    SELECT n.n_name AS nation, count(*) AS n_customers,
+           count(DISTINCT c.c_mktsegment) AS n_segments
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def group_count_customers_per_nation(spark, sf_dir):
+    """A11 group-count (reference template.py:27-39) as a broadcast join."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.count_distinct("c_mktsegment").alias("n_segments"),
+        )
+    )
+
+
+@register(
+    "group_max_rowcount",
+    """
+    SELECT o_orderpriority, round(max(o_totalprice), 2) AS max_price, count(*) AS n_orders
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def group_max_rowcount(spark, sf_dir):
+    """A12 group-max (reference template.py:190,228-236)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.round(F.max("o_totalprice"), 2).alias("max_price"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+@register(
+    "histogram_n_chars",
+    """
+    SELECT CAST(floor(n_chars / 50) AS BIGINT) AS bin, count(*) AS n
+    FROM documents GROUP BY 1
+    """,
+)
+def histogram_n_chars(spark, sf_dir):
+    """A14 fixed-width histogram (drift building block)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy(
+        F.floor(F.col("n_chars") / 50).cast("bigint").alias("bin")
+    ).agg(F.count(F.lit(1)).alias("n"))
+
+
+@register(
+    "topk_revenue_customers",
+    """
+    SELECT o_custkey, round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS revenue,
+           count(*) AS n_orders
+    FROM orders GROUP BY o_custkey
+    ORDER BY revenue DESC, o_custkey LIMIT 10
+    """,
+)
+def topk_revenue_customers(spark, sf_dir):
+    """A13 score-sum re-ranking + W1 top-k (reference template.py:61-83)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double"), 2).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy(F.desc("revenue"), "o_custkey")
+        .limit(10)
+    )
+
+
+# =====================================================================
+# Joins (SURVEY §2.3)
+# =====================================================================
+
+
+@register(
+    "join_multiway_region",
+    """
+    SELECT r.r_name AS region, count(*) AS n_customers,
+           round(CAST(sum(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_acctbal
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    """,
+)
+def join_multiway_region(spark, sf_dir):
+    """J5 multi-way BGP-style join chain (column→table→dataset analog)."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"))
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double"), 2).alias(
+                "total_acctbal"
+            ),
+        )
+    )
+
+
+@register(
+    "similarity_pairs_sources",
+    """
+    WITH prof AS (
+      SELECT source, round(avg(n_chars), 4) AS mean_chars FROM documents GROUP BY source
+    )
+    SELECT a.source AS source1, b.source AS source2,
+           round(1.0 - abs(a.mean_chars - b.mean_chars) / greatest(a.mean_chars, b.mean_chars), 6) AS score
+    FROM prof a JOIN prof b ON a.source < b.source
+    WHERE 1.0 - abs(a.mean_chars - b.mean_chars) / greatest(a.mean_chars, b.mean_chars) >= 0.97
+    """,
+)
+def similarity_pairs_sources(spark, sf_dir):
+    """J1/J3-shaped θ-join: all-pairs profile similarity with a
+    threshold filter (reference workers.py:57-121)."""
+    d = _t(spark, sf_dir, "documents")
+    prof = d.groupBy("source").agg(F.round(F.avg("n_chars"), 4).alias("mean_chars"))
+    a, b = prof.alias("a"), prof.alias("b")
+    raw_score = F.lit(1.0) - F.abs(F.col("a.mean_chars") - F.col("b.mean_chars")) / F.greatest(
+        F.col("a.mean_chars"), F.col("b.mean_chars")
+    )
+    return (
+        a.join(b, F.col("a.source") < F.col("b.source"))
+        .filter(raw_score >= 0.97)
+        .select(
+            F.col("a.source").alias("source1"),
+            F.col("b.source").alias("source2"),
+            F.round(raw_score, 6).alias("score"),
+        )
+    )
+
+
+@register(
+    "khop_nation_pairs_same_region",
+    """
+    SELECT a.n_name AS nation1, b.n_name AS nation2, r.r_name AS via_region
+    FROM nation a JOIN nation b ON a.n_regionkey = b.n_regionkey AND a.n_name < b.n_name
+    JOIN region r ON a.n_regionkey = r.r_regionkey
+    """,
+)
+def khop_nation_pairs_same_region(spark, sf_dir):
+    """J6 2-hop path join (nation —region— nation)."""
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    a, b = n.alias("a"), n.alias("b")
+    return (
+        a.join(b, (F.col("a.n_regionkey") == F.col("b.n_regionkey")) & (F.col("a.n_name") < F.col("b.n_name")))
+        .join(F.broadcast(r), F.col("a.n_regionkey") == F.col("r_regionkey"))
+        .select(
+            F.col("a.n_name").alias("nation1"),
+            F.col("b.n_name").alias("nation2"),
+            F.col("r_name").alias("via_region"),
+        )
+    )
+
+
+@register(
+    "anti_join_customers_no_orders",
+    """
+    SELECT c_mktsegment, count(*) AS n_customers
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    GROUP BY c_mktsegment
+    """,
+)
+def anti_join_customers_no_orders(spark, sf_dir):
+    """Anti-join — the reference's incremental-skip filter shape
+    (S12, profile_data.py:66-84) and RI-violation extraction (J8)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+@register(
+    "semi_join_customers_with_orders",
+    """
+    SELECT c_mktsegment, count(*) AS n_customers
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    GROUP BY c_mktsegment
+    """,
+)
+def semi_join_customers_with_orders(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+# =====================================================================
+# Window / top-k / sorts (SURVEY §2.5)
+# =====================================================================
+
+
+@register(
+    "topk_orders_per_priority",
+    """
+    SELECT o_orderpriority, o_orderkey, o_totalprice, rnk FROM (
+      SELECT o_orderpriority, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_orderpriority
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+      FROM orders
+    ) WHERE rnk <= 3
+    """,
+)
+def topk_orders_per_priority(spark, sf_dir):
+    """W1 top-k per group via ranking window."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(F.desc("o_totalprice"), "o_orderkey")
+    return (
+        o.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("o_orderpriority", "o_orderkey", "o_totalprice", "rnk")
+    )
+
+
+@register(
+    "latest_event_per_user",
+    """
+    SELECT user_id, event_id, event_type FROM (
+      SELECT user_id, event_id, event_type,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def latest_event_per_user(spark, sf_dir):
+    """W2 argmax-by-time (reference ORDER BY DESC(?Written_on) LIMIT 1)."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), "event_id")
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "event_type")
+    )
+
+
+@register(
+    "score_normalized_events",
+    """
+    SELECT event_type, round(sum(value), 4) AS total,
+           round(sum(value) / max(sum(value)) OVER (), 6) AS norm_score
+    FROM events GROUP BY event_type
+    """,
+)
+def score_normalized_events(spark, sf_dir):
+    """W4 max-normalization (reference api/api.py:35-36)."""
+    e = _t(spark, sf_dir, "events")
+    agg = e.groupBy("event_type").agg(F.sum("value").alias("_total"))
+    return agg.select(
+        "event_type",
+        F.round(F.col("_total"), 4).alias("total"),
+        F.round(F.col("_total") / F.max("_total").over(Window.partitionBy()), 6).alias(
+            "norm_score"
+        ),
+    )
+
+
+# =====================================================================
+# Set ops (SURVEY §2.6)
+# =====================================================================
+
+
+@register(
+    "union_distinct_sources_langs",
+    """
+    SELECT val, count(*) AS n FROM (
+      SELECT DISTINCT source AS val FROM documents
+      UNION
+      SELECT DISTINCT lang AS val FROM documents
+    ) GROUP BY val
+    """,
+)
+def union_distinct_sources_langs(spark, sf_dir):
+    """U1/U2 union + distinct."""
+    d = _t(spark, sf_dir, "documents")
+    u = d.select(F.col("source").alias("val")).distinct().unionByName(
+        d.select(F.col("lang").alias("val")).distinct()
+    ).distinct()
+    return u.groupBy("val").agg(F.count(F.lit(1)).alias("n"))
+
+
+@register(
+    "intersect_except_keys",
+    """
+    SELECT 'both' AS tag, count(*) AS n FROM (
+        SELECT c_custkey AS k FROM customer INTERSECT SELECT o_custkey FROM orders)
+    UNION ALL
+    SELECT 'customer_only' AS tag, count(*) AS n FROM (
+        SELECT c_custkey AS k FROM customer EXCEPT SELECT o_custkey FROM orders)
+    """,
+)
+def intersect_except_keys(spark, sf_dir):
+    """U3/U4 intersection / difference."""
+    c = _t(spark, sf_dir, "customer").select(F.col("c_custkey").alias("k"))
+    o = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("k"))
+    spark_ = spark
+    both = c.intersect(o).count()
+    only = c.exceptAll(o.distinct()).distinct().count()
+    return spark_.createDataFrame(
+        [("both", both), ("customer_only", only)], "tag string, n long"
+    )
+
+
+# =====================================================================
+# Scalar functions (SURVEY §2.7)
+# =====================================================================
+
+
+@register(
+    "label_generation",
+    r"""
+    SELECT DISTINCT
+      trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        p_name, '\.csv$', '', 'g'), '([a-z])([A-Z])', '\1 \2', 'g'),
+        '[^a-zA-Z0-9]', ' ', 'g'), '\s+', ' ', 'g')) AS label_raw,
+      lower(trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        p_name, '\.csv$', '', 'g'), '([a-z])([A-Z])', '\1 \2', 'g'),
+        '[^a-zA-Z0-9]', ' ', 'g'), '\s+', ' ', 'g'))) AS label
+    FROM part
+    """,
+)
+def label_generation(spark, sf_dir):
+    """F1 label sanitizer (reference utils.py:92-99)."""
+    p = _t(spark, sf_dir, "part")
+    raw = F.col("p_name")
+    raw = F.regexp_replace(raw, r"\.csv$", "")
+    raw = F.regexp_replace(raw, r"([a-z])([A-Z])", r"$1 $2")
+    raw = F.regexp_replace(raw, r"[^a-zA-Z0-9]", " ")
+    raw = F.trim(F.regexp_replace(raw, r"\s+", " "))
+    return p.select(raw.alias("label_raw"), generate_label("p_name").alias("label")).distinct()
+
+
+@register(
+    "md5_column_ids",
+    """
+    SELECT DISTINCT source || '/' || lang AS column_id, md5(source || '/' || lang) AS id_md5
+    FROM documents
+    """,
+)
+def md5_column_ids(spark, sf_dir):
+    """F3 md5 ids (reference column_profile.py:62)."""
+    d = _t(spark, sf_dir, "documents")
+    cid = F.concat_ws("/", "source", "lang")
+    return d.select(cid.alias("column_id"), F.md5(cid).alias("id_md5")).distinct()
+
+
+@register(
+    "shipdate_year_counts",
+    """
+    SELECT CAST(year(l_shipdate) AS INT) AS ship_year,
+           count(*) AS n,
+           min(CAST(epoch(l_shipdate) AS BIGINT)) AS min_epoch
+    FROM lineitem GROUP BY 1
+    """,
+)
+def shipdate_year_counts(spark, sf_dir):
+    """F5/F6 date parse + epoch (reference date_profile_creator.py:49-50)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy(F.year("l_shipdate").cast("int").alias("ship_year")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min(F.unix_timestamp("l_shipdate")).alias("min_epoch"),
+    )
+
+
+@register(
+    "json_extract_props",
+    """
+    SELECT event_type,
+           round(avg(CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT)), 4) AS avg_k
+    FROM events GROUP BY event_type
+    """,
+)
+def json_extract_props(spark, sf_dir):
+    """F10-style string extraction from semi-structured props."""
+    e = _t(spark, sf_dir, "events")
+    k = F.regexp_extract("props", r'"k": ([0-9]+)', 1).cast("bigint")
+    return e.groupBy("event_type").agg(F.round(F.avg(k), 4).alias("avg_k"))
+
+
+# =====================================================================
+# Dedup family (training-pipeline ops)
+# =====================================================================
+
+
+@register(
+    "dedup_exact_groups",
+    """
+    SELECT n_docs, count(*) AS n_groups FROM (
+      SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS digest,
+             count(*) AS n_docs
+      FROM documents GROUP BY 1
+    ) GROUP BY n_docs
+    """,
+)
+def dedup_exact_groups(spark, sf_dir):
+    """Exact dedup: histogram of content-digest group sizes."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.groupBy(text.content_digest_expr("text").alias("digest"))
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .groupBy("n_docs")
+        .agg(F.count(F.lit(1)).alias("n_groups"))
+    )
+
+
+_NGRAM_SQL = """
+    WITH norm AS (
+      SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t FROM documents),
+    words AS (SELECT doc_id, string_split(t, ' ') AS ws FROM norm),
+    shingles AS (
+      SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS sh
+      FROM words JOIN range(1, 100001) r(i) ON i <= greatest(len(ws) - 2, 1)),
+    counts AS (SELECT doc_id, count(*) AS ns FROM shingles GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS common
+      FROM shingles a JOIN shingles b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT id1, id2,
+           round(common::DOUBLE / (c1.ns + c2.ns - common), 6) AS jaccard
+    FROM inter JOIN counts c1 ON id1 = c1.doc_id JOIN counts c2 ON id2 = c2.doc_id
+    WHERE common::DOUBLE / (c1.ns + c2.ns - common) >= 0.5
+"""
+
+
+@register("dedup_ngram_jaccard", _NGRAM_SQL)
+def dedup_ngram_jaccard(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(d, threshold=0.5, max_shingle_df=10**9)
+    return pairs.select("id1", "id2", F.round("jaccard", 6).alias("jaccard"))
+
+
+@register("dedup_minhash_lsh")  # hash-function-specific: rows-only check
+def dedup_minhash_lsh(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_pairs(d, threshold=0.5)
+
+
+@register("dedup_simhash")  # hash-function-specific: rows-only check
+def dedup_simhash(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return dedup.simhash_pairs(d, max_hamming=3)
+
+
+@register(
+    "dedup_embedding_cosine",
+    """
+    SELECT a.vec_id AS id1, b.vec_id AS id2,
+           round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 5) AS cosine
+    FROM embeddings a
+    JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 5) >= 0.2
+    """,
+)
+def dedup_embedding_cosine(spark, sf_dir):
+    """Embedding near-dup pairs, blocked on label (bucket-local join)."""
+    e = _t(spark, sf_dir, "embeddings")
+    pairs = dedup.embedding_near_dup_pairs(
+        e, threshold=-2.0, block_col="label"
+    ).withColumn("cosine", F.round("cosine", 5))
+    return pairs.filter(F.col("cosine") >= 0.2).select("id1", "id2", "cosine")
+
+
+# =====================================================================
+# Text analysis (training-pipeline ops)
+# =====================================================================
+
+
+@register(
+    "text_quality",
+    r"""
+    WITH w AS (
+      SELECT doc_id, text,
+             string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS ws
+      FROM documents)
+    SELECT doc_id,
+           length(text) AS n_chars,
+           len(ws) AS n_words,
+           round(len(regexp_extract_all(text, '[^\w\s]'))::DOUBLE / length(text), 6) AS punct_ratio,
+           round(len(regexp_extract_all(text, '[0-9]'))::DOUBLE / length(text), 6) AS digit_ratio,
+           len(list_intersect(list_distinct(ws),
+               ['the','and','of','to','in','is','that','it','was','for'])) AS stopword_hits
+    FROM w
+    """,
+)
+def text_quality(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    q = text.quality_features(d)
+    return q.select(
+        "doc_id",
+        F.col("q_n_chars").alias("n_chars"),
+        F.col("q_n_words").alias("n_words"),
+        F.round("q_punct_ratio", 6).alias("punct_ratio"),
+        F.round("q_digit_ratio", 6).alias("digit_ratio"),
+        F.col("q_stopword_hits").alias("stopword_hits"),
+    )
+
+
+_LANG_HIT = {
+    lang: "len(list_intersect(list_distinct(ws), [" + ",".join(f"'{w}'" for w in sws) + "]))"
+    for lang, sws in text.LANG_STOPWORDS.items()
+}
+
+_LANG_SQL = f"""
+    WITH w AS (
+      SELECT doc_id, lang,
+             string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS ws
+      FROM documents),
+    h AS (
+      SELECT doc_id, lang,
+             {_LANG_HIT['en']} AS h_en, {_LANG_HIT['de']} AS h_de,
+             {_LANG_HIT['fr']} AS h_fr, {_LANG_HIT['es']} AS h_es
+      FROM w)
+    SELECT doc_id, lang,
+           CASE WHEN greatest(h_en, h_de, h_fr, h_es) <= 0 THEN 'und'
+                WHEN h_en >= h_de AND h_en >= h_fr AND h_en >= h_es THEN 'en'
+                WHEN h_de >= h_fr AND h_de >= h_es THEN 'de'
+                WHEN h_fr >= h_es THEN 'fr'
+                ELSE 'es' END AS lang_pred
+    FROM h
+"""
+
+
+@register("text_lang_id", _LANG_SQL)
+def text_lang_id(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", "lang", text.lang_id_expr("text").alias("lang_pred"))
+
+
+@register(
+    "token_counts",
+    r"""
+    SELECT doc_id,
+           len(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS n_tok_ws,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]')) AS n_tok_bpe
+    FROM documents
+    """,
+)
+def token_counts(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        text.token_count_ws("text").alias("n_tok_ws"),
+        text.token_count_bpe("text").alias("n_tok_bpe"),
+    )
+
+
+@register(
+    "doc_digest",
+    r"""
+    SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS digest
+    FROM documents
+    """,
+)
+def doc_digest(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", text.content_digest_expr("text").alias("digest"))
+
+
+@register("doc_fingerprint")  # xxhash64-based: rows-only check
+def doc_fingerprint(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", text.fingerprint_expr("text").alias("fingerprint"))
+
+
+# =====================================================================
+# ANN / similarity search
+# =====================================================================
+
+
+@register(
+    "ann_bruteforce_topk",
+    """
+    WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+    SELECT vec_id, round(list_cosine_similarity(embedding::DOUBLE[], qv), 5) AS cosine
+    FROM embeddings, q
+    WHERE vec_id != 0
+    ORDER BY list_cosine_similarity(embedding::DOUBLE[], qv) DESC, vec_id
+    LIMIT 10
+    """,
+)
+def ann_bruteforce_topk(spark, sf_dir):
+    """J7 brute-force cosine top-k (reference pgvector ORDER BY <=> LIMIT)."""
+    e = _t(spark, sf_dir, "embeddings")
+    qv = e.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    out = ann.brute_force_knn(e.filter(F.col("vec_id") != 0), list(qv), k=10)
+    return out.select("vec_id", F.round("cosine", 5).alias("cosine"))
+
+
+@register(
+    "ann_knn_join",
+    """
+    SELECT q_id, c_id, cosine, rank FROM (
+      SELECT a.vec_id AS q_id, b.vec_id AS c_id,
+             round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 5) AS cosine,
+             row_number() OVER (PARTITION BY a.vec_id
+                                ORDER BY list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) DESC,
+                                         b.vec_id) AS rank
+      FROM embeddings a JOIN embeddings b ON a.vec_id != b.vec_id
+      WHERE a.vec_id < 5
+    ) WHERE rank <= 3
+    """,
+)
+def ann_knn_join(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    out = ann.knn_join(q, e, k=3)
+    return out.select("q_id", "c_id", F.round("cosine", 5).alias("cosine"), "rank")
+
+
+@register("ann_lsh_topk")  # hash-derived hyperplanes: rows-only check
+def ann_lsh_topk(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    return ann.lsh_knn_join(q, e, k=3)
+
+
+@register(
+    "embedding_norm_stats",
+    """
+    SELECT label, round(avg(sqrt(list_dot_product(embedding, embedding))), 5) AS avg_norm,
+           count(*) AS n
+    FROM embeddings GROUP BY label
+    """,
+)
+def embedding_norm_stats(spark, sf_dir):
+    """F8 vector math as columnar expressions."""
+    from kglids_spark.functions.scalar import l2_norm
+
+    e = _t(spark, sf_dir, "embeddings")
+    return e.groupBy("label").agg(
+        F.round(F.avg(l2_norm("embedding")), 5).alias("avg_norm"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+# =====================================================================
+# Events: sessionization, windows, drift
+# =====================================================================
+
+
+@register(
+    "sessionize_events",
+    """
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+             THEN 1 ELSE 0 END AS new_session
+      FROM events)
+    SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions, count(*) AS n_events
+    FROM flagged GROUP BY user_id
+    """,
+)
+def sessionize_events(spark, sf_dir):
+    """Sessionization via lag + gap flag (guide pattern; streaming
+    equivalent uses session_window in streaming/incremental.py)."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    flag = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    return (
+        e.withColumn("new_session", flag)
+        .groupBy("user_id")
+        .agg(
+            F.sum("new_session").cast("bigint").alias("n_sessions"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+@register(
+    "tumbling_window_events",
+    """
+    SELECT CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) AS window_start,
+           event_type, count(*) AS n, round(sum(value), 4) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def tumbling_window_events(spark, sf_dir):
+    """Tumbling time window (batch analog of the streaming operator)."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("total_value"))
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+_DRIFT_BINS = """
+      SELECT CAST(floor(value) AS BIGINT) AS b,
+             count(*) FILTER (WHERE event_type = 'click') AS c1,
+             count(*) FILTER (WHERE event_type = 'view') AS c2
+      FROM events WHERE event_type IN ('click', 'view') GROUP BY 1
+"""
+
+
+@register(
+    "drift_ks_events",
+    f"""
+    WITH h AS ({_DRIFT_BINS}),
+    cum AS (
+      SELECT b,
+             sum(c1) OVER (ORDER BY b) / (SELECT sum(c1) FROM h)::DOUBLE AS cdf1,
+             sum(c2) OVER (ORDER BY b) / (SELECT sum(c2) FROM h)::DOUBLE AS cdf2
+      FROM h)
+    SELECT round(max(abs(cdf1 - cdf2)), 6) AS ks FROM cum
+    """,
+)
+def drift_ks_events(spark, sf_dir):
+    """Two-sample KS on binned ECDFs (drift family, north_star)."""
+    e = _t(spark, sf_dir, "events").filter(F.col("event_type").isin("click", "view"))
+    h = e.groupBy(F.floor("value").cast("bigint").alias("b")).agg(
+        F.sum((F.col("event_type") == "click").cast("long")).alias("c1"),
+        F.sum((F.col("event_type") == "view").cast("long")).alias("c2"),
+    )
+    n1 = F.sum("c1").over(Window.partitionBy())
+    n2 = F.sum("c2").over(Window.partitionBy())
+    w = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, 0)
+    cum = h.select(
+        (F.sum("c1").over(w) / n1).alias("cdf1"), (F.sum("c2").over(w) / n2).alias("cdf2")
+    )
+    return cum.agg(F.round(F.max(F.abs(F.col("cdf1") - F.col("cdf2"))), 6).alias("ks"))
+
+
+@register(
+    "drift_psi_events",
+    f"""
+    WITH h AS ({_DRIFT_BINS}),
+    p AS (
+      SELECT greatest(c1 / (SELECT sum(c1) FROM h)::DOUBLE, 1e-6) AS p1,
+             greatest(c2 / (SELECT sum(c2) FROM h)::DOUBLE, 1e-6) AS p2
+      FROM h)
+    SELECT round(sum((p1 - p2) * ln(p1 / p2)), 6) AS psi FROM p
+    """,
+)
+def drift_psi_events(spark, sf_dir):
+    e = _t(spark, sf_dir, "events").filter(F.col("event_type").isin("click", "view"))
+    h = e.groupBy(F.floor("value").cast("bigint").alias("b")).agg(
+        F.sum((F.col("event_type") == "click").cast("long")).alias("c1"),
+        F.sum((F.col("event_type") == "view").cast("long")).alias("c2"),
+    )
+    n1 = F.sum("c1").over(Window.partitionBy())
+    n2 = F.sum("c2").over(Window.partitionBy())
+    p = h.select(
+        F.greatest(F.col("c1") / n1, F.lit(1e-6)).alias("p1"),
+        F.greatest(F.col("c2") / n2, F.lit(1e-6)).alias("p2"),
+    )
+    return p.agg(
+        F.round(F.sum((F.col("p1") - F.col("p2")) * F.log(F.col("p1") / F.col("p2"))), 6).alias(
+            "psi"
+        )
+    )
+
+
+# =====================================================================
+# Constraint suite on the documents table (validation-engine parity)
+# =====================================================================
+
+_DOC_SOURCES = [f"src{i}" for i in range(20)]
+
+@register(
+    "constraints_documents",
+    f"""
+    SELECT 'not_null(doc_id)' AS constraint_id,
+           count(*) FILTER (WHERE doc_id IS NULL) AS n_violations, count(*) AS n_checked
+    FROM documents
+    UNION ALL
+    SELECT 'unique(doc_id)', (
+      SELECT count(*) FROM (SELECT doc_id FROM documents WHERE doc_id IS NOT NULL
+                            GROUP BY doc_id HAVING count(*) > 1)), count(*)
+    FROM documents
+    UNION ALL
+    SELECT 'range(n_chars)',
+           count(*) FILTER (WHERE n_chars IS NOT NULL AND (n_chars < 1 OR n_chars > 100000)),
+           count(*)
+    FROM documents
+    UNION ALL
+    SELECT 'consistency(n_chars=length(text))',
+           count(*) FILTER (WHERE n_chars IS NOT NULL AND length(text) != n_chars), count(*)
+    FROM documents
+    UNION ALL
+    SELECT 'referential(source)',
+           count(*) FILTER (WHERE source IS NOT NULL AND source NOT IN ({",".join(f"'{s}'" for s in _DOC_SOURCES)})),
+           count(*)
+    FROM documents
+    """,
+)
+def constraints_documents(spark, sf_dir):
+    """The validation engine's verdict aggregates on a real table —
+    drives the same code path as the tokens pipeline."""
+    d = _t(spark, sf_dir, "documents")
+    nn = F.sum(F.col("doc_id").isNull().cast("long"))
+    rng = F.sum(
+        (F.col("n_chars").isNotNull() & ((F.col("n_chars") < 1) | (F.col("n_chars") > 100000))).cast("long")
+    )
+    cons = F.sum(
+        (F.col("n_chars").isNotNull() & (F.length("text") != F.col("n_chars"))).cast("long")
+    )
+    ri = F.sum(
+        (F.col("source").isNotNull() & ~F.col("source").isin(_DOC_SOURCES)).cast("long")
+    )
+    total = F.count(F.lit(1))
+    base = d.agg(
+        nn.alias("nn"), rng.alias("rng"), cons.alias("cons"), ri.alias("ri"), total.alias("n")
+    )
+    dup = (
+        d.filter(F.col("doc_id").isNotNull())
+        .groupBy("doc_id")
+        .count()
+        .filter(F.col("count") > 1)
+        .agg(F.count(F.lit(1)).alias("dups"))
+    )
+    b = base.collect()[0]
+    du = dup.collect()[0].dups
+    rows = [
+        ("not_null(doc_id)", int(b.nn), int(b.n)),
+        ("unique(doc_id)", int(du), int(b.n)),
+        ("range(n_chars)", int(b.rng), int(b.n)),
+        ("consistency(n_chars=length(text))", int(b.cons), int(b.n)),
+        ("referential(source)", int(b.ri), int(b.n)),
+    ]
+    return spark.createDataFrame(rows, "constraint_id string, n_violations long, n_checked long")

@@ -1,0 +1,176 @@
+"""Similarity search over embedding columns (SURVEY.md §2.3 J7).
+
+The reference delegates kNN to pgvector HNSW indexes
+(storage_utils/embedding_store_utils.py:25-40, ORDER BY <=> LIMIT n at
+kglids_server.py:124-127). Spark-native equivalents:
+
+- brute_force_knn: exact cosine top-k for one query vector — a scan +
+  TakeOrderedAndProject, no shuffle of vectors. The correctness
+  baseline.
+- knn_join: top-k per query row — blocked cross join + window
+  row_number ≤ k. Exact but O(|Q|·|C|); for small query sets.
+- LSH path (the 100 TB route): deterministic random-hyperplane sign
+  buckets. Hyperplane components come from a hash of (seed, plane,
+  dim) so the bucketing is reproducible with no driver-side state and
+  computes entirely in Tungsten (no Python). Candidates within the
+  same bucket (optionally multi-probe over Hamming-1 neighbors) are
+  re-ranked exactly.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from kglids_spark.functions.scalar import cosine_similarity, dot_product
+
+
+def brute_force_knn(
+    corpus: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (
+        corpus.select(
+            F.col(id_col),
+            cosine_similarity(F.col(vec_col), q).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), F.col(id_col))
+        .limit(k)
+    )
+
+
+def knn_join(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    q_id: str = "q_id",
+    q_vec: str = "q_vec",
+    c_id: str = "vec_id",
+    c_vec: str = "embedding",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Exact top-k neighbors per query row (window-ranked cross join)."""
+    qq = queries.select(F.col(q_id).alias("q_id"), F.col(q_vec).alias("q_vec"))
+    cc = corpus.select(F.col(c_id).alias("c_id"), F.col(c_vec).alias("c_vec"))
+    joined = qq.crossJoin(cc)
+    if exclude_self:
+        joined = joined.filter(F.col("q_id") != F.col("c_id"))
+    scored = joined.select(
+        "q_id", "c_id", cosine_similarity(F.col("q_vec"), F.col("c_vec")).alias("cosine")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.col("c_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+# ---------------------------------------------------------------------------
+# LSH: deterministic random-hyperplane sign buckets
+
+
+def _hyperplane_component(seed: int, plane: int) -> F.Column:
+    """Pseudo-gaussian hyperplane component for each vector dimension:
+    sum of 4 hash-uniforms - 2 (Irwin-Hall CLT approx), derived from
+    (seed, plane, dim) so executors need no shipped state."""
+
+    def comp(dim_idx: F.Column) -> F.Column:
+        total = F.lit(-2.0)
+        for r in range(4):
+            h = F.pmod(
+                F.xxhash64(F.lit(f"lsh:{seed}:{plane}:{r}"), dim_idx), F.lit(2**31)
+            )
+            total = total + (h + F.lit(0.5)) / F.lit(float(2**31))
+        return total
+
+    return comp
+
+
+def lsh_bucket_expr(
+    vec_col: str = "embedding", n_planes: int = 8, seed: int = 42
+) -> F.Column:
+    """Bucket id in [0, 2^n_planes): sign bit per hyperplane.
+
+    dot(v, plane_p) = Σ_d v[d] * g(seed,p,d), computed with
+    zip_with over (vector, dim-index sequence) — all JVM-side."""
+    v = F.col(vec_col)
+    dims = F.transform(F.sequence(F.lit(0), F.size(v) - 1), lambda i: i.cast("long"))
+    bucket = F.lit(0).cast("long")
+    for p in range(n_planes):
+        comp = _hyperplane_component(seed, p)
+        dot = F.aggregate(
+            F.zip_with(v, dims, lambda x, d: x.cast("double") * comp(d)),
+            F.lit(0.0),
+            lambda acc, t: acc + t,
+        )
+        bucket = bucket + F.when(dot > 0, F.lit(1 << p).cast("long")).otherwise(F.lit(0))
+    return bucket
+
+
+def lsh_knn_join(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    n_planes: int = 8,
+    seed: int = 42,
+    q_id: str = "q_id",
+    q_vec: str = "q_vec",
+    c_id: str = "vec_id",
+    c_vec: str = "embedding",
+    multiprobe: bool = True,
+) -> DataFrame:
+    """Approximate top-k per query: join on LSH bucket (plus Hamming-1
+    probe buckets for recall), exact cosine re-rank inside buckets.
+    Shuffle is bucket-local — the scale path replacing knn_join's
+    cross join."""
+    cc = corpus.select(
+        F.col(c_id).alias("c_id"),
+        F.col(c_vec).alias("c_vec"),
+        lsh_bucket_expr(c_vec, n_planes, seed).alias("bucket"),
+    )
+    qb = queries.select(
+        F.col(q_id).alias("q_id"),
+        F.col(q_vec).alias("q_vec"),
+        lsh_bucket_expr(q_vec, n_planes, seed).alias("b0"),
+    )
+    if multiprobe:
+        probes = F.array(
+            F.col("b0"), *[F.col("b0").bitwiseXOR(F.lit(1 << p)) for p in range(n_planes)]
+        )
+    else:
+        probes = F.array(F.col("b0"))
+    qq = qb.select("q_id", "q_vec", F.explode(probes).alias("bucket"))
+    scored = (
+        qq.join(cc, "bucket")
+        .filter(F.col("q_id") != F.col("c_id"))
+        .select(
+            "q_id",
+            "c_id",
+            cosine_similarity(F.col("q_vec"), F.col("c_vec")).alias("cosine"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.col("c_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def ivf_assign(
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF coarse quantization: assign each vector to its nearest
+    centroid (broadcast literal array of centroids — the k-means fit
+    itself is out of band). Downstream kNN probes only the closest
+    lists, the classic IVF pruning."""
+    best = None
+    for ci, cvec in enumerate(centroids):
+        c_arr = F.array(*[F.lit(float(x)) for x in cvec])
+        d = dot_product(F.col(vec_col), c_arr)
+        cand = F.struct(d.alias("score"), F.lit(ci).alias("centroid"))
+        best = cand if best is None else F.when(cand["score"] > best["score"], cand).otherwise(best)
+    return corpus.withColumn("ivf_list", best["centroid"])

@@ -1,0 +1,287 @@
+"""Deduplication operators for training-data pipelines.
+
+Not present in the reference (its nearest analog is column-level
+content similarity, workers.py:57-121); required for the 100 TB
+training-pipeline use case. Five families, all shuffle-conscious:
+
+- exact:          hash-groupBy on a normalized content digest. One
+                  shuffle on the digest; group sizes are tiny.
+- ngram Jaccard:  explode shingles → self-join on shingle → count
+                  intersection / union. The join key is the shingle,
+                  so hot shingles are pruned by a document-frequency
+                  cap before the join (stopword shingles would
+                  otherwise quadratically blow up the shuffle).
+- MinHash + LSH:  k independent min-hashes per doc computed with ONE
+                  explode + k min() aggregates (no per-row Python);
+                  signatures sliced into bands, candidates = docs
+                  sharing a (band_idx, band_hash) bucket — the classic
+                  shuffle-light near-dup path at scale.
+- SimHash:        per-token 64-bit hashes, bit-majority via 64 sum
+                  aggregates; near-dups blocked on 16-bit chunks
+                  (Hamming ≤ 3 ⟹ some chunk equal, pigeonhole).
+- embedding:      cosine ≥ threshold near-dup pairs; see ann.py for
+                  the blocked/LSH variant.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from kglids_spark.functions.scalar import cosine_similarity
+
+
+def normalize_text(col) -> F.Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
+
+
+def exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Groups of exact duplicates after whitespace/case normalization.
+    Returns (digest, n_docs, doc_ids) for groups with n_docs > 1."""
+    digest = F.md5(normalize_text(text_col))
+    return (
+        df.select(F.col(id_col), digest.alias("digest"))
+        .groupBy("digest")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sort_array(F.collect_list(id_col)).alias("doc_ids"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def word_shingles(col, n: int = 3) -> F.Column:
+    """Distinct word n-gram shingles of a text column (array<string>)."""
+    words = F.split(normalize_text(col), " ")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)))
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+    max_shingle_df: int = 1000,
+) -> DataFrame:
+    """Near-duplicate pairs by word-n-gram Jaccard similarity.
+
+    intersection via a self-join on shingle; |union| = |A|+|B|-|A∩B|.
+    Shingles appearing in more than ``max_shingle_df`` docs are dropped
+    before the join (they carry no dedup signal and dominate the
+    shuffle — at web scale this cap is what keeps the join feasible)."""
+    docs = df.select(
+        F.col(id_col).alias("id"), word_shingles(text_col, n).alias("shingles")
+    ).withColumn("n_shingles", F.size("shingles"))
+    ex = docs.select("id", "n_shingles", F.explode("shingles").alias("sh"))
+    rare = ex.groupBy("sh").agg(F.count(F.lit(1)).alias("df_count")).filter(
+        F.col("df_count") <= max_shingle_df
+    )
+    ex = ex.join(rare.select("sh"), "sh")
+    a = ex.alias("a")
+    b = ex.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
+        .agg(
+            F.count(F.lit(1)).alias("common"),
+            F.first("a.n_shingles").alias("n1"),
+            F.first("b.n_shingles").alias("n2"),
+        )
+    )
+    jac = F.col("common") / (F.col("n1") + F.col("n2") - F.col("common"))
+    return (
+        inter.withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id1", "id2", "jaccard")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 64,
+    shingle_n: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """(id, sig:array<long>) — num_perm min-hashes per doc, computed as
+    one explode + num_perm min() aggregates (single shuffle on id)."""
+    ex = df.select(
+        F.col(id_col).alias("id"), F.explode(word_shingles(text_col, shingle_n)).alias("sh")
+    )
+    mins = [
+        F.min(F.xxhash64(F.lit(f"{seed}:{i}"), F.col("sh"))).alias(f"h{i}")
+        for i in range(num_perm)
+    ]
+    sig = ex.groupBy("id").agg(*mins)
+    return sig.select("id", F.array(*[F.col(f"h{i}") for i in range(num_perm)]).alias("sig"))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    seed: int = 42,
+) -> DataFrame:
+    """MinHash-LSH candidate generation + exact-Jaccard-estimate verify.
+
+    Docs sharing any of ``bands`` band-hashes become candidates (join on
+    (band, band_hash) — LSH turns the O(n²) pair space into bucket-local
+    joins). Candidates are verified with the signature-estimated
+    Jaccard (fraction of matching min-hashes) ≥ threshold."""
+    assert num_perm % bands == 0
+    rows_per_band = num_perm // bands
+    sigs = minhash_signatures(df, text_col, id_col, num_perm, shingle_n, seed).cache()
+    band_cols = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("band"),
+                    F.xxhash64(
+                        *[F.col("sig")[i * rows_per_band + j] for j in range(rows_per_band)]
+                    ).alias("bh"),
+                )
+                for i in range(bands)
+            ]
+        )
+    )
+    buckets = sigs.select("id", band_cols.alias("b")).select(
+        "id", F.col("b.band").alias("band"), F.col("b.bh").alias("bh")
+    )
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
+        .distinct()
+    )
+    sa = sigs.select(F.col("id").alias("id1"), F.col("sig").alias("sig1"))
+    sb = sigs.select(F.col("id").alias("id2"), F.col("sig").alias("sig2"))
+    est = F.size(
+        F.filter(F.zip_with("sig1", "sig2", lambda x, y: x == y), lambda v: v)
+    ) / F.lit(float(num_perm))
+    return (
+        cands.join(sa, "id1")
+        .join(sb, "id2")
+        .withColumn("est_jaccard", est)
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("id1", "id2", "est_jaccard")
+    )
+
+
+def simhash_signatures(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64
+) -> DataFrame:
+    """(id, simhash:long) — bit-majority of per-word 64-bit hashes,
+    as ``bits`` conditional sums in one aggregation."""
+    ex = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(normalize_text(text_col), " ")).alias("w"),
+    ).withColumn("h", F.xxhash64("w"))
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(bits)
+    ]
+    agg = ex.groupBy("id").agg(*votes)
+    sim = None
+    for i in range(bits):
+        bit = F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = F.shiftleft(bit, i)
+        sim = term if sim is None else sim.bitwiseXOR(term)  # disjoint bits: XOR == OR
+    return agg.select("id", sim.alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    bits: int = 64,
+) -> DataFrame:
+    """Near-dup pairs with Hamming(simhash) ≤ max_hamming, blocked on
+    (max_hamming+1) bit-chunks: by pigeonhole, any pair within the
+    Hamming radius agrees exactly on at least one chunk, so the join is
+    chunk-bucket-local instead of all-pairs."""
+    n_chunks = max_hamming + 1
+    chunk_bits = bits // n_chunks
+    sigs = simhash_signatures(df, text_col, id_col, bits)
+    mask = (1 << chunk_bits) - 1
+    chunks = sigs.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("ci"),
+                        F.shiftright("simhash", i * chunk_bits)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("cv"),
+                    )
+                    for i in range(n_chunks)
+                ]
+            )
+        ).alias("c"),
+    ).select("id", "simhash", F.col("c.ci").alias("ci"), F.col("c.cv").alias("cv"))
+    a = chunks.alias("a")
+    b = chunks.alias("b")
+    hamming = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(
+            b,
+            (F.col("a.ci") == F.col("b.ci"))
+            & (F.col("a.cv") == F.col("b.cv"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id1"),
+            F.col("b.id").alias("id2"),
+            hamming.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+    block_col: str | None = None,
+) -> DataFrame:
+    """Near-duplicate pairs by embedding cosine ≥ threshold. With
+    ``block_col`` the join is bucket-local (e.g. an LSH sign-bucket
+    from ann.lsh_bucket_expr); without it this is the exact O(n²)
+    baseline for small corpora / tests."""
+    cols = [F.col(id_col).alias("id"), F.col(vec_col).alias("v")]
+    if block_col:
+        cols.append(F.col(block_col).alias("blk"))
+    base = df.select(*cols)
+    a = base.alias("a")
+    b = base.alias("b")
+    cond = F.col("a.id") < F.col("b.id")
+    if block_col:
+        cond = cond & (F.col("a.blk") == F.col("b.blk"))
+    return (
+        a.join(b, cond)
+        .select(
+            F.col("a.id").alias("id1"),
+            F.col("b.id").alias("id2"),
+            cosine_similarity(F.col("a.v"), F.col("b.v")).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
