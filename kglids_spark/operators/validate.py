@@ -67,9 +67,12 @@ def _stats_pass(
     unique_cs: list[C.Constraint],
     drift_spec: D.HistSpec | None,
     key: str,
+    dup_counts: DataFrame | None = None,
 ) -> DataFrame:
     """The main per-bucket aggregation (one scan) + the uniqueness
-    shuffle, joined into one sketch row per bucket."""
+    shuffle, joined into one sketch row per bucket. ``dup_counts`` is
+    the persisted (bucket, key, count>1) frame shared with violation
+    extraction so the uniqueness shuffle runs exactly once."""
     viol_sums = [
         F.sum(C.violation_expr(c, df_b).cast("long")).alias(f"v_{i}")
         for i, c in enumerate(row_cs)
@@ -92,7 +95,12 @@ def _stats_pass(
         stats = stats.withColumn("viol_counts", F.create_map().cast("map<string,long>"))
 
     for uc in unique_cs:
-        per_bucket, _ = C.evaluate_uniqueness(df_b, uc.column, BUCKET_COL)
+        if dup_counts is not None and uc.column == key:
+            per_bucket = dup_counts.groupBy(BUCKET_COL).agg(
+                F.count(F.lit(1)).alias("dup_keys")
+            )
+        else:
+            per_bucket, _ = C.evaluate_uniqueness(df_b, uc.column, BUCKET_COL)
         dup = per_bucket.select(
             F.col(BUCKET_COL), F.col("dup_keys").alias(f"u_{uc.cid}")
         )
@@ -153,7 +161,17 @@ def validate(
         remaining_df = df_b.filter(~F.col(BUCKET_COL).isin(list(completed)))
 
     # ---- collect sketches for remaining buckets ------------------------
-    new_stats = _stats_pass(remaining_df, row_cs, unique_cs, drift_spec, key)
+    # uniqueness shuffle: computed once, shared by stats and violations
+    dup_counts = None
+    if unique_cs and any(uc.column == key for uc in unique_cs):
+        dup_counts = (
+            remaining_df.filter(F.col(key).isNotNull())
+            .groupBy(BUCKET_COL, key)
+            .count()
+            .filter(F.col("count") > 1)
+            .persist()
+        )
+    new_stats = _stats_pass(remaining_df, row_cs, unique_cs, drift_spec, key, dup_counts)
     new_stats = (
         new_stats.withColumn("run_id", F.lit(run_id))
         .withColumn("constraint_hash", F.lit(chash))
@@ -173,7 +191,11 @@ def validate(
     w_first = F.row_number().over(
         Window.partitionBy("bucket_id").orderBy("completed_at", "run_id")
     )
-    merged = all_stats.withColumn("_rn", w_first).filter(F.col("_rn") == 1).drop("_rn")
+    # persist: merged feeds both the driver-side verdict build and the
+    # HLL-union job — without it the whole input scan would run twice
+    merged = (
+        all_stats.withColumn("_rn", w_first).filter(F.col("_rn") == 1).drop("_rn").persist()
+    )
     merged_rows = merged.collect()
 
     # ---- verdicts -------------------------------------------------------
@@ -221,10 +243,15 @@ def validate(
     if extract_violation_rows:
         viols = C.extract_violations(df, constraints, key=key)
         for uc in unique_cs:
-            _, uviol = C.evaluate_uniqueness(df_b, uc.column, BUCKET_COL)
-            viols = viols.unionByName(
-                uviol.withColumnRenamed(uc.column, key) if uc.column != key else uviol
-            )
+            if dup_counts is not None and uc.column == key and not completed:
+                uviol = dup_counts.select(
+                    F.col(key), F.lit(uc.cid).alias("constraint_id")
+                )
+            else:
+                _, uviol = C.evaluate_uniqueness(df_b, uc.column, BUCKET_COL)
+                if uc.column != key:
+                    uviol = uviol.withColumnRenamed(uc.column, key)
+            viols = viols.unionByName(uviol)
     else:
         viols = spark.createDataFrame([], f"{key} string, constraint_id string")
 
@@ -232,6 +259,9 @@ def validate(
     est = merged.agg(
         F.hll_sketch_estimate(F.hll_union_agg("hll_key")).alias("est")
     ).collect()[0].est if merged_rows else 0
+    merged.unpersist()
+    if dup_counts is not None and not extract_violation_rows:
+        dup_counts.unpersist()
     elapsed = time.time() - t_start
     metrics = {
         "run_id": run_id,
