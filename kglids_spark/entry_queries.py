@@ -995,3 +995,182 @@ def constraints_documents(spark, sf_dir):
         ("referential(source)", int(b.ri), int(b.n)),
     ]
     return spark.createDataFrame(rows, "constraint_id string, n_violations long, n_checked long")
+
+
+# =====================================================================
+# Embedding mean-pool (reference A9/A10: per-(table,dtype) embedding
+# mean then concat — calculate_table_embeddings.py:17-40)
+# =====================================================================
+
+
+@register(
+    "embedding_mean_pool",
+    """
+    SELECT label, CAST(i AS INT) AS dim, round(avg(embedding[i]), 5) AS mean_v
+    FROM embeddings, range(1, 65) r(i)
+    GROUP BY label, i
+    """,
+)
+def embedding_mean_pool(spark, sf_dir):
+    """Mean-pool embeddings per label via posexplode + groupBy — the
+    scalable shape (shuffle on (group, dim), map-side partials), never
+    collecting whole vectors per group."""
+    e = _t(spark, sf_dir, "embeddings")
+    ex = e.select("label", F.posexplode("embedding").alias("pos", "v"))
+    return ex.groupBy("label", (F.col("pos") + 1).cast("int").alias("dim")).agg(
+        F.round(F.avg("v"), 5).alias("mean_v")
+    )
+
+
+# =====================================================================
+# Discovery layer end-to-end: profiles → similarity edges → top-k
+# (reference J1-J4 + A13 + W1: workers.py:57-121, template.py:61-83)
+# =====================================================================
+
+_REC_THRESHOLD = 0.5
+
+_REC_PROFILES_SQL = " UNION ALL ".join(
+    f"""SELECT '{t}' AS table_id, '{c}' AS column_id,
+           round(min({c})::DOUBLE, 4) AS s_min, round(max({c})::DOUBLE, 4) AS s_max,
+           round(avg({c}), 4) AS s_mean,
+           round(quantile_cont({c}, 0.5)::DOUBLE, 4) AS s_med,
+           round((quantile_cont({c}, 0.75) - quantile_cont({c}, 0.25))::DOUBLE, 4) AS s_iqr
+    FROM {t}"""
+    for t, c in _PROFILE_COLS
+)
+
+_REC_SQL = f"""
+    WITH prof AS ({_REC_PROFILES_SQL}),
+    pairs AS (
+      SELECT a.table_id AS t1, b.table_id AS t2,
+        round(1.0 - (exp(2*sqrt(
+            pow((a.s_min - b.s_min) / greatest(abs(a.s_min), abs(b.s_min), 1e-9), 2)
+          + pow((a.s_max - b.s_max) / greatest(abs(a.s_max), abs(b.s_max), 1e-9), 2)
+          + pow((a.s_mean - b.s_mean) / greatest(abs(a.s_mean), abs(b.s_mean), 1e-9), 2)
+          + pow((a.s_med - b.s_med) / greatest(abs(a.s_med), abs(b.s_med), 1e-9), 2)
+          + pow((a.s_iqr - b.s_iqr) / greatest(abs(a.s_iqr), abs(b.s_iqr), 1e-9), 2)
+        )) - 1) / (exp(2*sqrt(
+            pow((a.s_min - b.s_min) / greatest(abs(a.s_min), abs(b.s_min), 1e-9), 2)
+          + pow((a.s_max - b.s_max) / greatest(abs(a.s_max), abs(b.s_max), 1e-9), 2)
+          + pow((a.s_mean - b.s_mean) / greatest(abs(a.s_mean), abs(b.s_mean), 1e-9), 2)
+          + pow((a.s_med - b.s_med) / greatest(abs(a.s_med), abs(b.s_med), 1e-9), 2)
+          + pow((a.s_iqr - b.s_iqr) / greatest(abs(a.s_iqr), abs(b.s_iqr), 1e-9), 2)
+        )) + 1), 6) AS score
+      FROM prof a JOIN prof b
+        ON a.table_id != b.table_id AND a.column_id < b.column_id)
+    SELECT t1, t2, round(CAST(sum(score) AS DOUBLE), 6) AS total_score, count(*) AS n_edges
+    FROM pairs WHERE score >= {_REC_THRESHOLD}
+    GROUP BY t1, t2
+"""
+
+
+@register("recommend_tables_content", _REC_SQL)
+def recommend_tables_content(spark, sf_dir):
+    """Content-similarity table recommendation: per-column stat
+    profiles → all-pairs theta-join (same shape as the reference's
+    column-pair loop) → 1-tanh(L2 of scale-normalized stats) scores →
+    threshold → group-sum per table pair (A13). Stats are rounded
+    before scoring on both sides so the float pipeline is
+    deterministic."""
+    prof = None
+    for t, c in _PROFILE_COLS:
+        df = _t(spark, sf_dir, t)
+        col = F.col(c).cast("double")
+        q = F.percentile(col, F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)))
+        row = df.agg(
+            F.lit(t).alias("table_id"),
+            F.lit(c).alias("column_id"),
+            F.round(F.min(col), 4).alias("s_min"),
+            F.round(F.max(col), 4).alias("s_max"),
+            F.round(F.avg(col), 4).alias("s_mean"),
+            F.round(q[1], 4).alias("s_med"),
+            F.round(q[2] - q[0], 4).alias("s_iqr"),
+        )
+        prof = row if prof is None else prof.unionByName(row)
+    a, b = prof.alias("a"), prof.alias("b")
+    stats = ["s_min", "s_max", "s_mean", "s_med", "s_iqr"]
+    d2 = None
+    for s in stats:
+        x, y = F.col(f"a.{s}"), F.col(f"b.{s}")
+        term = F.pow((x - y) / F.greatest(F.abs(x), F.abs(y), F.lit(1e-9)), F.lit(2))
+        d2 = term if d2 is None else d2 + term
+    score = F.round(F.tanh(F.sqrt(d2)) * -1 + 1, 6)
+    pairs = a.join(
+        b,
+        (F.col("a.table_id") != F.col("b.table_id"))
+        & (F.col("a.column_id") < F.col("b.column_id")),
+    ).select(
+        F.col("a.table_id").alias("t1"),
+        F.col("b.table_id").alias("t2"),
+        score.alias("score"),
+    )
+    return (
+        pairs.filter(F.col("score") >= _REC_THRESHOLD)
+        .groupBy("t1", "t2")
+        .agg(
+            F.round(F.sum("score").cast("double"), 6).alias("total_score"),
+            F.count(F.lit(1)).alias("n_edges"),
+        )
+    )
+
+
+# =====================================================================
+# Schema search by regex (P9: api/api.py:92-103 AND-of-ORs)
+# =====================================================================
+
+_SEARCH_TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+@register(
+    "search_columns_regex",
+    f"""
+    SELECT table_name, column_name FROM information_schema.columns
+    WHERE table_name IN ({",".join(f"'{t}'" for t in _SEARCH_TABLES)})
+      AND regexp_matches(column_name, '(?i)(key|id)')
+      AND regexp_matches(column_name, '(?i)(nation|region|cust|user)')
+    """,
+)
+def search_columns_regex(spark, sf_dir):
+    rows = []
+    for t in _SEARCH_TABLES:
+        for f in spark.read.parquet(f"{sf_dir}/{t}.parquet").schema.fields:
+            rows.append((t, f.name))
+    cols = spark.createDataFrame(rows, "table_name string, column_name string")
+    from kglids_spark.operators.similarity import search_columns  # noqa: F401 (same rlike shape)
+
+    return cols.filter(
+        F.col("column_name").rlike("(?i)(key|id)")
+        & F.col("column_name").rlike("(?i)(nation|region|cust|user)")
+    )
+
+
+# =====================================================================
+# Sampling (P11) + multimodal plumbing — rows-only checks
+# =====================================================================
+
+
+@register("sample_fraction")  # seed-dependent RNG: rows-only check
+def sample_fraction(spark, sf_dir):
+    """Bernoulli sampling (reference caps profiling inputs at 1000 rows
+    / 10%, numerical_profile_creator.py:38-41)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.sample(fraction=0.1, seed=42).select("l_orderkey", "l_linenumber")
+
+
+@register("multimodal_features")  # stubbed decode: rows-only check
+def multimodal_features(spark, sf_dir):
+    from kglids_spark.operators.multimodal import extract_features, synthetic_media
+
+    media = synthetic_media(spark, 200)
+    return extract_features(media)
+
+
+@register("multimodal_frame_sampling")  # rows-only check
+def multimodal_frame_sampling(spark, sf_dir):
+    from kglids_spark.operators.multimodal import sample_frames, synthetic_media
+
+    media = synthetic_media(spark, 200)
+    return sample_frames(media, every_ms=60000).drop("payload")

@@ -75,24 +75,29 @@ def ngram_jaccard_pairs(
         F.col(id_col).alias("id"), word_shingles(text_col, n).alias("shingles")
     ).withColumn("n_shingles", F.size("shingles"))
     ex = docs.select("id", "n_shingles", F.explode("shingles").alias("sh"))
-    rare = ex.groupBy("sh").agg(F.count(F.lit(1)).alias("df_count")).filter(
-        F.col("df_count") <= max_shingle_df
-    )
-    ex = ex.join(rare.select("sh"), "sh")
-    a = ex.alias("a")
-    b = ex.alias("b")
+    if max_shingle_df < 2**31:  # cap disabled -> skip the df-count pass
+        rare = ex.groupBy("sh").agg(F.count(F.lit(1)).alias("df_count")).filter(
+            F.col("df_count") <= max_shingle_df
+        )
+        ex = ex.join(rare.select("sh"), "sh")
+    ex = ex.persist()
+    slim = ex.select("id", "sh")
+    a = slim.alias("a")
+    b = slim.alias("b")
     inter = (
         a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id")))
         .groupBy(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
-        .agg(
-            F.count(F.lit(1)).alias("common"),
-            F.first("a.n_shingles").alias("n1"),
-            F.first("b.n_shingles").alias("n2"),
-        )
+        .agg(F.count(F.lit(1)).alias("common"))
     )
+    # when the df cap filtered hot shingles, Jaccard is computed over the
+    # rare-shingle universe (hot shingles carry no dedup signal anyway)
+    counts = ex.groupBy("id").agg(F.count(F.lit(1)).alias("ns"))
     jac = F.col("common") / (F.col("n1") + F.col("n2") - F.col("common"))
+    # AQE broadcasts `counts` when small; at web scale it stays a shuffle join
     return (
-        inter.withColumn("jaccard", jac)
+        inter.join(counts.select(F.col("id").alias("id1"), F.col("ns").alias("n1")), "id1")
+        .join(counts.select(F.col("id").alias("id2"), F.col("ns").alias("n2")), "id2")
+        .withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= threshold)
         .select("id1", "id2", "jaccard")
     )

@@ -131,3 +131,44 @@ class TableStore:
         if not live:
             raise KeyError(f"table {table} is empty")
         return self.spark.read.parquet(*[s["path"] for s in live])
+
+
+def read_csv_table(
+    spark: SparkSession,
+    path: str,
+    na_markers: tuple[str, ...] = (" ", "?", "-"),
+    header: bool = True,
+):
+    """CSV source with the reference's read-time semantics
+    (kg_governor/data_profiling/profile_data.py:111-120): the markers
+    ' ', '?', '-' coerce to null, then whole-column numeric coercion is
+    attempted (pd.to_numeric(errors='ignore') equivalent: a string
+    column becomes numeric only if every non-null value parses).
+
+    One schema-inference pass + one coercion check pass over the
+    header-driven string schema; at scale, prefer parquet/Iceberg and
+    treat this as an ingest-edge connector."""
+    from pyspark.sql import functions as F
+
+    df = spark.read.csv(path, header=header, inferSchema=False)
+    # null-marker coercion on every string column
+    for f in df.schema.fields:
+        c = F.col(f.name)
+        df = df.withColumn(f.name, F.when(F.trim(c).isin([m.strip() for m in na_markers]) | (c == ""), None).otherwise(c))
+    # numeric coercion: single agg pass computing parse ratios
+    checks = []
+    for f in df.schema.fields:
+        c = F.col(f.name)
+        num = c.try_cast("double")
+        checks.append(
+            (F.count(num) == F.count(c)).alias(f"{f.name}__allnum")
+        )
+        checks.append(
+            F.coalesce(F.avg((num == F.round(num)).cast("double")), F.lit(0.0)).alias(f"{f.name}__intratio")
+        )
+    flags = df.agg(*checks).collect()[0].asDict()
+    for f in df.schema.fields:
+        if flags.get(f"{f.name}__allnum"):
+            target = "bigint" if flags.get(f"{f.name}__intratio", 0) == 1.0 else "double"
+            df = df.withColumn(f.name, F.col(f.name).cast(target))
+    return df

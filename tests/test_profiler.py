@@ -100,3 +100,19 @@ def test_float_nan_handling(spark):
     assert p["total_values_count"] == 4
     assert p["missing_values_count"] == 1
     assert p["mean"] is None or not math.isinf(p["mean"])
+
+
+def test_read_csv_table_na_and_numeric_coercion(spark, tmp_path):
+    """Reference S2/P3/P4 semantics: NA markers -> null, whole-column
+    numeric coercion (profile_data.py:111-120)."""
+    p = tmp_path / "t.csv"
+    p.write_text("a,b,c\n1,x,1.5\n2,?,2.5\n-,y,3.5\n4, ,4.5\n")
+    from kglids_spark.sources.tables import read_csv_table
+
+    df = read_csv_table(spark, str(p))
+    types = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    assert types == {"a": "bigint", "b": "string", "c": "double"}
+    rows = df.collect()
+    assert sum(1 for r in rows if r.a is None) == 1   # '-' coerced
+    assert sum(1 for r in rows if r.b is None) == 2   # '?' and ' ' coerced
+    assert sum(r.c for r in rows) == 12.0
