@@ -1,0 +1,191 @@
+"""Drop-in discovery API with the reference's method names.
+
+Mirrors the data-discovery surface of the reference's ``KGLiDS`` class
+(api/api.py:9-120, docs/KGLiDS_apis.md): same method names and result
+shapes (small pandas DataFrames), backed by the Spark engine instead of
+a GraphDB endpoint — profiles and similarity edges are DataFrames, the
+SPARQL templates become DataFrame plans, `query()` takes Spark SQL
+instead of SPARQL (documented divergence; both are "the engine's query
+language").
+
+Pipeline-analytics methods (get_pipelines_info etc., api/api.py:125-»)
+depend on the notebook-AST abstraction that is out of scope (SURVEY.md
+§7.3); they raise NotImplementedError naming the lineage-table
+alternative.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kglids_spark.operators.profiler import profile_tables
+from kglids_spark.operators.similarity import (
+    column_similarity_edges,
+    k_hop_paths,
+    recommend_top_k_tables,
+    search_columns,
+)
+from kglids_spark.sources.tables import load_testdata
+
+
+def _table_name(table) -> str:
+    """Accept a plain name, a pandas Series/dict row with a Table field
+    (the reference passes a row of get_tables_info()), or a Spark Row."""
+    if isinstance(table, str):
+        return table
+    for key in ("Table", "table", "table_id"):
+        try:
+            v = table[key]
+            if isinstance(v, str):
+                return v
+        except (KeyError, IndexError, TypeError):
+            continue
+    raise ValueError(f"cannot extract a table name from {table!r}")
+
+
+class KGLiDS:
+    """Reference-parity discovery API over a directory of tables."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        data_dir: str,
+        dataset_id: str = "default",
+        threshold: float = 0.5,
+    ):
+        self.spark = spark
+        self.data_dir = data_dir
+        self.dataset_id = dataset_id
+        self.tables = load_testdata(spark, data_dir)
+        self.profiles = profile_tables(spark, self.tables, dataset_id=dataset_id).cache()
+        self.edges = column_similarity_edges(self.profiles, threshold=threshold).cache()
+
+    # ---- graph info (reference api/api.py:13-21,59-69) -----------------
+
+    def show_graph_info(self) -> pd.DataFrame:
+        agg = self.profiles.agg(
+            F.count_distinct("dataset_id").alias("Datasets"),
+            F.count_distinct("table_id").alias("Tables"),
+            F.count(F.lit(1)).alias("Columns"),
+        ).toPandas()
+        agg["Pipelines"] = 0  # pipeline abstraction out of scope (SURVEY §7.3)
+        return agg
+
+    def get_datasets_info(self) -> pd.DataFrame:
+        return (
+            self.profiles.groupBy(F.col("dataset_id").alias("Dataset"))
+            .agg(F.count_distinct("table_id").alias("Number_of_tables"))
+            .orderBy("Dataset")
+            .toPandas()
+        )
+
+    def get_tables_info(self, dataset: str = "") -> pd.DataFrame:
+        p = self.profiles
+        if dataset:
+            p = p.filter(F.col("dataset_id") == dataset)
+        return (
+            p.groupBy(
+                F.col("table_id").alias("Table"), F.col("dataset_id").alias("Dataset")
+            )
+            .agg(F.count(F.lit(1)).alias("Number_of_columns"))
+            .withColumn("Path_to_table", F.concat(F.lit(self.data_dir + "/"), F.col("Table"), F.lit(".parquet")))
+            .orderBy("Table")
+            .toPandas()
+        )
+
+    def get_table_info(self, table) -> pd.DataFrame:
+        name = _table_name(table)
+        return (
+            self.profiles.filter(F.col("table_id") == name)
+            .select(
+                F.col("column_name").alias("Column"),
+                F.col("data_type").alias("Data_type"),
+                F.col("total_values_count").alias("Total_values"),
+                F.col("distinct_values_count").alias("Distinct_values"),
+                F.col("missing_values_count").alias("Missing_values"),
+            )
+            .toPandas()
+        )
+
+    # ---- search / recommendation (api/api.py:23-57,71-113) --------------
+
+    def search_tables_on(self, conditions: list) -> pd.DataFrame:
+        """conditions: [['emp','staff'], ['id']] = (emp OR staff) AND id,
+        matched against column names (reference api/api.py:71-113)."""
+        hits = search_columns(self.profiles, conditions)
+        return (
+            hits.groupBy(F.col("table_id").alias("Table"), F.col("dataset_id").alias("Dataset"))
+            .agg(F.collect_set("column_name").alias("Matching_columns"))
+            .orderBy("Table")
+            .toPandas()
+        )
+
+    def recommend_k_joinable_tables(self, table, k: int = 5) -> pd.DataFrame:
+        """Joinable = content-similarity edges (reference api/api.py:23-39)."""
+        rec = recommend_top_k_tables(self.edges, _table_name(table), k=k, kind="content")
+        return rec.select(
+            F.col("candidate").alias("Table"),
+            F.col("norm_score").alias("Score"),
+        ).toPandas()
+
+    def recommend_k_unionable_tables(self, table, k: int = 5) -> pd.DataFrame:
+        """Unionable = label-similarity edges (reference api/api.py:41-57)."""
+        rec = recommend_top_k_tables(self.edges, _table_name(table), k=k, kind="label")
+        return rec.select(
+            F.col("candidate").alias("Table"),
+            F.col("norm_score").alias("Score"),
+        ).toPandas()
+
+    def get_path_between_tables(self, source_table, target_table, hops: int = 3) -> pd.DataFrame:
+        paths = k_hop_paths(
+            self.edges, _table_name(source_table), _table_name(target_table), max_hops=hops
+        )
+        return paths.orderBy("hops", "min_score").toPandas()
+
+    # ---- ad-hoc queries (api/api.py:119-120; SPARQL → Spark SQL) --------
+
+    def query(self, sql: str) -> pd.DataFrame:
+        """Ad-hoc engine-language query. The reference takes SPARQL and
+        ships it to GraphDB; ours takes Spark SQL over the registered
+        table views plus `profiles` / `similarities` views."""
+        self.profiles.createOrReplaceTempView("profiles")
+        self.edges.createOrReplaceTempView("similarities")
+        return self.spark.sql(sql).toPandas()
+
+    # ---- pipeline analytics: out of scope (SURVEY §7.3) ------------------
+
+    def _pipelines_unsupported(self, name: str):
+        raise NotImplementedError(
+            f"{name}: notebook-pipeline abstraction is not part of this engine "
+            "(reference feature over Kaggle scripts; see SURVEY.md §7.3). "
+            "Job lineage is recorded in the validation ledger 'runs' table."
+        )
+
+    def get_pipelines_info(self, *a, **k):
+        self._pipelines_unsupported("get_pipelines_info")
+
+    def get_most_recent_pipeline(self, *a, **k):
+        self._pipelines_unsupported("get_most_recent_pipeline")
+
+    def get_top_k_scoring_pipelines_for_dataset(self, *a, **k):
+        self._pipelines_unsupported("get_top_k_scoring_pipelines_for_dataset")
+
+    def search_classifier(self, *a, **k):
+        self._pipelines_unsupported("search_classifier")
+
+    def get_hyperparameters(self, *a, **k):
+        self._pipelines_unsupported("get_hyperparameters")
+
+    def get_top_k_library_used(self, *a, **k):
+        self._pipelines_unsupported("get_top_k_library_used")
+
+    def get_top_used_libraries(self, *a, **k):
+        self._pipelines_unsupported("get_top_used_libraries")
+
+    def get_pipelines_calling_libraries(self, *a, **k):
+        self._pipelines_unsupported("get_pipelines_calling_libraries")
+
+    def recommend_transformations(self, *a, **k):
+        self._pipelines_unsupported("recommend_transformations")

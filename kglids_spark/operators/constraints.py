@@ -122,7 +122,7 @@ def default_suite(valid_source_values: list[str]) -> list[Constraint]:
 # ---------------------------------------------------------------------------
 # row-level compilation
 
-ROW_LEVEL_KINDS = {"not_null", "range", "tok_len_consistency", "referential"}
+ROW_LEVEL_KINDS = {"not_null", "range", "tok_len_consistency", "referential", "referential_flag"}
 
 
 class BloomFilter:
@@ -169,6 +169,9 @@ def violation_expr(c: Constraint, df: DataFrame) -> Column:
         if vals is None:
             raise ValueError(f"{c.cid}: dim-table RI is resolved in validate.py, not here")
         return col.isNotNull() & ~col.isin(list(vals))
+    if c.kind == "referential_flag":
+        # dim membership pre-joined as a boolean flag (validate.py)
+        return F.col(c.column).isNotNull() & F.col(c.params["flag"]).isNull()
     raise ValueError(f"{c.cid}: kind {c.kind} is not row-level")
 
 

@@ -127,7 +127,10 @@ def validate(
     baseline_hist: list[int] | None = None,
     drift_spec: D.HistSpec | None = None,
     extract_violation_rows: bool = True,
+    dims: dict[str, DataFrame] | None = None,
 ) -> ValidationResult:
+    """``dims`` maps a referential constraint's dim_table name to its
+    DataFrame for dim-table RI (vs a literal valid_values vocabulary)."""
     spark = df.sparkSession
     run_id = run_id or uuid.uuid4().hex[:12]
     t_start = time.time()
@@ -140,11 +143,21 @@ def validate(
     if drift_cs and drift_spec is None:
         drift_spec = D.HistSpec(column=drift_cs[0].column)
 
-    # resolve dim-table RI into broadcastable literals if values missing
-    for c in row_cs:
+    # dim-table RI: pre-join a membership flag so the constraint stays a
+    # row-level expression inside the single-pass aggregate. Catalyst
+    # broadcasts small dims; big dims become a shuffle join feeding the
+    # same single scan (never a second pass).
+    for i, c in enumerate(row_cs):
         if c.kind == "referential" and c.params.get("valid_values") is None:
-            raise ValueError(f"{c.cid}: provide valid_values (dim-table RI: pass the "
-                             "collected dim values; broadcast join variant in ri_anti_join)")
+            dim_name = c.params.get("dim_table")
+            if not dims or dim_name not in dims:
+                raise ValueError(
+                    f"{c.cid}: pass dims={{'{dim_name}': <DataFrame>}} or literal valid_values"
+                )
+            flag = f"__ri_ok_{i}"
+            dim = dims[dim_name].select(F.col(c.column)).distinct().withColumn(flag, F.lit(True))
+            df = df.join(dim, on=c.column, how="left")
+            row_cs[i] = C.Constraint(c.cid, "referential_flag", c.column, {"flag": flag})
 
     df_b = with_bucket(df, key, n_buckets)
 
@@ -240,18 +253,38 @@ def validate(
     verdicts = spark.createDataFrame(verdict_rows, VERDICT_SCHEMA)
 
     # ---- violation rows --------------------------------------------------
+    # Incremental when a ledger is present: extract only for buckets not
+    # already validated, append to the ledger, and return the merged set
+    # — a resumed run never re-extracts completed buckets.
     if extract_violation_rows:
-        viols = C.extract_violations(df, constraints, key=key)
+        viol_src = remaining_df if ledger is not None else df_b
+        viols_new = C.extract_violations(viol_src, row_cs, key=key)
         for uc in unique_cs:
-            if dup_counts is not None and uc.column == key and not completed:
+            if dup_counts is not None and uc.column == key:
                 uviol = dup_counts.select(
                     F.col(key), F.lit(uc.cid).alias("constraint_id")
                 )
             else:
-                _, uviol = C.evaluate_uniqueness(df_b, uc.column, BUCKET_COL)
+                _, uviol = C.evaluate_uniqueness(
+                    remaining_df if ledger is not None else df_b, uc.column, BUCKET_COL
+                )
                 if uc.column != key:
                     uviol = uviol.withColumnRenamed(uc.column, key)
-            viols = viols.unionByName(uviol)
+            viols_new = viols_new.unionByName(uviol)
+        if ledger is not None:
+            ledger.append(
+                "violations",
+                viols_new.withColumn("constraint_hash", F.lit(chash))
+                .withColumn("n_buckets", F.lit(n_buckets))
+                .withColumn("run_id", F.lit(run_id)),
+            )
+            viols = (
+                ledger.read("violations")
+                .filter((F.col("constraint_hash") == chash) & (F.col("n_buckets") == n_buckets))
+                .select(key, "constraint_id")
+            )
+        else:
+            viols = viols_new
     else:
         viols = spark.createDataFrame([], f"{key} string, constraint_id string")
 

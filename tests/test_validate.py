@@ -130,3 +130,43 @@ def test_distinct_estimate_accuracy(result, duck):
     exact = duck.execute("SELECT count(DISTINCT doc_id) FROM tokens").fetchone()[0]
     est = result.metrics["distinct_key_estimate"]
     assert abs(est - exact) / exact < 0.05
+
+
+def test_dim_table_referential_integrity(spark, tokens_df):
+    """RI against a dim DataFrame (broadcast membership flag joined into
+    the single-pass aggregate) must match the literal-vocabulary RI."""
+    from kglids_spark.sources.tokens import valid_sources
+
+    lit_suite = [C.referential("source", SOURCES)]
+    dim_suite = [C.referential("source", dim_table="valid_sources")]
+    r_lit = validate(tokens_df, lit_suite, n_buckets=N_BUCKETS)
+    r_dim = validate(
+        tokens_df,
+        dim_suite,
+        n_buckets=N_BUCKETS,
+        dims={"valid_sources": valid_sources(spark)},
+    )
+    a = {(r.bucket_id, r.n_violations) for r in r_lit.verdicts.collect()}
+    b = {(r.bucket_id, r.n_violations) for r in r_dim.verdicts.collect()}
+    assert a == b
+    va = {r.doc_id for r in r_lit.violations.collect()}
+    vb = {r.doc_id for r in r_dim.violations.collect()}
+    assert va == vb and len(va) > 0
+
+
+def test_incremental_violations_in_ledger(spark, tokens_df, tmp_path):
+    """Resumed runs extract violations only for new buckets; the merged
+    ledger equals the single-run violation set."""
+    ledger = TableStore(spark, str(tmp_path / "viol_ledger"))
+    suite = [c for c in C.default_suite(SOURCES) if not c.kind.startswith("drift")]
+    half = (
+        with_bucket(tokens_df, n_buckets=N_BUCKETS)
+        .filter(F.col(BUCKET_COL) < N_BUCKETS // 2)
+        .drop(BUCKET_COL)
+    )
+    validate(half, suite, n_buckets=N_BUCKETS, ledger=ledger, run_id="r1")
+    r2 = validate(tokens_df, suite, n_buckets=N_BUCKETS, ledger=ledger, run_id="r2")
+    direct = validate(tokens_df, suite, n_buckets=N_BUCKETS)
+    got = {(r.doc_id, r.constraint_id) for r in r2.violations.collect()}
+    want = {(r.doc_id, r.constraint_id) for r in direct.violations.collect()}
+    assert got == want
