@@ -595,16 +595,35 @@ def dedup_ngram_jaccard(spark, sf_dir):
     return pairs.select("id1", "id2", F.round("jaccard", 6).alias("jaccard"))
 
 
-@register("dedup_minhash_lsh")  # hash-function-specific: rows-only check
+@register("dedup_minhash_lsh")  # xxhash64 production path: rows-only check
 def dedup_minhash_lsh(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return dedup.minhash_lsh_pairs(d, threshold=0.5)
 
 
-@register("dedup_simhash")  # hash-function-specific: rows-only check
+@register(
+    "dedup_minhash_lsh_md5",
+    dedup.minhash_lsh_pairs_md5_oracle_sql(num_perm=8, bands=4, threshold=0.5),
+)
+def dedup_minhash_lsh_md5(spark, sf_dir):
+    """Same MinHash-LSH pipeline with the portable md5 hash — the
+    value-exact oracle twin of dedup_minhash_lsh."""
+    d = _t(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_pairs_md5(d, num_perm=8, bands=4, threshold=0.5)
+
+
+@register("dedup_simhash")  # xxhash64 production path: rows-only check
 def dedup_simhash(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return dedup.simhash_pairs(d, max_hamming=3)
+
+
+@register("dedup_simhash_md5", dedup.simhash_pairs_md5_oracle_sql(max_hamming=3))
+def dedup_simhash_md5(spark, sf_dir):
+    """Portable 16-bit md5 SimHash — the value-exact oracle twin of
+    dedup_simhash."""
+    d = _t(spark, sf_dir, "documents")
+    return dedup.simhash_pairs_md5(d, max_hamming=3)
 
 
 @register(
@@ -728,6 +747,25 @@ def doc_fingerprint(spark, sf_dir):
     return d.select("doc_id", text.fingerprint_expr("text").alias("fingerprint"))
 
 
+@register(
+    "doc_fingerprint_md5",
+    r"""
+    WITH norm AS (
+      SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t FROM documents),
+    words AS (SELECT doc_id, string_split(t, ' ') AS ws FROM norm),
+    shingles AS (
+      SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS sh
+      FROM words JOIN range(1, 100001) r(i) ON i <= greatest(len(ws) - 2, 1))
+    SELECT doc_id, min(md5(sh)) AS fingerprint FROM shingles GROUP BY doc_id
+    """,
+)
+def doc_fingerprint_md5(spark, sf_dir):
+    """Portable one-permutation-MinHash fingerprint (min md5 over word
+    3-shingles) — the value-exact oracle twin of doc_fingerprint."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", text.fingerprint_md5_expr("text").alias("fingerprint"))
+
+
 # =====================================================================
 # ANN / similarity search
 # =====================================================================
@@ -782,6 +820,20 @@ def ann_lsh_topk(spark, sf_dir):
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
     )
     return ann.lsh_knn_join(q, e, k=3)
+
+
+@register(
+    "ann_lsh_topk_md5",
+    ann.lsh_knn_join_md5_oracle_sql(k=3, n_planes=8, dim=64, query_pred="vec_id < 5"),
+)
+def ann_lsh_topk_md5(spark, sf_dir):
+    """LSH kNN with portable md5-derived hyperplanes — the value-exact
+    oracle twin of ann_lsh_topk (bucket join + multiprobe + re-rank)."""
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    return ann.lsh_knn_join_md5(q, e, k=3, n_planes=8, dim=64)
 
 
 @register(
@@ -1158,6 +1210,30 @@ def sample_fraction(spark, sf_dir):
     / 10%, numerical_profile_creator.py:38-41)."""
     li = _t(spark, sf_dir, "lineitem")
     return li.sample(fraction=0.1, seed=42).select("l_orderkey", "l_linenumber")
+
+
+@register(
+    "sample_deterministic_hash",
+    """
+    SELECT l_orderkey, l_linenumber
+    FROM lineitem
+    WHERE md5(l_orderkey::VARCHAR || ':' || l_linenumber::VARCHAR) < '20'
+    """,
+)
+def sample_deterministic_hash(spark, sf_dir):
+    """Deterministic ~12.5% Bernoulli sample via md5-prefix threshold
+    (0x20/0x100): reproducible across engines, runs, and partitionings
+    — the sampling discipline a resumable 100 TB pipeline needs (and
+    the value-exact oracle twin of sample_fraction)."""
+    li = _t(spark, sf_dir, "lineitem")
+    key = F.md5(
+        F.concat(
+            F.col("l_orderkey").cast("string"),
+            F.lit(":"),
+            F.col("l_linenumber").cast("string"),
+        )
+    )
+    return li.filter(key < "20").select("l_orderkey", "l_linenumber")
 
 
 @register("multimodal_features")  # stubbed decode: rows-only check

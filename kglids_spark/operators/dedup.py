@@ -185,6 +185,120 @@ def minhash_lsh_pairs(
     )
 
 
+def minhash_lsh_pairs_md5(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 8,
+    bands: int = 4,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Portable-hash MinHash-LSH: identical pipeline to
+    ``minhash_lsh_pairs`` but every hash is ``md5`` (a cross-engine
+    standard), so the whole operator is reproducible bit-for-bit in any
+    SQL engine — used for the exact DuckDB oracle cross-check. The
+    xxhash64 variant remains the production path (8 bytes vs 32-char
+    hex strings through the shuffle)."""
+    assert num_perm % bands == 0
+    rows_per_band = num_perm // bands
+    ex = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(word_shingles(text_col, shingle_n)).alias("sh"),
+    )
+    mins = [
+        F.min(F.md5(F.concat(F.lit(f"{p}:"), F.col("sh")))).alias(f"h{p}")
+        for p in range(num_perm)
+    ]
+    sigs = ex.groupBy("id").agg(*mins).cache()
+    band_cols = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.md5(
+                        F.concat(*[F.col(f"h{b * rows_per_band + j}") for j in range(rows_per_band)])
+                    ).alias("bh"),
+                )
+                for b in range(bands)
+            ]
+        )
+    )
+    buckets = sigs.select("id", band_cols.alias("b")).select(
+        "id", F.col("b.band").alias("band"), F.col("b.bh").alias("bh")
+    )
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
+        .distinct()
+    )
+    sa = sigs.select(F.col("id").alias("id1"), *[F.col(f"h{p}").alias(f"x{p}") for p in range(num_perm)])
+    sb = sigs.select(F.col("id").alias("id2"), *[F.col(f"h{p}").alias(f"y{p}") for p in range(num_perm)])
+    matches = sum(
+        F.when(F.col(f"x{p}") == F.col(f"y{p}"), 1).otherwise(0) for p in range(num_perm)
+    )
+    return (
+        cands.join(sa, "id1")
+        .join(sb, "id2")
+        .withColumn("est_jaccard", matches / F.lit(float(num_perm)))
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("id1", "id2", "est_jaccard")
+    )
+
+
+def minhash_lsh_pairs_md5_oracle_sql(
+    num_perm: int = 8,
+    bands: int = 4,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """The DuckDB SQL equivalent of ``minhash_lsh_pairs_md5`` — same
+    md5 permutation hashes, band hashes, candidate join, and signature
+    Jaccard estimate, generated for the given parameters."""
+    rows_per_band = num_perm // bands
+    band_selects = " UNION ALL ".join(
+        f"SELECT id, {b} AS b, "
+        f"md5({' || '.join(f'sig[{b * rows_per_band + j + 1}]' for j in range(rows_per_band))}) AS bh"
+        " FROM sigarr"
+        for b in range(bands)
+    )
+    match_terms = " + ".join(
+        f"(CASE WHEN s1.sig[{p + 1}] = s2.sig[{p + 1}] THEN 1 ELSE 0 END)"
+        for p in range(num_perm)
+    )
+    return f"""
+    WITH norm AS (
+      SELECT {id_col} AS id, trim(regexp_replace(lower({text_col}), '\\s+', ' ', 'g')) AS t
+      FROM {table}),
+    words AS (SELECT id, string_split(t, ' ') AS ws FROM norm),
+    shingles AS (
+      SELECT DISTINCT id, array_to_string(ws[i:i+{shingle_n - 1}], ' ') AS sh
+      FROM words JOIN range(1, 100001) r(i) ON i <= greatest(len(ws) - {shingle_n - 1}, 1)),
+    sigs AS (
+      SELECT id, p, min(md5(p::VARCHAR || ':' || sh)) AS mh
+      FROM shingles CROSS JOIN range(0, {num_perm}) s(p)
+      GROUP BY id, p),
+    sigarr AS (SELECT id, list(mh ORDER BY p) AS sig FROM sigs GROUP BY id),
+    bandkeys AS ({band_selects}),
+    cands AS (
+      SELECT DISTINCT a.id AS id1, b.id AS id2
+      FROM bandkeys a JOIN bandkeys b ON a.b = b.b AND a.bh = b.bh AND a.id < b.id)
+    SELECT id1, id2, ({match_terms}) / {float(num_perm)} AS est_jaccard
+    FROM cands JOIN sigarr s1 ON id1 = s1.id JOIN sigarr s2 ON id2 = s2.id
+    WHERE ({match_terms}) / {float(num_perm)} >= {threshold}
+    """
+
+
 def simhash_signatures(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64
 ) -> DataFrame:
@@ -200,13 +314,7 @@ def simhash_signatures(
         ).alias(f"b{i}")
         for i in range(bits)
     ]
-    agg = ex.groupBy("id").agg(*votes)
-    sim = None
-    for i in range(bits):
-        bit = F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
-        term = F.shiftleft(bit, i)
-        sim = term if sim is None else sim.bitwiseXOR(term)  # disjoint bits: XOR == OR
-    return agg.select("id", sim.alias("simhash"))
+    return _simhash_assemble(ex.groupBy("id").agg(*votes), bits)
 
 
 def simhash_pairs(
@@ -223,6 +331,91 @@ def simhash_pairs(
     n_chunks = max_hamming + 1
     chunk_bits = bits // n_chunks
     sigs = simhash_signatures(df, text_col, id_col, bits)
+    # signed-64 wraparound: a full-width chunk mask is all-ones (-1),
+    # not 2^64-1 (which overflows a Java long in lit())
+    mask = (1 << chunk_bits) - 1 if chunk_bits < 64 else -1
+    chunks = sigs.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("ci"),
+                        F.shiftright("simhash", i * chunk_bits)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("cv"),
+                    )
+                    for i in range(n_chunks)
+                ]
+            )
+        ).alias("c"),
+    ).select("id", "simhash", F.col("c.ci").alias("ci"), F.col("c.cv").alias("cv"))
+    a = chunks.alias("a")
+    b = chunks.alias("b")
+    hamming = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(
+            b,
+            (F.col("a.ci") == F.col("b.ci"))
+            & (F.col("a.cv") == F.col("b.cv"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id1"),
+            F.col("b.id").alias("id2"),
+            hamming.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
+def _simhash_assemble(agg: DataFrame, bits: int) -> DataFrame:
+    """Fold per-bit vote sums b0..b{bits-1} into one simhash long."""
+    sim = None
+    for i in range(bits):
+        bit = F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = F.shiftleft(bit, i)
+        sim = term if sim is None else sim.bitwiseXOR(term)  # disjoint bits: XOR == OR
+    return agg.select("id", sim.alias("simhash"))
+
+
+def simhash_signatures_md5(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Portable 16-bit SimHash: the per-word hash is the first 4 hex
+    digits of md5(word) (cross-engine reproducible), the rest of the
+    pipeline is identical to ``simhash_signatures``. Used for the
+    exact DuckDB oracle; the 64-bit xxhash64 variant is the
+    production path."""
+    bits = 16
+    ex = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(normalize_text(text_col), " ")).alias("w"),
+    ).withColumn("h", F.conv(F.substring(F.md5("w"), 1, 4), 16, 10).cast("long"))
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(bits)
+    ]
+    return _simhash_assemble(ex.groupBy("id").agg(*votes), bits)
+
+
+def simhash_pairs_md5(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs on the portable 16-bit simhash, chunk-blocked
+    exactly like ``simhash_pairs`` (pigeonhole over max_hamming+1
+    chunks)."""
+    bits = 16
+    n_chunks = max_hamming + 1
+    chunk_bits = bits // n_chunks
+    sigs = simhash_signatures_md5(df, text_col, id_col)
     mask = (1 << chunk_bits) - 1
     chunks = sigs.select(
         "id",
@@ -259,6 +452,49 @@ def simhash_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+def simhash_pairs_md5_oracle_sql(
+    max_hamming: int = 3,
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB SQL equivalent of ``simhash_pairs_md5``."""
+    bits = 16
+    n_chunks = max_hamming + 1
+    chunk_bits = bits // n_chunks
+    mask = (1 << chunk_bits) - 1
+    hexpos = "strpos('0123456789abcdef', substr(md5(w), {k}, 1)) - 1"
+    h_expr = " + ".join(
+        f"({hexpos.format(k=k + 1)}) * {16 ** (3 - k)}" for k in range(4)
+    )
+    vote_cols = ", ".join(
+        f"sum(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS b{j}"
+        for j in range(bits)
+    )
+    sim_expr = " + ".join(
+        f"(CASE WHEN b{j} > 0 THEN 1 ELSE 0 END) * {1 << j}" for j in range(bits)
+    )
+    chunk_selects = " UNION ALL ".join(
+        f"SELECT id, simhash, {c} AS ci, (simhash >> {c * chunk_bits}) & {mask} AS cv FROM sigs"
+        for c in range(n_chunks)
+    )
+    return f"""
+    WITH norm AS (
+      SELECT {id_col} AS id, trim(regexp_replace(lower({text_col}), '\\s+', ' ', 'g')) AS t
+      FROM {table}),
+    w AS (SELECT id, unnest(string_split(t, ' ')) AS w FROM norm),
+    hv AS (SELECT id, {h_expr} AS h FROM w),
+    votes AS (SELECT id, {vote_cols} FROM hv GROUP BY id),
+    sigs AS (SELECT id, {sim_expr} AS simhash FROM votes),
+    chunks AS ({chunk_selects})
+    SELECT DISTINCT a.id AS id1, b.id AS id2,
+           bit_count(xor(a.simhash, b.simhash)) AS hamming
+    FROM chunks a JOIN chunks b
+      ON a.ci = b.ci AND a.cv = b.cv AND a.id < b.id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+    """
 
 
 def embedding_near_dup_pairs(

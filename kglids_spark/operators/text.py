@@ -98,6 +98,16 @@ def fingerprint_expr(col, shingle_n: int = 3) -> F.Column:
     )
 
 
+def fingerprint_md5_expr(col, shingle_n: int = 3) -> F.Column:
+    """Portable fingerprint: lexicographic-min md5 over word shingles
+    (one-permutation MinHash with a cross-engine hash) — identical in
+    any SQL engine, used for the exact DuckDB oracle. The xxhash64
+    variant is the production path (8-byte longs vs 32-char hex)."""
+    return F.array_min(
+        F.transform(word_shingles(col, shingle_n), lambda s: F.md5(s))
+    )
+
+
 def content_digest_expr(col) -> F.Column:
     """Exact content digest (md5 of normalized text)."""
     return F.md5(normalize_text(col))

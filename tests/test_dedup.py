@@ -1,0 +1,105 @@
+"""Dedup operator semantics: production (xxhash64) and portable (md5)
+variants must agree on what a duplicate is — exact dups always fall in
+the same bucket / signature, distinct texts (almost surely) don't.
+
+The portable variants' value-exactness vs DuckDB is covered by
+tests/test_entry.py (dedup_*_md5 oracle queries); these tests pin the
+operator-level invariants on hand-built corpora.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from kglids_spark.operators import dedup, text
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+        (3, "THE  quick   Brown fox jumps over the lazy dog"),  # dup after normalize
+        (4, "the quick brown fox jumps over the lazy cat"),  # near dup (1 word)
+        (5, "completely different text about spark partition shuffles"),
+        (6, "entirely unrelated content concerning database constraint checks"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string").cache()
+
+
+def test_exact_duplicates_normalized(docs):
+    groups = dedup.exact_duplicates(docs).collect()
+    assert len(groups) == 1
+    assert sorted(groups[0]["doc_ids"]) == [1, 2, 3]
+
+
+def _pairs(df):
+    return {(r["id1"], r["id2"]) for r in df.collect()}
+
+
+def test_minhash_md5_matches_production_on_dups(docs):
+    prod = _pairs(dedup.minhash_lsh_pairs(docs, threshold=0.99))
+    port = _pairs(dedup.minhash_lsh_pairs_md5(docs, threshold=0.99))
+    # exact duplicates have identical shingle sets -> identical signatures
+    # under ANY hash function; distinct texts share no full signature
+    expected = {(1, 2), (1, 3), (2, 3)}
+    assert prod == expected
+    assert port == expected
+
+
+def test_minhash_md5_near_dup_scores(docs):
+    pairs = {
+        (r["id1"], r["id2"]): r["est_jaccard"]
+        for r in dedup.minhash_lsh_pairs_md5(docs, threshold=0.0).collect()
+    }
+    assert pairs[(1, 2)] == 1.0
+    # the one-word-off near dup shares most shingles: estimate strictly
+    # between the unrelated floor and the exact-dup ceiling
+    if (1, 4) in pairs:
+        assert 0.0 < pairs[(1, 4)] < 1.0
+    assert (1, 5) not in pairs or pairs[(1, 5)] < 0.5
+
+
+def test_simhash_md5_exact_dups_hamming_zero(docs):
+    pairs = {
+        (r["id1"], r["id2"]): r["hamming"]
+        for r in dedup.simhash_pairs_md5(docs, max_hamming=3).collect()
+    }
+    assert pairs[(1, 2)] == 0
+    assert pairs[(1, 3)] == 0
+    assert pairs[(2, 3)] == 0
+
+
+def test_simhash_production_exact_dups(docs):
+    pairs = {
+        (r["id1"], r["id2"]): r["hamming"]
+        for r in dedup.simhash_pairs(docs, max_hamming=0).collect()
+    }
+    assert pairs[(1, 2)] == 0 and pairs[(1, 3)] == 0
+
+
+def test_fingerprint_md5_dup_invariance(docs):
+    fps = {
+        r["doc_id"]: r["fp"]
+        for r in docs.select(
+            "doc_id", text.fingerprint_md5_expr("text").alias("fp")
+        ).collect()
+    }
+    assert fps[1] == fps[2] == fps[3]
+    assert fps[1] != fps[5]
+    # production fingerprint agrees on the duplicate structure
+    fpx = {
+        r["doc_id"]: r["fp"]
+        for r in docs.select("doc_id", text.fingerprint_expr("text").alias("fp")).collect()
+    }
+    assert fpx[1] == fpx[2] == fpx[3]
+    assert fpx[1] != fpx[5]
+
+
+def test_deterministic_hash_sample_stable_under_repartition(spark):
+    df = spark.range(0, 20000).select(F.col("id").cast("string").alias("doc_id"))
+    key = F.md5("doc_id")
+    s1 = {r["doc_id"] for r in df.filter(key < "20").collect()}
+    s2 = {r["doc_id"] for r in df.repartition(17).filter(key < "20").collect()}
+    assert s1 == s2
+    # ~12.5% expected (0x20/0x100); generous tolerance
+    assert 0.10 < len(s1) / 20000 < 0.15
