@@ -13,6 +13,10 @@ training table is appended continuously in practice:
   batch delivery, and the ledger dedupe makes the merge idempotent).
 - windowed_event_counts: watermarked tumbling-window aggregation, the
   canonical late-data pattern, used by tests as a streaming smoke.
+- stateful_sessionize: custom stateful operator via
+  applyInPandasWithState — per-user session counting with an explicit
+  cross-batch state struct (the batch twin is entry_queries
+  sessionize_events, lag + gap-flag cumsum).
 """
 
 from __future__ import annotations
@@ -58,6 +62,56 @@ def validate_stream(
     if trigger_once:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stateful_sessionize(
+    events_stream: DataFrame,
+    gap_seconds: int = 1800,
+) -> DataFrame:
+    """Per-user session counts as a custom stateful streaming operator
+    (applyInPandasWithState). State per user = (last event epoch,
+    sessions so far, events so far); a new session starts when the gap
+    from the previous event exceeds ``gap_seconds``. Each micro-batch
+    emits the user's running totals (update semantics) — on a fully
+    drained, time-ordered input the final row per user equals the
+    batch lag+cumsum sessionization (entry_queries.sessionize_events).
+
+    The per-batch work is vectorized numpy over the Arrow batch (diff
+    against the previous-event epoch), not a per-row Python loop; the
+    state struct is what Spark checkpoints, so a restarted stream
+    resumes session counting without reprocessing history.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def fn(key, pdfs, state: GroupState):
+        if state.exists:
+            last_ts, n_sessions, n_events = state.get
+        else:
+            last_ts, n_sessions, n_events = None, 0, 0
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            pdf = pdf.sort_values(["ts", "event_id"])
+            ts = pdf["ts"].to_numpy().astype("datetime64[s]").astype("int64")
+            first_prev = ts[0] - gap_seconds - 1 if last_ts is None else last_ts
+            prev = np.concatenate(([first_prev], ts[:-1]))
+            n_sessions += int((ts - prev > gap_seconds).sum())
+            n_events += len(ts)
+            last_ts = int(ts[-1])
+        state.update((last_ts, n_sessions, n_events))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_sessions": [n_sessions], "n_events": [n_events]}
+        )
+
+    return events_stream.groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType="user_id long, n_sessions long, n_events long",
+        stateStructType="last_ts long, n_sessions long, n_events long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
 
 
 def windowed_event_counts(

@@ -7,7 +7,11 @@ from kglids_spark.operators import constraints as C
 from kglids_spark.operators.validate import validate
 from kglids_spark.sources.tables import TableStore
 from kglids_spark.sources.tokens import SOURCES, generate_tokens
-from kglids_spark.streaming.incremental import validate_stream, windowed_event_counts
+from kglids_spark.streaming.incremental import (
+    stateful_sessionize,
+    validate_stream,
+    windowed_event_counts,
+)
 
 
 def test_stream_validation_matches_batch(spark, tmp_path):
@@ -37,6 +41,38 @@ def test_stream_validation_matches_batch(spark, tmp_path):
     assert sorted(map(tuple, res.verdicts.collect())) == sorted(
         map(tuple, direct.verdicts.collect())
     )
+
+
+def test_stateful_sessionize_matches_batch(spark, tmp_path):
+    """The applyInPandasWithState session counter, fully drained over a
+    time-ordered input, must agree with the batch lag+cumsum
+    sessionization for every user."""
+    from kglids_spark.entry_queries import sessionize_events
+
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    src_dir = str(tmp_path / "sess_in")
+    # one time-ordered file: cross-batch order within a user is the
+    # state's job; cross-FILE order is the test harness's
+    events.orderBy("ts", "event_id").coalesce(1).write.mode("overwrite").parquet(src_dir)
+    stream = spark.readStream.schema(events.schema).parquet(src_dir)
+    q = (
+        stateful_sessionize(stream)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("sess_state")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {
+        r["user_id"]: (r["n_sessions"], r["n_events"])
+        for r in spark.sql("SELECT * FROM sess_state").collect()
+    }
+    want = {
+        r["user_id"]: (r["n_sessions"], r["n_events"])
+        for r in sessionize_events(spark, "/root/testdata/sf0.001").collect()
+    }
+    assert got == want
 
 
 def test_windowed_event_counts(spark, tmp_path):
