@@ -122,7 +122,14 @@ def default_suite(valid_source_values: list[str]) -> list[Constraint]:
 # ---------------------------------------------------------------------------
 # row-level compilation
 
-ROW_LEVEL_KINDS = {"not_null", "range", "tok_len_consistency", "referential", "referential_flag"}
+ROW_LEVEL_KINDS = {
+    "not_null",
+    "range",
+    "tok_len_consistency",
+    "tok_len_precomputed",
+    "referential",
+    "referential_flag",
+}
 
 
 class BloomFilter:
@@ -163,6 +170,11 @@ def violation_expr(c: Constraint, df: DataFrame) -> Column:
     if c.kind == "tok_len_consistency":
         arr, n = F.col(c.params["array_col"]), F.col(c.column)
         return n.isNotNull() & (F.size(arr) != n)
+    if c.kind == "tok_len_precomputed":
+        # size(array) materialized once by validate.py's slim projection
+        # so the wide array column is scanned exactly once per run
+        n = F.col(c.column)
+        return n.isNotNull() & (F.col(c.params["size_col"]) != n)
     if c.kind == "referential":
         col = F.col(c.column)
         vals = c.params.get("valid_values")

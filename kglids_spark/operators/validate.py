@@ -116,6 +116,43 @@ def _stats_pass(
     return stats
 
 
+def _slim_projection(
+    df_b: DataFrame,
+    row_cs: list[C.Constraint],
+    key: str,
+    drift_spec: D.HistSpec | None,
+    unique_cols: list[str] = (),
+) -> tuple[DataFrame, list[C.Constraint]]:
+    """Project the bucketed frame down to exactly the columns the
+    constraint suite touches, materializing size(array) for
+    consistency constraints. The wide token arrays (the bulk of the
+    bytes at 10^12 rows) are decoded ONCE here; the slim frame then
+    feeds both the stats aggregation and the violation-row extraction,
+    halving input I/O when both passes run."""
+    cols: dict[str, None] = {key: None, BUCKET_COL: None}
+    extra: list = []
+    rewritten: list[C.Constraint] = []
+    for c in row_cs:
+        if c.kind == "tok_len_consistency":
+            size_col = f"__size_{c.params['array_col']}"
+            extra.append(F.size(F.col(c.params["array_col"])).alias(size_col))
+            rewritten.append(
+                C.Constraint(c.cid, "tok_len_precomputed", c.column, {"size_col": size_col})
+            )
+            cols[c.column] = None
+        else:
+            if c.column:
+                cols[c.column] = None
+            if c.kind == "referential_flag":
+                cols[c.params["flag"]] = None
+            rewritten.append(c)
+    if drift_spec is not None:
+        cols[drift_spec.column] = None
+    for uc in unique_cols:
+        cols[uc] = None
+    return df_b.select(*[F.col(x) for x in cols], *extra), rewritten
+
+
 def validate(
     df: DataFrame,
     constraints: list[C.Constraint],
@@ -173,18 +210,28 @@ def validate(
         # On Iceberg: bucket partition pruning turns this into file skips.
         remaining_df = df_b.filter(~F.col(BUCKET_COL).isin(list(completed)))
 
+    # ---- slim projection: decode wide arrays once ----------------------
+    # (size(tokens) is materialized here; stats + violation extraction
+    # both read the persisted slim frame, so the heavy parquet scan of
+    # the token arrays happens exactly once per run)
+    slim_df, row_cs = _slim_projection(
+        remaining_df, row_cs, key, drift_spec, [uc.column for uc in unique_cs]
+    )
+    if extract_violation_rows:
+        slim_df = slim_df.persist()
+
     # ---- collect sketches for remaining buckets ------------------------
     # uniqueness shuffle: computed once, shared by stats and violations
     dup_counts = None
     if unique_cs and any(uc.column == key for uc in unique_cs):
         dup_counts = (
-            remaining_df.filter(F.col(key).isNotNull())
+            slim_df.filter(F.col(key).isNotNull())
             .groupBy(BUCKET_COL, key)
             .count()
             .filter(F.col("count") > 1)
             .persist()
         )
-    new_stats = _stats_pass(remaining_df, row_cs, unique_cs, drift_spec, key, dup_counts)
+    new_stats = _stats_pass(slim_df, row_cs, unique_cs, drift_spec, key, dup_counts)
     new_stats = (
         new_stats.withColumn("run_id", F.lit(run_id))
         .withColumn("constraint_hash", F.lit(chash))
@@ -257,17 +304,16 @@ def validate(
     # already validated, append to the ledger, and return the merged set
     # — a resumed run never re-extracts completed buckets.
     if extract_violation_rows:
-        viol_src = remaining_df if ledger is not None else df_b
-        viols_new = C.extract_violations(viol_src, row_cs, key=key)
+        # slim_df covers exactly the remaining (unvalidated) buckets, so
+        # a resumed run never re-extracts completed ones
+        viols_new = C.extract_violations(slim_df, row_cs, key=key)
         for uc in unique_cs:
             if dup_counts is not None and uc.column == key:
                 uviol = dup_counts.select(
                     F.col(key), F.lit(uc.cid).alias("constraint_id")
                 )
             else:
-                _, uviol = C.evaluate_uniqueness(
-                    remaining_df if ledger is not None else df_b, uc.column, BUCKET_COL
-                )
+                _, uviol = C.evaluate_uniqueness(slim_df, uc.column, BUCKET_COL)
                 if uc.column != key:
                     uviol = uviol.withColumnRenamed(uc.column, key)
             viols_new = viols_new.unionByName(uviol)
@@ -284,7 +330,11 @@ def validate(
                 .select(key, "constraint_id")
             )
         else:
-            viols = viols_new
+            # materialize now, while the slim frame is still cached —
+            # otherwise the lazy violations frame would re-scan the
+            # input after slim_df is unpersisted below
+            viols = viols_new.persist()
+            viols.count()
     else:
         viols = spark.createDataFrame([], f"{key} string, constraint_id string")
 
@@ -293,7 +343,9 @@ def validate(
         F.hll_sketch_estimate(F.hll_union_agg("hll_key")).alias("est")
     ).collect()[0].est if merged_rows else 0
     merged.unpersist()
-    if dup_counts is not None and not extract_violation_rows:
+    if extract_violation_rows:
+        slim_df.unpersist()
+    if dup_counts is not None:
         dup_counts.unpersist()
     elapsed = time.time() - t_start
     metrics = {
