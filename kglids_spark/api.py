@@ -9,9 +9,10 @@ instead of SPARQL (documented divergence; both are "the engine's query
 language").
 
 Pipeline-analytics methods (get_pipelines_info etc., api/api.py:125-»)
-depend on the notebook-AST abstraction that is out of scope (SURVEY.md
-§7.3); they raise NotImplementedError naming the lineage-table
-alternative.
+run over the AST-abstracted pipelines/statements DataFrames
+(operators/pipelines.py); pass ``pipeline_scripts`` as a dict of
+{pipeline_id: source} plus ``pipeline_meta`` rows, or rely on the
+deterministic fixture corpus.
 """
 
 from __future__ import annotations
@@ -154,38 +155,90 @@ class KGLiDS:
         self.edges.createOrReplaceTempView("similarities")
         return self.spark.sql(sql).toPandas()
 
-    # ---- pipeline analytics: out of scope (SURVEY §7.3) ------------------
+    # ---- pipeline analytics (reference api/api.py:125-236) ---------------
+    # Backed by the AST abstraction in operators/pipelines.py; lazily
+    # loads the fixture corpus unless register_pipelines() was called.
 
-    def _pipelines_unsupported(self, name: str):
-        raise NotImplementedError(
-            f"{name}: notebook-pipeline abstraction is not part of this engine "
-            "(reference feature over Kaggle scripts; see SURVEY.md §7.3). "
-            "Job lineage is recorded in the validation ledger 'runs' table."
-        )
+    def register_pipelines(self, pipelines_df: DataFrame, statements_df: DataFrame):
+        self._pipelines = pipelines_df.cache()
+        self._statements = statements_df.cache()
 
-    def get_pipelines_info(self, *a, **k):
-        self._pipelines_unsupported("get_pipelines_info")
+    def _pipes(self):
+        if not hasattr(self, "_pipelines"):
+            from kglids_spark.sources.pipelines_fixture import load_pipelines
 
-    def get_most_recent_pipeline(self, *a, **k):
-        self._pipelines_unsupported("get_most_recent_pipeline")
+            self.register_pipelines(*load_pipelines(self.spark))
+        return self._pipelines, self._statements
 
-    def get_top_k_scoring_pipelines_for_dataset(self, *a, **k):
-        self._pipelines_unsupported("get_top_k_scoring_pipelines_for_dataset")
+    def get_pipelines_info(self, author: str = "") -> pd.DataFrame:
+        from kglids_spark.operators import pipelines as P
 
-    def search_classifier(self, *a, **k):
-        self._pipelines_unsupported("search_classifier")
+        return P.pipelines_info(self._pipes()[0], author).toPandas()
 
-    def get_hyperparameters(self, *a, **k):
-        self._pipelines_unsupported("get_hyperparameters")
+    def get_most_recent_pipeline(self, dataset: str = "") -> pd.DataFrame:
+        from kglids_spark.operators import pipelines as P
 
-    def get_top_k_library_used(self, *a, **k):
-        self._pipelines_unsupported("get_top_k_library_used")
+        return P.most_recent_pipeline(self._pipes()[0], dataset).toPandas()
 
-    def get_top_used_libraries(self, *a, **k):
-        self._pipelines_unsupported("get_top_used_libraries")
+    def get_top_k_scoring_pipelines_for_dataset(
+        self, dataset: str = "", k: int | None = None
+    ) -> pd.DataFrame:
+        from kglids_spark.operators import pipelines as P
 
-    def get_pipelines_calling_libraries(self, *a, **k):
-        self._pipelines_unsupported("get_pipelines_calling_libraries")
+        return P.top_k_scoring_pipelines(self._pipes()[0], dataset, k).toPandas()
 
-    def recommend_transformations(self, *a, **k):
-        self._pipelines_unsupported("recommend_transformations")
+    def search_classifier(self, dataset: str = "") -> pd.DataFrame:
+        from kglids_spark.operators import pipelines as P
+
+        pipes, stmts = self._pipes()
+        return P.search_classifier(pipes, stmts, dataset).toPandas()
+
+    def get_hyperparameters(self, classifier) -> pd.DataFrame:
+        """``classifier`` is a row of search_classifier() output with
+        Pipeline and Classifier fields (reference api/api.py:140-144)."""
+        from kglids_spark.operators import pipelines as P
+
+        pipes, stmts = self._pipes()
+        return P.hyperparameters(
+            stmts, pipes, classifier["Pipeline"], classifier["Classifier"]
+        ).toPandas()
+
+    def get_top_k_library_used(self, dataset: str = "", k: int = 5) -> pd.DataFrame:
+        from kglids_spark.operators import pipelines as P
+
+        pipes, stmts = self._pipes()
+        return P.library_usage(stmts, pipes, dataset, k).toPandas()
+
+    def get_top_used_libraries(
+        self, k: int = 5, task: str = "classification"
+    ) -> pd.DataFrame:
+        from kglids_spark.operators import pipelines as P
+
+        supported = ["classification", "regression", "visualization", "clustering"]
+        if task not in supported:
+            raise ValueError(f"invalid task, try one of: {', '.join(supported)}")
+        pipes, stmts = self._pipes()
+        return P.top_used_libraries(stmts, pipes, task).toPandas()
+
+    def get_pipelines_calling_libraries(self, components: list) -> pd.DataFrame:
+        from kglids_spark.operators import pipelines as P
+
+        pipes, stmts = self._pipes()
+        return P.pipelines_calling_libraries(stmts, pipes, components).toPandas()
+
+    def get_pipelines_for_deep_learning(self) -> pd.DataFrame:
+        from kglids_spark.operators import pipelines as P
+
+        pipes, stmts = self._pipes()
+        return P.pipelines_for_deep_learning(stmts, pipes).toPandas()
+
+    def get_pipelines_by_tags(self, tag: str = "") -> pd.DataFrame:
+        from kglids_spark.operators import pipelines as P
+
+        return P.pipelines_by_tags(self._pipes()[0], tag).toPandas()
+
+    def recommend_transformations(self) -> pd.DataFrame:
+        from kglids_spark.operators import pipelines as P
+
+        pipes, stmts = self._pipes()
+        return P.recommend_transformations(stmts, pipes).toPandas()

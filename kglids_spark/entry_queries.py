@@ -1237,6 +1237,171 @@ def search_columns_regex(spark, sf_dir):
 
 
 # =====================================================================
+# Pipeline abstraction + analytics (reference api/template.py:558-1018)
+# =====================================================================
+# The fixture corpus is literal source text; its pure-Python AST
+# abstraction runs at import time and is inlined into the DuckDB
+# oracles as VALUES, so the Spark analytics queries (joins/aggs over
+# the mapInPandas-abstracted statements) are value-checked end-to-end.
+
+from kglids_spark.operators import pipelines as P  # noqa: E402
+from kglids_spark.sources import pipelines_fixture as PF  # noqa: E402
+
+
+def _sq(v: str) -> str:
+    return "'" + str(v).replace("'", "''") + "'"
+
+
+def _stmt_values_sql() -> str:
+    rows = ", ".join(
+        f"({_sq(pid)}, {_sq(lib)}, {_sq(mod)}, {_sq(name)})"
+        for pid, _idx, _path, lib, mod, name, _params, _r, _w in PF.statement_rows()
+    )
+    return f"(VALUES {rows}) s(pipeline_id, library, module, call_name)"
+
+
+def _param_values_sql() -> str:
+    rows = [
+        f"({_sq(pid)}, {_sq(name)}, {_sq(k)}, {_sq(v)})"
+        for pid, _idx, _path, _lib, _mod, name, params, _r, _w in PF.statement_rows()
+        for k, v in params.items()
+    ]
+    return f"(VALUES {', '.join(rows)}) p(pipeline_id, call_name, param, value)"
+
+
+def _meta_values_sql() -> str:
+    rows = ", ".join(
+        f"({_sq(pid)}, {_sq(title)}, {_sq(ds)}, {_sq(author)}, DATE '{d}', {votes}, {score}, "
+        f"[{', '.join(_sq(t) for t in tags)}])"
+        for pid, title, ds, author, d, votes, score, tags in PF.METADATA
+    )
+    return (
+        f"(VALUES {rows}) m(pipeline_id, title, dataset, author, written_on, votes, score, tags)"
+    )
+
+
+def _pipe_tables(spark):
+    if not hasattr(_pipe_tables, "_cache") or _pipe_tables._cache[0] is not spark:
+        pipes, stmts = PF.load_pipelines(spark)
+        _pipe_tables._cache = (spark, pipes.cache(), stmts.cache())
+    return _pipe_tables._cache[1], _pipe_tables._cache[2]
+
+
+@register(
+    "pipelines_info",
+    f"""
+    SELECT title AS Pipeline, dataset AS Dataset, author AS Author,
+           strftime(written_on, '%Y-%m-%d') AS Written_on,
+           votes AS Number_of_votes, score AS Score
+    FROM {_meta_values_sql()}
+    """,
+)
+def pipelines_info(spark, sf_dir):
+    """Reference get_pipelines_info (api/template.py:570-592)."""
+    pipes, _ = _pipe_tables(spark)
+    return P.pipelines_info(pipes).withColumn(
+        "Written_on", F.date_format("Written_on", "yyyy-MM-dd")
+    )
+
+
+@register(
+    "pipeline_library_usage",
+    f"""
+    SELECT library AS Library, count(DISTINCT pipeline_id) AS Usage
+    FROM {_stmt_values_sql()}
+    WHERE library NOT IN ('builtin', '')
+    GROUP BY 1
+    """,
+)
+def pipeline_library_usage(spark, sf_dir):
+    """Reference get_library_usage (api/template.py:741-767): count of
+    pipelines using each root library, builtins excluded."""
+    pipes, stmts = _pipe_tables(spark)
+    return P.library_usage(stmts, pipes)
+
+
+@register(
+    "pipeline_search_classifier",
+    f"""
+    SELECT DISTINCT m.dataset AS Dataset, m.title AS Pipeline,
+           s.call_name AS Classifier, m.score AS Score
+    FROM {_stmt_values_sql()}
+    JOIN {_meta_values_sql()} USING (pipeline_id)
+    WHERE (s.call_name, s.module) IN (
+      {', '.join(f"({_sq(c)}, {_sq(m)})" for c, m in P.CLASSIFIERS.items())})
+    """,
+)
+def pipeline_search_classifier(spark, sf_dir):
+    """Reference search_classifier (api/template.py:666-711)."""
+    pipes, stmts = _pipe_tables(spark)
+    return P.search_classifier(pipes, stmts)
+
+
+@register(
+    "pipeline_hyperparameters",
+    f"""
+    SELECT DISTINCT param AS RandomForestClassifier_hyperparameter, value AS Value
+    FROM {_param_values_sql()}
+    WHERE pipeline_id = 'p1' AND call_name = 'RandomForestClassifier'
+    """,
+)
+def pipeline_hyperparameters(spark, sf_dir):
+    """Reference get_hyperparameters (api/template.py:714-738): the
+    RDF-star parameter edges become a map explode."""
+    pipes, stmts = _pipe_tables(spark)
+    return P.hyperparameters(stmts, pipes, "rf-baseline", "RandomForestClassifier")
+
+
+@register(
+    "pipelines_by_tags",
+    f"""
+    SELECT t.tag AS Tag, count(*) AS Number_of_pipelines
+    FROM {_meta_values_sql()}, unnest(m.tags) t(tag)
+    GROUP BY 1
+    """,
+)
+def pipelines_by_tags_q(spark, sf_dir):
+    """Reference get_pipelines_by_tags (api/template.py:908-922)."""
+    pipes, _ = _pipe_tables(spark)
+    return P.pipelines_by_tags(pipes)
+
+
+@register(
+    "pipelines_for_deep_learning",
+    f"""
+    SELECT DISTINCT m.title AS Pipeline, m.dataset AS Dataset, m.author AS Author,
+           strftime(m.written_on, '%Y-%m-%d') AS Written_on,
+           m.votes AS Number_of_votes, m.score AS Score
+    FROM {_meta_values_sql()}
+    JOIN {_stmt_values_sql()} USING (pipeline_id)
+    WHERE s.library IN ({', '.join(_sq(x) for x in sorted(P.DEEP_LEARNING_LIBS))})
+    """,
+)
+def pipelines_for_deep_learning_q(spark, sf_dir):
+    """Reference get_pipelines_for_deep_learning (api/template.py:854-876)."""
+    pipes, stmts = _pipe_tables(spark)
+    return P.pipelines_for_deep_learning(stmts, pipes).withColumn(
+        "Written_on", F.date_format("Written_on", "yyyy-MM-dd")
+    )
+
+
+@register(
+    "pipeline_transformations",
+    f"""
+    SELECT DISTINCT s.call_name AS Transformation, m.title AS Pipeline,
+           m.dataset AS Dataset, m.score AS Score
+    FROM {_stmt_values_sql()}
+    JOIN {_meta_values_sql()} USING (pipeline_id)
+    WHERE s.call_name IN ({', '.join(_sq(x) for x in sorted(P.TRANSFORMATIONS))})
+    """,
+)
+def pipeline_transformations(spark, sf_dir):
+    """Reference recommend_transformations (api/template.py:879-898)."""
+    pipes, stmts = _pipe_tables(spark)
+    return P.recommend_transformations(stmts, pipes)
+
+
+# =====================================================================
 # Sampling (P11) + multimodal plumbing — rows-only checks
 # =====================================================================
 

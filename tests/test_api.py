@@ -58,6 +58,50 @@ def test_adhoc_query(kglids):
     assert out.n.sum() > 40
 
 
-def test_pipeline_apis_raise(kglids):
-    with pytest.raises(NotImplementedError):
-        kglids.get_pipelines_info()
+def test_pipeline_apis(kglids):
+    """Pipeline analytics over the fixture corpus (reference
+    api/api.py:125-236 signatures)."""
+    info = kglids.get_pipelines_info()
+    assert list(info.columns) == [
+        "Pipeline", "Dataset", "Author", "Written_on", "Number_of_votes", "Score",
+    ]
+    assert info.iloc[0]["Pipeline"] == "xgb-quick"  # most votes first
+
+    recent = kglids.get_most_recent_pipeline(dataset="titanic")
+    assert recent.iloc[0]["Pipeline"] == "xgb-quick"
+
+    top = kglids.get_top_k_scoring_pipelines_for_dataset("titanic", k=2)
+    assert list(top["Pipeline"]) == ["xgb-quick", "rf-baseline"]
+
+    clfs = kglids.search_classifier()
+    assert set(clfs["Classifier"]) == {
+        "RandomForestClassifier", "LogisticRegression", "XGBClassifier", "SVC",
+    }
+
+    row = clfs[clfs["Classifier"] == "RandomForestClassifier"].iloc[0]
+    hp = kglids.get_hyperparameters(row)
+    got = dict(zip(hp["RandomForestClassifier_hyperparameter"], hp["Value"]))
+    assert got == {"n_estimators": "100", "max_depth": "8", "random_state": "42"}
+
+    usage = kglids.get_top_k_library_used()
+    assert usage.iloc[0]["Library"] == "pandas"  # used by all 6 pipelines
+    assert usage.iloc[0]["Usage"] == 6
+    assert "df" not in set(usage["Library"])  # data-flow resolved vars
+
+    dl = kglids.get_pipelines_for_deep_learning()
+    assert list(dl["Pipeline"]) == ["torch-mlp"]
+
+    calling = kglids.get_pipelines_calling_libraries(
+        ["RandomForestClassifier", "train_test_split"]
+    )
+    assert list(calling["Pipeline"]) == ["rf-baseline"]
+
+    tags = kglids.get_pipelines_by_tags()
+    tag_counts = dict(zip(tags["Tag"], tags["Number_of_pipelines"]))
+    assert tag_counts["classification"] == 5
+
+    tf = kglids.recommend_transformations()
+    assert set(tf["Transformation"]) == {"StandardScaler", "MinMaxScaler"}
+
+    with pytest.raises(ValueError):
+        kglids.get_top_used_libraries(task="nonsense")
