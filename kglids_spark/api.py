@@ -150,9 +150,13 @@ class KGLiDS:
     def query(self, sql: str) -> pd.DataFrame:
         """Ad-hoc engine-language query. The reference takes SPARQL and
         ships it to GraphDB; ours takes Spark SQL over the registered
-        table views plus `profiles` / `similarities` views."""
+        table views plus `profiles` / `similarities` / `pipelines` /
+        `statements` views."""
         self.profiles.createOrReplaceTempView("profiles")
         self.edges.createOrReplaceTempView("similarities")
+        if hasattr(self, "_pipelines"):
+            self._pipelines.createOrReplaceTempView("pipelines")
+            self._statements.createOrReplaceTempView("statements")
         return self.spark.sql(sql).toPandas()
 
     # ---- pipeline analytics (reference api/api.py:125-236) ---------------

@@ -153,11 +153,19 @@ class BloomFilter:
             yield (h1 + i * h2) % self.m
 
     def add_hash(self, h64: int) -> None:
+        import numpy as np
+
         for pos in self._hashes(h64):
-            self.bits[pos // 64] |= 1 << (pos % 64)
+            # numpy 2 refuses uint64 |= python-int (unsafe cast)
+            self.bits[pos // 64] |= np.uint64(1) << np.uint64(pos % 64)
 
     def might_contain(self, h64: int) -> bool:
-        return all(self.bits[p // 64] >> (p % 64) & 1 for p in self._hashes((h64)))
+        import numpy as np
+
+        return all(
+            (self.bits[p // 64] >> np.uint64(p % 64)) & np.uint64(1)
+            for p in self._hashes(h64)
+        )
 
 
 def violation_expr(c: Constraint, df: DataFrame) -> Column:

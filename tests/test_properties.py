@@ -1,0 +1,125 @@
+"""Property-based tests (hypothesis) for the pure-Python engine parts:
+KLL sketch rank accuracy and merge laws, bloom filter no-false-negatives,
+KS/PSI drift math, histogram merge, and AST abstraction resolution.
+All driver-side — no SparkSession — so they shrink fast.
+"""
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from kglids_spark.operators.constraints import BloomFilter
+from kglids_spark.operators.drift import ks_statistic, merge_histograms, psi
+from kglids_spark.operators.pipelines import abstract_pipeline
+from kglids_spark.operators.sketches import KLL
+
+floats = st.floats(allow_nan=False, allow_infinity=False, width=32)
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(floats, min_size=1, max_size=4000))
+def test_kll_rank_error_bounded(values):
+    sk = KLL(k=256)
+    sk.update_batch(np.array(values, dtype=np.float64))
+    data = np.sort(np.array(values, dtype=np.float64))
+    n = len(data)
+    for q in (0.1, 0.5, 0.9):
+        est = sk.quantiles([q])[0]
+        # rank of the estimate must be within eps*n of the target rank
+        # (KLL guarantee; k=256 gives eps well under 0.05)
+        rank_lo = np.searchsorted(data, est, side="left")
+        rank_hi = np.searchsorted(data, est, side="right")
+        target = q * n
+        slack = max(0.05 * n, 1.0)
+        assert rank_lo - slack <= target <= rank_hi + slack
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.lists(floats, min_size=1, max_size=1000),
+    st.lists(floats, min_size=1, max_size=1000),
+)
+def test_kll_merge_commutes(a, b):
+    def build(vals):
+        s = KLL(k=256)
+        s.update_batch(np.array(vals, dtype=np.float64))
+        return s
+
+    ab = build(a).merge(build(b))
+    ba = build(b).merge(build(a))
+    data = np.sort(np.array(a + b, dtype=np.float64))
+    n = len(data)
+    for q in (0.25, 0.75):
+        for est in (ab.quantiles([q])[0], ba.quantiles([q])[0]):
+            rank_lo = np.searchsorted(data, est, side="left")
+            rank_hi = np.searchsorted(data, est, side="right")
+            slack = max(0.06 * n, 1.0)
+            assert rank_lo - slack <= q * n <= rank_hi + slack
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.lists(floats, min_size=1, max_size=500))
+def test_kll_serde_preserves_estimates(values):
+    sk = KLL(k=128)
+    sk.update_batch(np.array(values, dtype=np.float64))
+    rt = KLL.deserialize(sk.serialize())
+    assert sk.quantiles([0.1, 0.5, 0.9]) == rt.quantiles([0.1, 0.5, 0.9])
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.sets(st.integers(min_value=-(2**62), max_value=2**62), max_size=500))
+def test_bloom_no_false_negatives(hashes):
+    bf = BloomFilter(n_items=max(len(hashes), 1), fpp=0.01)
+    for h in hashes:
+        bf.add_hash(h)
+    assert all(bf.might_contain(h) for h in hashes)
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=10**6), min_size=2, max_size=64))
+def test_drift_identity_and_symmetry(hist):
+    if sum(hist) == 0:
+        hist = [h + 1 for h in hist]
+    assert ks_statistic(hist, hist) == 0.0
+    assert psi(hist, hist) == 0.0
+    other = list(reversed(hist))
+    assert abs(ks_statistic(hist, other) - ks_statistic(other, hist)) < 1e-12
+    assert 0.0 <= ks_statistic(hist, other) <= 1.0
+    assert psi(hist, other) >= 0.0
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.integers(min_value=0, max_value=1000), min_size=3, max_size=3),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_histogram_merge_is_elementwise_sum(hists):
+    merged = merge_histograms(hists)
+    assert merged == [sum(h[i] for h in hists) for i in range(3)]
+
+
+_ident = st.from_regex(r"[a-z][a-z0-9_]{0,8}", fullmatch=True).filter(
+    lambda s: s not in {"import", "from", "as", "def", "class", "in", "is", "for", "if"}
+)
+
+
+@settings(max_examples=50, deadline=None)
+@given(_ident, _ident, _ident, _ident)
+def test_abstraction_alias_resolution(pkg, mod, fn, alias):
+    src = f"import {pkg}.{mod} as {alias}\n{alias}.{fn}()\n"
+    rows = abstract_pipeline("t", src)
+    assert len(rows) == 1
+    assert rows[0].call_path == f"{pkg}.{mod}.{fn}"
+    assert rows[0].library == pkg
+    assert rows[0].call_name == fn
+
+
+@settings(max_examples=50, deadline=None)
+@given(_ident, _ident, st.integers(min_value=0, max_value=99))
+def test_abstraction_literal_params_roundtrip(pkg, fn, val):
+    src = f"import {pkg}\n{pkg}.{fn}(x={val}, y='{val}')\n"
+    rows = abstract_pipeline("t", src)
+    assert rows[0].params == {"x": repr(val), "y": repr(str(val))}
