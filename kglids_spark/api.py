@@ -246,3 +246,31 @@ class KGLiDS:
 
         pipes, stmts = self._pipes()
         return P.recommend_transformations(stmts, pipes).toPandas()
+
+    def get_top_scoring_ml_model(self, dataset: str = "") -> pd.DataFrame:
+        """Reference parity: its implementation returns the pipeline
+        COUNT regardless of dataset (api/template.py:558-567); ours
+        returns the same shape."""
+        p = self._pipes()[0]
+        return p.agg(F.count(F.lit(1)).alias("count")).toPandas()
+
+    def get_most_popular_parameters(self, library: str, parameters="all") -> pd.DataFrame:
+        """Realizes the reference's unimplemented stub
+        (api/api.py:135-136): literal-kwarg frequency per library."""
+        from kglids_spark.operators import pipelines as P
+
+        return P.popular_parameters(self._pipes()[1], library, parameters).toPandas()
+
+    def show_pipeline_usage_by_task(self) -> pd.DataFrame:
+        """Data-only version of the reference's pie chart
+        (api/api.py:196-228): per-task pipeline counts."""
+        from kglids_spark.operators import pipelines as P
+
+        return P.pipeline_usage_by_task(self._pipes()[0]).toPandas()
+
+    def show_top_k_models_by_task(self, task: str, k: int = 5) -> pd.DataFrame:
+        """Data-only version of the reference's bar chart
+        (api/api.py:230-240): top-k model modules for a task."""
+        from kglids_spark.operators import pipelines as P
+
+        return P.model_usage_by_task(self._pipes()[1], task).limit(k).toPandas()

@@ -431,6 +431,56 @@ def pipelines_by_tags(pipelines: DataFrame, tag: str = "") -> DataFrame:
     )
 
 
+def model_usage_by_task(statements: DataFrame, task: str = "classification") -> DataFrame:
+    """(Module, Usage) of model constructors for a task family —
+    classification = call names ending in Classifier, regression in
+    Regressor (reference plot_top_k_classifiers/_regressors,
+    api/template.py:925-994, minus the matplotlib bar chart)."""
+    suffix = {"classification": "Classifier", "regression": "Regressor"}.get(task)
+    if suffix is None:
+        raise ValueError("task must be 'classification' or 'regression'")
+    return (
+        statements.filter(F.col("call_name").endswith(suffix))
+        .groupBy(F.concat_ws(".", "module", "call_name").alias("Module"))
+        .agg(F.count(F.lit(1)).alias("Usage"))
+        .orderBy(F.desc("Usage"), "Module")
+    )
+
+
+def popular_parameters(
+    statements: DataFrame, library: str, parameters: str | list = "all"
+) -> DataFrame:
+    """(Parameter, Value, Usage) frequency of literal kwargs across all
+    calls into ``library`` (reference get_most_popular_parameters is an
+    unimplemented stub, api/api.py:135-136 — this realizes it)."""
+    s = statements.filter(F.col("library") == library).select(
+        F.explode("params").alias("Parameter", "Value")
+    )
+    if parameters != "all":
+        s = s.filter(F.col("Parameter").isin(list(parameters)))
+    return (
+        s.groupBy("Parameter", "Value")
+        .agg(F.count(F.lit(1)).alias("Usage"))
+        .orderBy(F.desc("Usage"), "Parameter", "Value")
+    )
+
+
+def pipeline_usage_by_task(pipelines: DataFrame) -> DataFrame:
+    """Per-task pipeline counts, with 'deep learning' and 'neural
+    networks' merged as in the reference (show_pipeline_usage_by_task,
+    api/api.py:196-228 — data only, no pie chart)."""
+    tags = pipelines.select(F.explode("tags").alias("Task"), "pipeline_id")
+    tags = tags.withColumn(
+        "Task",
+        F.when(F.col("Task") == "neural networks", "deep learning").otherwise(F.col("Task")),
+    )
+    return (
+        tags.groupBy("Task")
+        .agg(F.count_distinct("pipeline_id").alias("Number_of_pipelines"))
+        .orderBy(F.desc("Number_of_pipelines"), "Task")
+    )
+
+
 def recommend_transformations(statements: DataFrame, pipelines: DataFrame) -> DataFrame:
     """DISTINCT transformation calls ranked by pipeline score
     (reference recommend_transformations, api/template.py:879-898;

@@ -105,3 +105,16 @@ def test_pipeline_apis(kglids):
 
     with pytest.raises(ValueError):
         kglids.get_top_used_libraries(task="nonsense")
+
+    assert kglids.get_top_scoring_ml_model().iloc[0]["count"] == 6
+
+    pop = kglids.get_most_popular_parameters("sklearn")
+    assert pop.iloc[0]["Usage"] >= 2  # random_state=42 appears twice
+
+    usage_by_task = kglids.show_pipeline_usage_by_task()
+    counts = dict(zip(usage_by_task["Task"], usage_by_task["Number_of_pipelines"]))
+    assert counts["classification"] == 5 and counts["deep learning"] == 1
+
+    models = kglids.show_top_k_models_by_task("classification", k=3)
+    assert models.iloc[0]["Usage"] >= 1
+    assert all(m.endswith("Classifier") for m in models["Module"])
