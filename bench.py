@@ -32,7 +32,10 @@ import time
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-BENCH_ROWS = int(os.environ.get("SPARK_GRAFT_BENCH_ROWS", "3000000"))
+# 6M rows (~7.6 GB parquet): large enough that the ~2s fixed driver
+# overhead per run (plan/scheduling of ~4 jobs, measured with a 1-row
+# input) stays under 15% of the shortest timed config
+BENCH_ROWS = int(os.environ.get("SPARK_GRAFT_BENCH_ROWS", "6000000"))
 TOKENS_PATH = os.environ.get("SPARK_GRAFT_TOKENS_PATH", "/tmp/kglids_bench_tokens")
 
 HEADLINE = [
@@ -124,13 +127,18 @@ def _host_cpu_speedup(low: int, high: int, seconds: float = 4.0) -> dict:
     """Measure the host's achievable pure-CPU scaling between ``low``
     and ``high`` busy processes (this VM's vCPUs are overcommitted, so
     the achievable ratio is < high/low; an engine cannot scale past the
-    CPU the host actually grants). Python busy-loops, one per process."""
+    CPU the host actually grants). Python busy-loops, one per process.
+
+    Best-of-2 per level: a single probe can land in a steal spike and
+    report a physically impossible ratio (observed host_efficiency
+    1.9); taking the max per level measures capability, not luck."""
     import multiprocessing as mp
 
-    out = {}
-    for n in (low, high):
-        with mp.Pool(n) as p:
-            out[n] = sum(p.map(_burn, [seconds] * n))
+    out = {low: 0, high: 0}
+    for _ in range(2):
+        for n in (low, high):
+            with mp.Pool(n) as p:
+                out[n] = max(out[n], sum(p.map(_burn, [seconds] * n)))
     return {
         "loops_low": out[low],
         "loops_high": out[high],
@@ -187,9 +195,22 @@ def main() -> None:
     total = round(sum(query_secs.values()), 3)
 
     # ---- part 2: validation throughput + scaling evidence ----------------
+    def _existing_rows(path: str) -> int:
+        try:
+            import pyarrow.dataset as ds
+
+            if not os.path.exists(os.path.join(path, "_SUCCESS")):
+                return -1
+            return sum(
+                f.metadata.num_rows
+                for f in ds.dataset(path, format="parquet").get_fragments()
+            )
+        except Exception:
+            return -1
+
     gen = (
         _spawn(["--worker-generate", "--cpus", str(CPUS)])
-        if not os.path.exists(os.path.join(TOKENS_PATH, "_SUCCESS"))
+        if _existing_rows(TOKENS_PATH) != BENCH_ROWS
         else {"generated_rows": BENCH_ROWS, "gen_sec": 0.0}
     )
     scale_pair = os.environ.get("SPARK_GRAFT_SCALE_CPUS", "2,8")
@@ -200,6 +221,11 @@ def main() -> None:
     print(f"[bench] local[{low_cpus}]: {v_low}", file=sys.stderr, flush=True)
     v_high = _spawn(["--worker-validate", "--cpus", str(high_cpus)], pin_cpus=high_cpus)
     print(f"[bench] local[{high_cpus}]: {v_high}", file=sys.stderr, flush=True)
+    # peak = best measured config. An unpinned local[32] run was tried
+    # and measures WORSE than pinned local[8] (310k vs 394k seq/s):
+    # past ~8 busy workers the host grants no additional CPU, so extra
+    # task slots only add scheduler/GC contention.
+    v_peak = max((v_low, v_high), key=lambda v: v["sequences_per_sec"])
     speedup = v_high["sequences_per_sec"] / v_low["sequences_per_sec"]
     efficiency = speedup / (high_cpus / low_cpus)
     # efficiency relative to the CPU the host actually grants at each
@@ -216,6 +242,7 @@ def main() -> None:
         "validation": {
             "rows": v_high["rows"],
             "generate": gen,
+            "peak_sequences_per_sec": v_peak["sequences_per_sec"],
             f"local[{low_cpus}]": v_low,
             f"local[{high_cpus}]": v_high,
             "speedup": round(speedup, 3),

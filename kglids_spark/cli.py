@@ -51,6 +51,14 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--input", required=True)
     p.add_argument("--exact", action="store_true")
 
+    a = sub.add_parser(
+        "abstract",
+        help="AST-abstract a directory of .py pipeline scripts into a "
+        "statements table (reference run_kglids.py stage 2)",
+    )
+    a.add_argument("--scripts", required=True, help="directory of .py files")
+    a.add_argument("--out", default=None, help="parquet output for statement rows")
+
     args = ap.parse_args(argv)
     spark = get_spark(app_name=f"kglids_spark.{args.cmd}", cpus=getattr(args, "cpus", None))
 
@@ -96,6 +104,31 @@ def main(argv: list[str] | None = None) -> int:
         prof = profile_table(df, table_id=args.input.rstrip("/").split("/")[-1], exact=args.exact)
         for row in prof.collect():
             print(json.dumps(row.asDict(), default=str))
+        return 0
+
+    if args.cmd == "abstract":
+        import glob
+        import os
+
+        from kglids_spark.operators.pipelines import abstract_pipelines_df
+
+        files = sorted(glob.glob(os.path.join(args.scripts, "*.py")))
+        scripts = spark.createDataFrame(
+            [(os.path.splitext(os.path.basename(f))[0], open(f).read()) for f in files],
+            "pipeline_id string, source string",
+        )
+        stmts = abstract_pipelines_df(spark, scripts)
+        if args.out:
+            stmts.write.mode("overwrite").parquet(args.out)
+        counts = {
+            r["library"]: r["n"]
+            for r in stmts.groupBy("library").agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+        print(
+            json.dumps(
+                {"pipelines": len(files), "statements": stmts.count(), "by_library": counts}
+            )
+        )
         return 0
     return 1
 
