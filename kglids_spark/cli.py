@@ -44,6 +44,17 @@ def main(argv: list[str] | None = None) -> int:
     v.add_argument("--ledger", default=None)
     v.add_argument("--buckets", type=int, default=64)
     v.add_argument("--baseline", default=None, help="JSON file with baseline histogram")
+    v.add_argument(
+        "--baseline-snapshot",
+        default=None,
+        help="bucket_stats snapshot id to use as the drift baseline "
+        "(time-travel read; the id is reported as stats_snapshot in metrics)",
+    )
+    v.add_argument(
+        "--baseline-store",
+        default=None,
+        help="TableStore root holding the baseline snapshot (defaults to --ledger)",
+    )
     v.add_argument("--no-violation-rows", action="store_true")
     v.add_argument("--cpus", type=int, default=None)
 
@@ -88,6 +99,10 @@ def main(argv: list[str] | None = None) -> int:
             n_buckets=args.buckets,
             ledger=ledger,
             baseline_hist=baseline_hist,
+            baseline_snapshot_id=args.baseline_snapshot,
+            baseline_store=TableStore(spark, args.baseline_store)
+            if args.baseline_store
+            else None,
             extract_violation_rows=not args.no_violation_rows,
         )
         summary = {

@@ -116,6 +116,16 @@ def _stats_pass(
     return stats
 
 
+def _dedupe_earliest(stats: DataFrame) -> DataFrame:
+    """Idempotent-merge rule: earliest (completed_at, run_id) wins per
+    bucket, so re-validated buckets from resumed runs never double
+    count."""
+    w_first = F.row_number().over(
+        Window.partitionBy("bucket_id").orderBy("completed_at", "run_id")
+    )
+    return stats.withColumn("_rn", w_first).filter(F.col("_rn") == 1).drop("_rn")
+
+
 def _slim_projection(
     df_b: DataFrame,
     row_cs: list[C.Constraint],
@@ -162,12 +172,25 @@ def validate(
     ledger: TableStore | None = None,
     run_id: str | None = None,
     baseline_hist: list[int] | None = None,
+    baseline_snapshot_id: str | None = None,
+    baseline_store: TableStore | None = None,
     drift_spec: D.HistSpec | None = None,
     extract_violation_rows: bool = True,
     dims: dict[str, DataFrame] | None = None,
 ) -> ValidationResult:
     """``dims`` maps a referential constraint's dim_table name to its
-    DataFrame for dim-table RI (vs a literal valid_values vocabulary)."""
+    DataFrame for dim-table RI (vs a literal valid_values vocabulary).
+
+    ``baseline_snapshot_id`` resolves the drift baseline from a
+    ``bucket_stats`` table AS OF that snapshot (TableStore time travel
+    — the north-star "KS/PSI vs a baseline Iceberg snapshot"):
+    per-bucket histograms from the snapshot are deduped (earliest run
+    per bucket) and merged. The snapshot is read from
+    ``baseline_store`` if given, else from ``ledger`` — use a separate
+    store when the current run ledgers into a different table than the
+    baseline run (the run ledger also drives resume bucket-skipping,
+    which a baseline read must not interfere with). An explicit
+    ``baseline_hist`` wins over both."""
     spark = df.sparkSession
     run_id = run_id or uuid.uuid4().hex[:12]
     t_start = time.time()
@@ -239,8 +262,9 @@ def validate(
         .withColumn("completed_at", F.lit(time.time()))
     )
 
+    stats_snapshot = None
     if ledger is not None:
-        ledger.append("bucket_stats", new_stats)
+        stats_snapshot = ledger.append("bucket_stats", new_stats)
         all_stats = ledger.read("bucket_stats").filter(
             (F.col("constraint_hash") == chash) & (F.col("n_buckets") == n_buckets)
         )
@@ -248,15 +272,29 @@ def validate(
         all_stats = new_stats
 
     # ---- idempotent merge: earliest run wins per bucket ----------------
-    w_first = F.row_number().over(
-        Window.partitionBy("bucket_id").orderBy("completed_at", "run_id")
-    )
     # persist: merged feeds both the driver-side verdict build and the
     # HLL-union job — without it the whole input scan would run twice
-    merged = (
-        all_stats.withColumn("_rn", w_first).filter(F.col("_rn") == 1).drop("_rn").persist()
-    )
+    merged = _dedupe_earliest(all_stats).persist()
     merged_rows = merged.collect()
+
+    # ---- baseline from a ledger snapshot (time travel) -----------------
+    if baseline_hist is None and baseline_snapshot_id is not None:
+        src = baseline_store or ledger
+        if src is None:
+            raise ValueError("baseline_snapshot_id requires a ledger or baseline_store")
+        prior = _dedupe_earliest(src.read("bucket_stats", snapshot_id=baseline_snapshot_id))
+        n_cells = drift_spec.n_cells if drift_spec is not None else None
+        hists = [
+            list(r.hist)
+            for r in prior.select("hist").collect()
+            if r.hist is not None and (n_cells is None or len(r.hist) == n_cells)
+        ]
+        if not hists:
+            raise ValueError(
+                f"snapshot {baseline_snapshot_id} holds no histograms compatible "
+                f"with the current drift spec ({n_cells} cells)"
+            )
+        baseline_hist = D.merge_histograms(hists)
 
     # ---- verdicts -------------------------------------------------------
     verdict_rows: list[tuple] = []
@@ -358,6 +396,7 @@ def validate(
         "distinct_key_estimate": int(est),
         "elapsed_sec": elapsed,
         "sequences_per_sec": (int(n_rows_total) / elapsed) if elapsed > 0 else 0.0,
+        **({"stats_snapshot": stats_snapshot} if stats_snapshot else {}),
         **drift_metrics,
     }
     if ledger is not None:

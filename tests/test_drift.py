@@ -76,3 +76,62 @@ def test_histogram_matches_duckdb(spark, tokens_df, duck):
         """
     ).fetchone()
     assert got == [int(x or 0) for x in oracle]
+
+
+def test_snapshot_baseline_time_travel(spark, tmp_path):
+    """North-star drift flow: a baseline run writes bucket_stats under
+    a snapshot id; a later run resolves its drift baseline from that
+    snapshot via TableStore time travel — unshifted data passes,
+    location-shifted data fails."""
+    from kglids_spark.sources.tables import TableStore
+
+    suite = [C.drift_ks("n_tok"), C.drift_psi("n_tok")]
+    ledger = TableStore(spark, str(tmp_path / "snap_ledger"))
+    base = generate_tokens(spark, 20000, seed=7, plant_violations=False)
+    res0 = validate(base, suite, n_buckets=8, ledger=ledger, extract_violation_rows=False)
+    snap = res0.metrics["stats_snapshot"]
+    assert snap and snap == ledger.snapshot_id("bucket_stats")
+
+    # same distribution, later data, its own run ledger -> passes
+    # against the baseline store's snapshot
+    same = generate_tokens(spark, 20000, seed=11, plant_violations=False)
+    res1 = validate(
+        same, suite, n_buckets=8,
+        ledger=TableStore(spark, str(tmp_path / "run2")),
+        baseline_store=ledger, baseline_snapshot_id=snap,
+        extract_violation_rows=False,
+    )
+    glob = {
+        r.constraint_id: r.passed
+        for r in res1.verdicts.filter(F.col("bucket_id") == GLOBAL_BUCKET).collect()
+    }
+    assert glob["drift_ks(n_tok)"] and glob["drift_psi(n_tok)"]
+
+    # location-shifted n_tok -> fails against the same snapshot
+    shifted = generate_tokens(spark, 20000, seed=13, plant_violations=False).withColumn(
+        "n_tok", (F.col("n_tok") + F.lit(600)).cast("int")
+    )
+    res2 = validate(
+        shifted, suite, n_buckets=8,
+        ledger=TableStore(spark, str(tmp_path / "run3")),
+        baseline_snapshot_id=None, baseline_hist=None, extract_violation_rows=False,
+    )
+    # without a baseline the shifted run self-compares and passes...
+    glob2 = {
+        r.constraint_id: r.passed
+        for r in res2.verdicts.filter(F.col("bucket_id") == GLOBAL_BUCKET).collect()
+    }
+    assert glob2["drift_ks(n_tok)"]
+    # ...but against the baseline snapshot it must fail
+    res3 = validate(
+        shifted, suite, n_buckets=8,
+        ledger=TableStore(spark, str(tmp_path / "run4")),
+        baseline_store=ledger, baseline_snapshot_id=snap,
+        extract_violation_rows=False,
+    )
+    glob3 = {
+        r.constraint_id: r.passed
+        for r in res3.verdicts.filter(F.col("bucket_id") == GLOBAL_BUCKET).collect()
+    }
+    assert not glob3["drift_ks(n_tok)"]
+    assert not glob3["drift_psi(n_tok)"]
