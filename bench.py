@@ -40,6 +40,8 @@ TOKENS_PATH = os.environ.get("SPARK_GRAFT_TOKENS_PATH", "/tmp/kglids_bench_token
 
 HEADLINE = [
     "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
     "profile_stats",
     "group_count_customers_per_nation",
     "topk_revenue_customers",
