@@ -874,6 +874,43 @@ def ann_lsh_topk_md5(spark, sf_dir):
 
 
 @register(
+    "ann_ivf_topk",
+    """
+    WITH cents AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 4),
+    assign AS (
+      SELECT e.vec_id, e.embedding,
+             (SELECT cid FROM cents
+              ORDER BY list_dot_product(e.embedding::DOUBLE[], cvec::DOUBLE[]) DESC, cid
+              LIMIT 1) AS ivf_list
+      FROM embeddings e),
+    q AS (SELECT vec_id AS q_id, embedding AS q_vec, ivf_list FROM assign WHERE vec_id < 5),
+    scored AS (
+      SELECT q.q_id, c.vec_id AS c_id,
+             round(list_cosine_similarity(q.q_vec::DOUBLE[], c.embedding::DOUBLE[]), 5) AS cosine
+      FROM q JOIN assign c ON q.ivf_list = c.ivf_list AND q.q_id != c.vec_id)
+    SELECT q_id, c_id, cosine, rank FROM (
+      SELECT q_id, c_id, cosine,
+             row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS rank
+      FROM scored)
+    WHERE rank <= 3
+    """,
+)
+def ann_ivf_topk(spark, sf_dir):
+    """IVF search end-to-end: 4 centroids (first 4 embeddings — the
+    k-means fit is out of band), single-probe list-local join, exact
+    re-rank. The scale path partitions the corpus by ivf_list."""
+    e = _t(spark, sf_dir, "embeddings")
+    cents = [
+        list(r["embedding"])
+        for r in e.filter(F.col("vec_id") < 4).orderBy("vec_id").collect()
+    ]
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    return ann.ivf_topk(q, e, cents, k=3)
+
+
+@register(
     "embedding_norm_stats",
     """
     SELECT label, round(avg(sqrt(list_dot_product(embedding, embedding))), 5) AS avg_norm,

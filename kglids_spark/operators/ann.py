@@ -290,7 +290,8 @@ def ivf_assign(
     """IVF coarse quantization: assign each vector to its nearest
     centroid (broadcast literal array of centroids — the k-means fit
     itself is out of band). Downstream kNN probes only the closest
-    lists, the classic IVF pruning."""
+    lists, the classic IVF pruning. Ties break to the lowest centroid
+    index (strict-greater replacement)."""
     best = None
     for ci, cvec in enumerate(centroids):
         c_arr = F.array(*[F.lit(float(x)) for x in cvec])
@@ -298,3 +299,40 @@ def ivf_assign(
         cand = F.struct(d.alias("score"), F.lit(ci).alias("centroid"))
         best = cand if best is None else F.when(cand["score"] > best["score"], cand).otherwise(best)
     return corpus.withColumn("ivf_list", best["centroid"])
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    k: int = 10,
+    q_id: str = "q_id",
+    q_vec: str = "q_vec",
+    c_id: str = "vec_id",
+    c_vec: str = "embedding",
+) -> DataFrame:
+    """End-to-end IVF search: assign corpus AND queries to inverted
+    lists, join only within the query's nearest list (single-probe),
+    exact cosine re-rank inside it. The join is list-local — at scale
+    the corpus is partitioned by ivf_list so a probe touches one
+    partition group instead of the whole corpus. Cosine is rounded to
+    5dp before ranking for cross-engine-stable order."""
+    cc = ivf_assign(corpus, centroids, vec_col=c_vec).select(
+        F.col(c_id).alias("c_id"), F.col(c_vec).alias("c_vec"), "ivf_list"
+    )
+    qq = ivf_assign(
+        queries.select(F.col(q_id).alias("q_id"), F.col(q_vec).alias("q_vec")),
+        centroids,
+        vec_col="q_vec",
+    )
+    scored = (
+        qq.join(cc, "ivf_list")
+        .filter(F.col("q_id") != F.col("c_id"))
+        .select(
+            "q_id",
+            "c_id",
+            F.round(cosine_similarity(F.col("q_vec"), F.col("c_vec")), 5).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.col("c_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
