@@ -276,3 +276,96 @@ def profile_tables(
         p = profile_table(df, name, dataset_id=dataset_id, exact=exact)
         out = p if out is None else out.unionByName(p)
     return out
+
+
+# ---------------------------------------------------------------------------
+# reference profile-JSON format (S4/S5 sink/source parity)
+
+# exact key order of the reference's serialized profile
+# (kg_governor/data_profiling/model/column_profile.py:35-56)
+_REFERENCE_PROFILE_KEYS = [
+    "column_id", "dataset_name", "dataset_id", "path", "table_name",
+    "table_id", "column_name", "data_source", "data_type",
+    "total_values_count", "distinct_values_count", "missing_values_count",
+    "true_ratio", "min_value", "max_value", "mean", "median", "iqr",
+    "embedding", "embedding_scaling_factor",
+]
+
+
+def to_reference_profile_dict(row, data_source: str = "", path: str = "") -> dict:
+    """One profiles-DataFrame row → the reference's profile dict, same
+    keys in the same order (column_profile.py:35-56). ``embedding`` is
+    None — the reference's model weights are absent from the checkout
+    (.MISSING_LARGE_BLOBS), documented divergence."""
+    d = row.asDict() if hasattr(row, "asDict") else dict(row)
+    out = {
+        "column_id": d["column_id"],
+        "dataset_name": d.get("dataset_id", ""),
+        "dataset_id": d.get("dataset_id", ""),
+        "path": path,
+        "table_name": d["table_id"],
+        "table_id": d["table_id"],
+        "column_name": d["column_name"],
+        "data_source": data_source,
+        "data_type": d["data_type"],
+        "total_values_count": float(d["total_values_count"]),
+        "distinct_values_count": float(d["distinct_values_count"]),
+        "missing_values_count": float(d["missing_values_count"]),
+        "true_ratio": d.get("true_ratio"),
+        "min_value": d.get("min_value"),
+        "max_value": d.get("max_value"),
+        "mean": d.get("mean"),
+        "median": d.get("median"),
+        "iqr": d.get("iqr"),
+        "embedding": None,
+        "embedding_scaling_factor": None,
+    }
+    assert list(out) == _REFERENCE_PROFILE_KEYS
+    return out
+
+
+def save_reference_profiles(profiles: DataFrame, base_dir: str, data_source: str = "") -> int:
+    """Write profiles in the reference's on-disk layout: one JSON per
+    column, a subdirectory per data_type, filename = md5(column_id)
+    (column_profile.py:58-64 — same json.dump flags, byte-comparable).
+    Returns the number of files written. Driver-side loop: profile
+    output is one row per COLUMN, small by construction."""
+    import hashlib
+    import json
+    import os
+
+    n = 0
+    for row in profiles.collect():
+        d = to_reference_profile_dict(row, data_source=data_source)
+        type_dir = os.path.join(base_dir, d["data_type"])
+        os.makedirs(type_dir, exist_ok=True)
+        fname = hashlib.md5(d["column_id"].encode()).hexdigest()
+        with open(os.path.join(type_dir, f"{fname}.json"), "w") as f:
+            json.dump(d, f, ensure_ascii=False, indent=4)
+        n += 1
+    return n
+
+
+def load_reference_profiles(spark: SparkSession, base_dir: str) -> DataFrame:
+    """Read a reference-layout profile directory back into a profiles
+    DataFrame (S5 source parity; the reference bulk-loads with
+    mp.Pool.imap_unordered, build_data_global_schema.py:61-63)."""
+    import glob
+    import json
+    import os
+
+    rows = []
+    for p in sorted(glob.glob(os.path.join(base_dir, "*", "*.json"))):
+        with open(p) as f:
+            d = json.load(f)
+        rows.append(
+            (
+                d["column_id"], d["dataset_id"], d["table_id"], d["column_name"],
+                d["data_type"],
+                int(d["total_values_count"]), int(d["distinct_values_count"]),
+                int(d["missing_values_count"]),
+                d.get("true_ratio"), d.get("min_value"), d.get("max_value"),
+                d.get("mean"), d.get("median"), d.get("iqr"),
+            )
+        )
+    return spark.createDataFrame(rows, PROFILE_SCHEMA)

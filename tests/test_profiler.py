@@ -116,3 +116,40 @@ def test_read_csv_table_na_and_numeric_coercion(spark, tmp_path):
     assert sum(1 for r in rows if r.a is None) == 1   # '-' coerced
     assert sum(1 for r in rows if r.b is None) == 2   # '?' and ' ' coerced
     assert sum(r.c for r in rows) == 12.0
+
+
+def test_reference_profile_json_roundtrip(spark, tokens_df, tmp_path):
+    """S4/S5 parity: profiles serialize to the reference's exact
+    on-disk layout (dtype subdir, md5(column_id) filename, same key
+    order as column_profile.py:35-56) and load back identically."""
+    import hashlib
+    import json
+    import os
+
+    from kglids_spark.operators.profiler import (
+        _REFERENCE_PROFILE_KEYS,
+        load_reference_profiles,
+        profile_table,
+        save_reference_profiles,
+    )
+
+    prof = profile_table(tokens_df.limit(2000), table_id="tok")
+    base = str(tmp_path / "profiles")
+    n = save_reference_profiles(prof, base, data_source="test_source")
+    assert n == len(prof.collect())
+
+    # layout: <base>/<data_type>/<md5(column_id)>.json
+    one = prof.collect()[0]
+    expected = os.path.join(
+        base, one.data_type, hashlib.md5(one.column_id.encode()).hexdigest() + ".json"
+    )
+    assert os.path.exists(expected)
+    with open(expected) as f:
+        d = json.load(f)
+    assert list(d) == _REFERENCE_PROFILE_KEYS
+    assert d["data_source"] == "test_source"
+    assert d["embedding"] is None  # model weights absent — documented
+
+    back = load_reference_profiles(spark, base)
+    key = lambda df: sorted(map(tuple, df.collect()))
+    assert key(back) == key(prof)
