@@ -68,11 +68,19 @@ def _stats_pass(
     drift_spec: D.HistSpec | None,
     key: str,
     dup_counts: DataFrame | None = None,
+    kll_col: str | None = None,
 ) -> DataFrame:
     """The main per-bucket aggregation (one scan) + the uniqueness
     shuffle, joined into one sketch row per bucket. ``dup_counts`` is
     the persisted (bucket, key, count>1) frame shared with violation
-    extraction so the uniqueness shuffle runs exactly once."""
+    extraction so the uniqueness shuffle runs exactly once.
+
+    ``kll_col``: also attach a mergeable KLL quantile sketch of that
+    column per bucket (north-star stats-collector mechanism:
+    groupBy(bucket).applyInPandas over Arrow batches — the one
+    statistic JVM aggregates can't express mergeably). Sketch bytes
+    ride the same bucket_stats row, so resume/merge semantics are
+    identical to the histogram and HLL sketches."""
     viol_sums = [
         F.sum(C.violation_expr(c, df_b).cast("long")).alias(f"v_{i}")
         for i, c in enumerate(row_cs)
@@ -113,6 +121,24 @@ def _stats_pass(
         ).drop(f"u_{uc.cid}")
     if drift_spec is None:
         stats = stats.withColumn("hist", F.lit(None).cast("array<long>"))
+    if kll_col is not None:
+        from kglids_spark.operators.arrow_stats import bucket_sketches_prebucketed
+
+        kll = bucket_sketches_prebucketed(
+            df_b.select(BUCKET_COL, kll_col), kll_col
+        ).select(
+            BUCKET_COL,
+            F.col("min_value").alias("v_min"),
+            F.col("max_value").alias("v_max"),
+            "kll",
+        )
+        stats = stats.join(kll, BUCKET_COL, "left")
+    else:
+        stats = (
+            stats.withColumn("v_min", F.lit(None).cast("double"))
+            .withColumn("v_max", F.lit(None).cast("double"))
+            .withColumn("kll", F.lit(None).cast("binary"))
+        )
     return stats
 
 
@@ -177,6 +203,7 @@ def validate(
     drift_spec: D.HistSpec | None = None,
     extract_violation_rows: bool = True,
     dims: dict[str, DataFrame] | None = None,
+    kll_col: str | None = "auto",
 ) -> ValidationResult:
     """``dims`` maps a referential constraint's dim_table name to its
     DataFrame for dim-table RI (vs a literal valid_values vocabulary).
@@ -254,7 +281,13 @@ def validate(
             .filter(F.col("count") > 1)
             .persist()
         )
-    new_stats = _stats_pass(slim_df, row_cs, unique_cs, drift_spec, key, dup_counts)
+    if kll_col == "auto":
+        # default: sketch the drift column (n_tok in the north-star
+        # suite) so quantiles ship with every run's bucket_stats
+        kll_col = drift_spec.column if drift_spec is not None else None
+    new_stats = _stats_pass(
+        slim_df, row_cs, unique_cs, drift_spec, key, dup_counts, kll_col=kll_col
+    )
     new_stats = (
         new_stats.withColumn("run_id", F.lit(run_id))
         .withColumn("constraint_hash", F.lit(chash))
@@ -309,6 +342,22 @@ def validate(
             verdict_rows.append((int(r.bucket_id), c.cid, int(r.n_rows), nv, nv == 0))
         if drift_spec is not None and r.hist is not None:
             merged_hist = D.merge_histograms([merged_hist, list(r.hist)]) if merged_hist else list(r.hist)
+
+    sketch_metrics = {}
+    if kll_col is not None and merged_rows:
+        from kglids_spark.operators.sketches import merge_serialized
+
+        blobs = [bytes(r.kll) for r in merged_rows if getattr(r, "kll", None) is not None]
+        if blobs:
+            q25, q50, q75 = merge_serialized(blobs).quantiles([0.25, 0.5, 0.75])
+            mins = [r.v_min for r in merged_rows if r.v_min is not None]
+            maxs = [r.v_max for r in merged_rows if r.v_max is not None]
+            sketch_metrics = {
+                f"{kll_col}_min": min(mins) if mins else None,
+                f"{kll_col}_max": max(maxs) if maxs else None,
+                f"{kll_col}_median_kll": q50,
+                f"{kll_col}_iqr_kll": (q75 - q25) if q25 is not None else None,
+            }
 
     drift_metrics = {}
     if drift_cs and merged_hist:
@@ -397,6 +446,7 @@ def validate(
         "elapsed_sec": elapsed,
         "sequences_per_sec": (int(n_rows_total) / elapsed) if elapsed > 0 else 0.0,
         **({"stats_snapshot": stats_snapshot} if stats_snapshot else {}),
+        **sketch_metrics,
         **drift_metrics,
     }
     if ledger is not None:

@@ -130,7 +130,11 @@ class TableStore:
                 live.append(s)
         if not live:
             raise KeyError(f"table {table} is empty")
-        return self.spark.read.parquet(*[s["path"] for s in live])
+        # mergeSchema: snapshots written by older engine versions may
+        # lack newer sketch columns — they read back as nulls
+        return self.spark.read.option("mergeSchema", "true").parquet(
+            *[s["path"] for s in live]
+        )
 
 
 def read_csv_table(

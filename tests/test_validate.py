@@ -170,3 +170,40 @@ def test_incremental_violations_in_ledger(spark, tokens_df, tmp_path):
     got = {(r.doc_id, r.constraint_id) for r in r2.violations.collect()}
     want = {(r.doc_id, r.constraint_id) for r in direct.violations.collect()}
     assert got == want
+
+
+def test_kll_quantiles_in_metrics(spark, tokens_df, duck):
+    """North-star stats collector: mergeable KLL quantiles of n_tok
+    ride the bucket_stats rows; merged estimates land in metrics and
+    stay within the sketch's rank-error bound of exact quantiles."""
+    from kglids_spark.operators import constraints as C
+    from kglids_spark.operators.validate import validate
+
+    suite = C.default_suite(["web", "books", "code", "wiki", "forums", "social", "news"])
+    res = validate(tokens_df, suite, n_buckets=8, extract_violation_rows=False)
+    m = res.metrics
+    exact = duck.execute(
+        "SELECT min(n_tok), max(n_tok), median(n_tok), "
+        "quantile_cont(n_tok, 0.75) - quantile_cont(n_tok, 0.25) FROM tokens"
+    ).fetchone()
+    assert m["n_tok_min"] == exact[0]
+    assert m["n_tok_max"] == exact[1]
+    # KLL at k=256 over 30k rows: generous 5% relative tolerance
+    assert abs(m["n_tok_median_kll"] - exact[2]) <= 0.05 * exact[2]
+    assert abs(m["n_tok_iqr_kll"] - exact[3]) <= 0.10 * exact[3]
+
+
+def test_kll_merge_stable_across_resume(spark, tokens_df, tmp_path):
+    """A resumed run must report the same merged quantiles as the
+    original (sketch checkpoint idempotence)."""
+    from kglids_spark.operators import constraints as C
+    from kglids_spark.operators.validate import validate
+    from kglids_spark.sources.tables import TableStore
+
+    suite = C.default_suite(["web", "books", "code", "wiki", "forums", "social", "news"])
+    ledger = TableStore(spark, str(tmp_path / "kll_ledger"))
+    first = validate(tokens_df, suite, n_buckets=8, ledger=ledger, extract_violation_rows=False)
+    again = validate(tokens_df, suite, n_buckets=8, ledger=ledger, extract_violation_rows=False)
+    assert again.metrics["buckets_completed_prior"] == 8
+    assert again.metrics["n_tok_median_kll"] == first.metrics["n_tok_median_kll"]
+    assert again.metrics["n_tok_iqr_kll"] == first.metrics["n_tok_iqr_kll"]
