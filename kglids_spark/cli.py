@@ -62,6 +62,15 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--input", required=True)
     p.add_argument("--exact", action="store_true")
 
+    q = sub.add_parser(
+        "sql",
+        help="ad-hoc Spark SQL over a directory of parquet tables "
+        "(each <name>.parquet registered as view <name>)",
+    )
+    q.add_argument("--sf-dir", required=True)
+    q.add_argument("query", help="SQL text")
+    q.add_argument("--limit", type=int, default=100)
+
     a = sub.add_parser(
         "abstract",
         help="AST-abstract a directory of .py pipeline scripts into a "
@@ -119,6 +128,21 @@ def main(argv: list[str] | None = None) -> int:
         prof = profile_table(df, table_id=args.input.rstrip("/").split("/")[-1], exact=args.exact)
         for row in prof.collect():
             print(json.dumps(row.asDict(), default=str))
+        return 0
+
+    if args.cmd == "sql":
+        import glob
+        import os
+
+        from kglids_spark.sources.tables import load_testdata
+
+        names = [
+            os.path.splitext(os.path.basename(p))[0]
+            for p in glob.glob(os.path.join(args.sf_dir, "*.parquet"))
+        ]
+        load_testdata(spark, args.sf_dir, tables=sorted(names))
+        for row in spark.sql(args.query).limit(args.limit).collect():
+            print(json.dumps(row.asDict(recursive=True), default=str))
         return 0
 
     if args.cmd == "abstract":
