@@ -987,6 +987,30 @@ def tumbling_window_events(spark, sf_dir):
     )
 
 
+@register(
+    "rolling_avg_events",
+    """
+    SELECT event_id, user_id,
+           round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 5) AS rolling_avg
+    FROM events
+    """,
+)
+def rolling_avg_events(spark, sf_dir):
+    """Frame-spec window aggregate (rowsBetween) — beyond the
+    reference's ranking-only windows (SURVEY §2.5 note), standard in
+    training-data pipelines for per-entity smoothing."""
+    e = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-3, Window.currentRow)
+    )
+    return e.select(
+        "event_id", "user_id", F.round(F.avg("value").over(w), 5).alias("rolling_avg")
+    )
+
+
 _DRIFT_BINS = """
       SELECT CAST(floor(value) AS BIGINT) AS b,
              count(*) FILTER (WHERE event_type = 'click') AS c1,
@@ -1468,6 +1492,24 @@ def pipeline_hyperparameters(spark, sf_dir):
     RDF-star parameter edges become a map explode."""
     pipes, stmts = _pipe_tables(spark)
     return P.hyperparameters(stmts, pipes, "rf-baseline", "RandomForestClassifier")
+
+
+@register(
+    "pipeline_top_used_libraries",
+    f"""
+    SELECT DISTINCT s.library AS Library, s.module AS Module,
+           m.title AS Pipeline, m.dataset AS Dataset
+    FROM {_stmt_values_sql()}
+    JOIN {_meta_values_sql()} USING (pipeline_id)
+    WHERE list_contains(m.tags, 'classification')
+      AND s.library NOT IN ('builtin', '')
+    """,
+)
+def pipeline_top_used_libraries(spark, sf_dir):
+    """Reference get_top_used_libraries (api/template.py:782-816):
+    libraries/modules used by pipelines tagged with a task."""
+    pipes, stmts = _pipe_tables(spark)
+    return P.top_used_libraries(stmts, pipes, task="classification")
 
 
 @register(
