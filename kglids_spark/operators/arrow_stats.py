@@ -68,32 +68,47 @@ def bucket_sketches_prebucketed(
     2.3× slower end-to-end (it shuffles all rows through Arrow)."""
 
     def partials(batches):
-        acc: dict[int, list] = {}  # bucket -> [n, nulls, min, max, sum, KLL]
+        # accumulate the partition's (bucket, value) arrays, then ONE
+        # stable argsort + one bulk KLL update per bucket — per-batch
+        # pandas groupby was measured 38k tiny update calls per task
+        # (64 buckets × ~600 Arrow batches), dominated by call overhead
+        import numpy as np
+
+        bs, vs = [], []
         for pdf in batches:
-            for b, grp in pdf.groupby(BUCKET_COL):
-                vals = pd.to_numeric(grp[value_col], errors="coerce")
-                arr = vals.dropna().to_numpy(dtype="float64")
-                st = acc.setdefault(int(b), [0, 0, None, None, 0.0, KLL(k=kll_k)])
-                st[0] += len(grp)
-                st[1] += int(vals.isna().sum())
-                if arr.size:
-                    amin, amax = float(arr.min()), float(arr.max())
-                    st[2] = amin if st[2] is None else min(st[2], amin)
-                    st[3] = amax if st[3] is None else max(st[3], amax)
-                    st[4] += float(arr.sum())
-                    st[5].update_batch(arr)
-        if acc:
-            yield pd.DataFrame(
-                {
-                    "bucket_id": list(acc),
-                    "n_rows": [v[0] for v in acc.values()],
-                    "n_null": [v[1] for v in acc.values()],
-                    "min_value": [v[2] for v in acc.values()],
-                    "max_value": [v[3] for v in acc.values()],
-                    "sum_value": [v[4] if v[0] - v[1] else None for v in acc.values()],
-                    "kll": [v[5].serialize() for v in acc.values()],
-                }
+            bs.append(pdf[BUCKET_COL].to_numpy(dtype="int64"))
+            vs.append(pd.to_numeric(pdf[value_col], errors="coerce").to_numpy(dtype="float64"))
+        if not bs:
+            return
+        b = np.concatenate(bs)
+        v = np.concatenate(vs)
+        order = np.argsort(b, kind="stable")
+        b, v = b[order], v[order]
+        bounds = np.flatnonzero(np.diff(b)) + 1
+        rows = []
+        for bucket_id, bucket_vals in zip(b[np.r_[0, bounds]], np.split(v, bounds)):
+            nn = np.isnan(bucket_vals)
+            arr = bucket_vals[~nn]
+            sk = KLL(k=kll_k)
+            sk.update_batch(arr)
+            rows.append(
+                (
+                    int(bucket_id),
+                    len(bucket_vals),
+                    int(nn.sum()),
+                    float(arr.min()) if arr.size else None,
+                    float(arr.max()) if arr.size else None,
+                    float(arr.sum()) if arr.size else None,
+                    sk.serialize(),
+                )
             )
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "bucket_id", "n_rows", "n_null", "min_value", "max_value",
+                "sum_value", "kll",
+            ],
+        )
 
     def merge(pdf: pd.DataFrame) -> pd.DataFrame:
         merged = merge_serialized([bytes(b) for b in pdf["kll"] if b is not None])
