@@ -988,6 +988,29 @@ def tumbling_window_events(spark, sf_dir):
 
 
 @register(
+    "per_source_stats",
+    """
+    SELECT source, count(*) AS n_docs,
+           count(DISTINCT lang) AS n_langs,
+           min(n_chars) AS min_chars, max(n_chars) AS max_chars,
+           round(avg(n_chars), 4) AS avg_chars
+    FROM documents GROUP BY source
+    """,
+)
+def per_source_stats(spark, sf_dir):
+    """Per-group profiling (the per-slice audit a 100 TB corpus needs:
+    one partial-aggregated scan, stats per source slice)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_distinct("lang").alias("n_langs"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+    )
+
+
+@register(
     "rolling_avg_events",
     """
     SELECT event_id, user_id,
