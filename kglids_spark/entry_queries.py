@@ -988,6 +988,66 @@ def tumbling_window_events(spark, sf_dir):
 
 
 @register(
+    "asof_click_purchase",
+    """
+    WITH l AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+    r AS (SELECT user_id, ts, max(value) AS purchase_value
+          FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+    SELECT l.event_id, l.user_id, round(r.purchase_value, 5) AS purchase_value_asof
+    FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+    """,
+)
+def asof_click_purchase(spark, sf_dir):
+    """As-of join (custom operator — Spark lacks ASOF): each click gets
+    the user's most recent purchase value at or before it. Implemented
+    as union + one keyed window pass (operators/joins.py); the DuckDB
+    oracle uses its native ASOF JOIN."""
+    from kglids_spark.operators.joins import as_of_join
+
+    e = _t(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    purchases = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("purchase_value"))
+    )
+    out = as_of_join(clicks, purchases, on="user_id", ts="ts", right_payload=["purchase_value"])
+    return out.select(
+        "event_id", "user_id", F.round("purchase_value_asof", 5).alias("purchase_value_asof")
+    )
+
+
+@register(
+    "range_join_click_error",
+    """
+    SELECT l.event_id AS click_id, r.event_id AS error_id
+    FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') l
+    JOIN (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error') r
+      ON l.user_id = r.user_id
+     AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 1 HOUR
+    """,
+)
+def range_join_click_error(spark, sf_dir):
+    """Band/range join (custom operator): errors within one hour after
+    each click, same user — time-bucketed equi-join instead of the
+    degenerate θ-join (operators/joins.py)."""
+    from kglids_spark.operators.joins import range_join_bucketed
+
+    e = _t(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", F.col("ts").alias("l_ts")
+    )
+    errors = e.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"), "user_id", F.col("ts").alias("r_ts")
+    )
+    out = range_join_bucketed(
+        clicks, errors, on="user_id", left_ts="l_ts", right_ts="r_ts",
+        lower_bound_s=0, upper_bound_s=3600,
+    )
+    return out.select("click_id", "error_id")
+
+
+@register(
     "per_source_stats",
     """
     SELECT source, count(*) AS n_docs,
