@@ -988,6 +988,32 @@ def tumbling_window_events(spark, sf_dir):
 
 
 @register(
+    "rollup_events_hypertable",
+    """
+    SELECT strftime(ts, '%Y-%m-%d') AS day,
+           extract(hour FROM ts) AS hr,
+           count(*) AS n, round(sum(value), 4) AS total_value,
+           GROUPING(strftime(ts, '%Y-%m-%d'), extract(hour FROM ts)) AS lvl
+    FROM events
+    GROUP BY ROLLUP(strftime(ts, '%Y-%m-%d'), extract(hour FROM ts))
+    """,
+)
+def rollup_events_hypertable(spark, sf_dir):
+    """Hypertable-style continuous-aggregate rollup: hour, day, and
+    grand-total granularities in ONE pass via ROLLUP (hierarchical
+    grouping sets — absent from the reference, standard for
+    time-series stores). grouping_id labels the granularity level."""
+    e = _t(spark, sf_dir, "events")
+    day = F.date_format("ts", "yyyy-MM-dd").alias("day")
+    hr = F.hour("ts").cast("long").alias("hr")
+    return e.rollup(day, hr).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 4).alias("total_value"),
+        F.grouping_id().alias("lvl"),
+    )
+
+
+@register(
     "asof_click_purchase",
     """
     WITH l AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
