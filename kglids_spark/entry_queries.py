@@ -611,8 +611,10 @@ _NGRAM_SQL = """
       SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t FROM documents),
     words AS (SELECT doc_id, string_split(t, ' ') AS ws FROM norm),
     shingles AS (
+      -- lateral unnest: one position per word, unbounded (matches the
+      -- Spark side for any document length; no silent 100k-word cap)
       SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS sh
-      FROM words JOIN range(1, 100001) r(i) ON i <= greatest(len(ws) - 2, 1)),
+      FROM words, unnest(range(1, greatest(len(ws) - 2, 1) + 1)) u(i)),
     counts AS (SELECT doc_id, count(*) AS ns FROM shingles GROUP BY doc_id),
     inter AS (
       SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS common

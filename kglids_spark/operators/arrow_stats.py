@@ -37,6 +37,64 @@ SKETCH_SCHEMA = T.StructType(
 )
 
 
+def make_partials(value_col: str, kll_k: int = 256):
+    """Map-side partial collector for ``mapInPandas``: folds every Arrow
+    batch of a physical partition into per-bucket KLL accumulators,
+    emitting one sketch row per (partition × bucket). Module-level so
+    tests can drive it with hand-built batch iterators (incl. the
+    zero-row-batch edge case)."""
+
+    def partials(batches):
+        # accumulate the partition's (bucket, value) arrays, then ONE
+        # stable argsort + one bulk KLL update per bucket — per-batch
+        # pandas groupby was measured 38k tiny update calls per task
+        # (64 buckets × ~600 Arrow batches), dominated by call overhead
+        import numpy as np
+
+        bs, vs = [], []
+        for pdf in batches:
+            bs.append(pdf[BUCKET_COL].to_numpy(dtype="int64"))
+            vs.append(pd.to_numeric(pdf[value_col], errors="coerce").to_numpy(dtype="float64"))
+        if not bs:
+            return
+        b = np.concatenate(bs)
+        v = np.concatenate(vs)
+        if b.size == 0:
+            # all yielded Arrow batches were zero-row: bs is non-empty
+            # but the concatenation is, and b[np.r_[0, bounds]] would
+            # IndexError on the empty array
+            return
+        order = np.argsort(b, kind="stable")
+        b, v = b[order], v[order]
+        bounds = np.flatnonzero(np.diff(b)) + 1
+        rows = []
+        for bucket_id, bucket_vals in zip(b[np.r_[0, bounds]], np.split(v, bounds)):
+            nn = np.isnan(bucket_vals)
+            arr = bucket_vals[~nn]
+            sk = KLL(k=kll_k)
+            sk.update_batch(arr)
+            rows.append(
+                (
+                    int(bucket_id),
+                    len(bucket_vals),
+                    int(nn.sum()),
+                    float(arr.min()) if arr.size else None,
+                    float(arr.max()) if arr.size else None,
+                    float(arr.sum()) if arr.size else None,
+                    sk.serialize(),
+                )
+            )
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "bucket_id", "n_rows", "n_null", "min_value", "max_value",
+                "sum_value", "kll",
+            ],
+        )
+
+    return partials
+
+
 def collect_bucket_sketches(
     df: DataFrame,
     value_col: str,
@@ -66,49 +124,7 @@ def bucket_sketches_prebucketed(
        sketch rows, KLL-merge + count/min/max/sum combine.
     A naive groupBy(bucket).applyInPandas over raw rows was measured
     2.3× slower end-to-end (it shuffles all rows through Arrow)."""
-
-    def partials(batches):
-        # accumulate the partition's (bucket, value) arrays, then ONE
-        # stable argsort + one bulk KLL update per bucket — per-batch
-        # pandas groupby was measured 38k tiny update calls per task
-        # (64 buckets × ~600 Arrow batches), dominated by call overhead
-        import numpy as np
-
-        bs, vs = [], []
-        for pdf in batches:
-            bs.append(pdf[BUCKET_COL].to_numpy(dtype="int64"))
-            vs.append(pd.to_numeric(pdf[value_col], errors="coerce").to_numpy(dtype="float64"))
-        if not bs:
-            return
-        b = np.concatenate(bs)
-        v = np.concatenate(vs)
-        order = np.argsort(b, kind="stable")
-        b, v = b[order], v[order]
-        bounds = np.flatnonzero(np.diff(b)) + 1
-        rows = []
-        for bucket_id, bucket_vals in zip(b[np.r_[0, bounds]], np.split(v, bounds)):
-            nn = np.isnan(bucket_vals)
-            arr = bucket_vals[~nn]
-            sk = KLL(k=kll_k)
-            sk.update_batch(arr)
-            rows.append(
-                (
-                    int(bucket_id),
-                    len(bucket_vals),
-                    int(nn.sum()),
-                    float(arr.min()) if arr.size else None,
-                    float(arr.max()) if arr.size else None,
-                    float(arr.sum()) if arr.size else None,
-                    sk.serialize(),
-                )
-            )
-        yield pd.DataFrame(
-            rows,
-            columns=[
-                "bucket_id", "n_rows", "n_null", "min_value", "max_value",
-                "sum_value", "kll",
-            ],
-        )
+    partials = make_partials(value_col, kll_k)
 
     def merge(pdf: pd.DataFrame) -> pd.DataFrame:
         merged = merge_serialized([bytes(b) for b in pdf["kll"] if b is not None])

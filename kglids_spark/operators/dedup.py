@@ -282,8 +282,9 @@ def minhash_lsh_pairs_md5_oracle_sql(
       FROM {table}),
     words AS (SELECT id, string_split(t, ' ') AS ws FROM norm),
     shingles AS (
+      -- lateral unnest: unbounded positions (no silent word-length cap)
       SELECT DISTINCT id, array_to_string(ws[i:i+{shingle_n - 1}], ' ') AS sh
-      FROM words JOIN range(1, 100001) r(i) ON i <= greatest(len(ws) - {shingle_n - 1}, 1)),
+      FROM words, unnest(range(1, greatest(len(ws) - {shingle_n - 1}, 1) + 1)) u(i)),
     sigs AS (
       SELECT id, p, min(md5(p::VARCHAR || ':' || sh)) AS mh
       FROM shingles CROSS JOIN range(0, {num_perm}) s(p)

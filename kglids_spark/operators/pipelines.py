@@ -300,10 +300,15 @@ def search_classifier(
     """DISTINCT (Dataset, Pipeline, Classifier, Score) for every known
     classifier call (reference api/template.py:666-711: a UNION branch
     per classifier; here one isin filter)."""
-    hits = statements.filter(
-        F.col("call_name").isin(list(CLASSIFIERS))
-        & F.col("module").isin([f"{m}" for m in CLASSIFIERS.values()])
-    ).select("pipeline_id", F.col("call_name").alias("Classifier"))
+    # pairwise (call_name, module) match — two independent isin()s would
+    # admit mismatched cross-products like SVC + sklearn.ensemble, which
+    # the reference's per-classifier UNION branches never produce
+    pair_cond = F.lit(False)
+    for cname, mod in CLASSIFIERS.items():
+        pair_cond = pair_cond | ((F.col("call_name") == cname) & (F.col("module") == mod))
+    hits = statements.filter(pair_cond).select(
+        "pipeline_id", F.col("call_name").alias("Classifier")
+    )
     p = pipelines
     if dataset:
         p = p.filter(F.col("dataset") == dataset)

@@ -170,7 +170,7 @@ def k_hop_paths(
         edges.filter(F.col("score") >= threshold).select(
             F.col("table2_id").alias("src"), F.col("table1_id").alias("dst"), "score"
         )
-    ).distinct()
+    ).distinct().persist()
 
     frontier = sym.filter(F.col("src") == start_table).select(
         F.array(F.col("src"), F.col("dst")).alias("path"),
@@ -180,6 +180,12 @@ def k_hop_paths(
     results = frontier.filter(F.col("end") == target_table).select(
         "path", F.size("path").alias("nodes"), "min_score"
     )
+    # Each hop's frontier is persisted and materialized before the next
+    # self-join: without this, hop h's plan re-executes every prior join
+    # once per downstream union branch — exponential recomputation in
+    # max_hops (VERDICT r1). The count() doubles as an early exit on an
+    # exhausted frontier; per-hop cached frontiers stay pinned because
+    # `results` reads them lazily at the caller's action.
     for _ in range(max_hops - 1):
         frontier = (
             frontier.filter(F.col("end") != target_table)
@@ -190,7 +196,10 @@ def k_hop_paths(
                 F.col("dst").alias("end"),
                 F.least(F.col("min_score"), F.col("score")).alias("min_score"),
             )
+            .persist()
         )
+        if frontier.count() == 0:
+            break
         results = results.unionByName(
             frontier.filter(F.col("end") == target_table).select(
                 "path", F.size("path").alias("nodes"), "min_score"

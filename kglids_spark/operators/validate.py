@@ -315,7 +315,16 @@ def validate(
         src = baseline_store or ledger
         if src is None:
             raise ValueError("baseline_snapshot_id requires a ledger or baseline_store")
-        prior = _dedupe_earliest(src.read("bucket_stats", snapshot_id=baseline_snapshot_id))
+        # filter to THIS constraint suite + bucketing before the merge:
+        # a ledger holding appends from runs with a different constraint
+        # hash or bucket count would otherwise silently mix incompatible
+        # per-bucket histograms (colliding bucket_ids under different
+        # bucketings) into the drift baseline
+        prior = _dedupe_earliest(
+            src.read("bucket_stats", snapshot_id=baseline_snapshot_id).filter(
+                (F.col("constraint_hash") == chash) & (F.col("n_buckets") == n_buckets)
+            )
+        )
         n_cells = drift_spec.n_cells if drift_spec is not None else None
         hists = [
             list(r.hist)
