@@ -1709,17 +1709,75 @@ def sample_deterministic_hash(spark, sf_dir):
     return li.filter(key < "20").select("l_orderkey", "l_linenumber")
 
 
-@register("multimodal_features")  # stubbed decode: rows-only check
+# Multimodal: payloads are REAL encoded BMP/WAV/KGV1 media; the oracle
+# inlines expected rows computed at import time by the SAME pure-Python
+# codecs the executors run (media_codecs), so the distributed decode
+# plumbing (mapInPandas batching, explode-before-decode) is value-
+# checked end-to-end — the md5-twin strategy applied to binary columns.
+
+_N_MEDIA = 60
+
+
+def _media_features_values_sql() -> str:
+    from kglids_spark.functions import media_codecs as MC
+
+    rows = []
+    for i in range(_N_MEDIA):
+        r = MC.synth_media_row(i)
+        for j, v in enumerate(MC.features_for_payload(r["kind"], r["payload"])):
+            rows.append(f"({_sq(r['media_id'])}, {_sq(r['kind'])}, {j}, {v!r})")
+    return (
+        "SELECT * FROM (VALUES "
+        + ", ".join(rows)
+        + ") t(media_id, kind, feat_idx, feat_value)"
+    )
+
+
+def _media_frames_values_sql(every_ms: int = 60, fps: int = 25) -> str:
+    import numpy as np
+
+    from kglids_spark.functions import media_codecs as MC
+
+    rows = []
+    for i in range(_N_MEDIA):
+        r = MC.synth_media_row(i)
+        if r["kind"] != "video":
+            continue
+        frames = MC.decode_video(r["payload"])
+        dur = r["duration_ms"]
+        for ts in range(0, max(dur - 1, 0) + 1, every_ms):
+            fidx = min(int(ts * fps / 1000), int(dur * fps / 1000) - 1)
+            px = MC.decode_bmp(frames[fidx]).astype(np.float64)
+            luma = float((px @ np.array([0.299, 0.587, 0.114])).mean())
+            rows.append(f"({_sq(r['media_id'])}, {ts}, {fidx}, {luma!r})")
+    return (
+        "SELECT * FROM (VALUES "
+        + ", ".join(rows)
+        + ") t(media_id, frame_ts_ms, frame_idx, frame_luma)"
+    )
+
+
+@register("multimodal_features", _media_features_values_sql())
 def multimodal_features(spark, sf_dir):
+    """Real decode: BMP/WAV/KGV1 payloads → 16 features per media row,
+    exploded to scalar (media_id, kind, feat_idx, feat_value) rows for
+    the exact oracle compare."""
     from kglids_spark.operators.multimodal import extract_features, synthetic_media
 
-    media = synthetic_media(spark, 200)
-    return extract_features(media)
+    media = synthetic_media(spark, _N_MEDIA)
+    return extract_features(media).select(
+        "media_id",
+        "kind",
+        F.posexplode("features").alias("feat_idx", "feat_value"),
+    )
 
 
-@register("multimodal_frame_sampling")  # rows-only check
+@register("multimodal_frame_sampling", _media_frames_values_sql())
 def multimodal_frame_sampling(spark, sf_dir):
+    """Timestamp explode (JVM-side) then real per-frame decode: each
+    sampled frame's mean luma, value-checked against the driver-side
+    decode of the same deterministic payloads."""
     from kglids_spark.operators.multimodal import sample_frames, synthetic_media
 
-    media = synthetic_media(spark, 200)
-    return sample_frames(media, every_ms=60000).drop("payload")
+    media = synthetic_media(spark, _N_MEDIA)
+    return sample_frames(media, every_ms=60)
