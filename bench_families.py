@@ -1,0 +1,153 @@
+#!/usr/bin/env python
+"""Family-scale bench: dedup + ANN operators at 100× the sf0.1 corpus
+(VERDICT r1 #10). Prints ONE JSON line.
+
+The driver's bench.py stays the per-round contract; this script is the
+deeper plan-regression probe run manually per round, results recorded
+in BENCH.md. Corpus: a deterministic hash-word-soup documents table in
+the style of the testdata generator (same vocabulary construction as
+/root/testdata documents — word tokens drawn by hash), with 1% planted
+clone pairs; embeddings are hash-derived unit-ish vectors with an IVF
+label. Everything JVM-side expressions, regenerated only when the row
+count changes.
+
+Usage: python bench_families.py [--docs 500000] [--vecs 200000]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+DOCS = int(os.environ.get("SPARK_GRAFT_FAM_DOCS", "500000"))
+VECS = int(os.environ.get("SPARK_GRAFT_FAM_VECS", "200000"))
+DIM = 64
+DOCS_PATH = os.environ.get("SPARK_GRAFT_FAM_DOCS_PATH", "/tmp/kglids_bench_docs")
+VECS_PATH = os.environ.get("SPARK_GRAFT_FAM_VECS_PATH", "/tmp/kglids_bench_vecs")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "8"))
+
+
+def _gen_documents(spark, n_rows: int):
+    """~60-word hash-soup docs over a 10k vocab; every doc_id ending in
+    00 is an exact clone of doc_id-1 (1% planted exact/near dup mass)."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(n_rows)
+    base = F.when(F.col("id") % 100 == 99, F.col("id") - 1).otherwise(F.col("id"))
+    n_words = (F.pmod(F.xxhash64(F.lit("n"), base), F.lit(40)) + 60).cast("int")
+    words = F.transform(
+        F.sequence(F.lit(0), n_words - 1),
+        lambda p: F.concat(
+            F.lit("w"), F.pmod(F.xxhash64(F.lit("v"), base, p), F.lit(10000))
+        ),
+    )
+    return df.select(
+        F.col("id").alias("doc_id"),
+        F.array_join(words, " ").alias("text"),
+    )
+
+
+def _gen_embeddings(spark, n_rows: int, dim: int):
+    from pyspark.sql import functions as F
+
+    df = spark.range(n_rows)
+    emb = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda j: (F.pmod(F.xxhash64(F.lit("e"), F.col("id"), j), F.lit(2001)) - 1000)
+        / 1000.0,
+    )
+    return df.select(
+        F.col("id").alias("vec_id"),
+        emb.alias("embedding"),
+        F.pmod(F.xxhash64(F.lit("l"), F.col("id")), F.lit(64)).cast("int").alias("label"),
+    )
+
+
+def _ensure(spark, path: str, n_rows: int, gen) -> None:
+    import pyarrow.dataset as ds
+
+    try:
+        if os.path.exists(os.path.join(path, "_SUCCESS")):
+            have = sum(
+                f.metadata.num_rows for f in ds.dataset(path, format="parquet").get_fragments()
+            )
+            if have == n_rows:
+                return
+    except Exception:
+        pass
+    gen(spark, n_rows).write.mode("overwrite").parquet(path)
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    from kglids_spark.operators import ann, dedup
+    from kglids_spark.session import get_spark
+
+    spark = get_spark(app_name="bench_families", cpus=CPUS)
+    _ensure(spark, DOCS_PATH, DOCS, _gen_documents)
+    _ensure(spark, VECS_PATH, VECS, lambda s, n: _gen_embeddings(s, n, DIM))
+    docs = spark.read.parquet(DOCS_PATH)
+    vecs = spark.read.parquet(VECS_PATH)
+    queries = (
+        vecs.filter(F.col("vec_id") % (VECS // 100) == 0)
+        .select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+        .cache()
+    )
+    queries.count()
+
+    import math
+
+    centroids = [
+        [math.sin(0.37 * (c + 1) * (j + 1)) for j in range(DIM)] for c in range(64)
+    ]
+
+    ops = {
+        "dedup_exact": lambda: dedup.exact_duplicates(docs).count(),
+        "dedup_minhash_lsh": lambda: dedup.minhash_lsh_pairs(
+            docs, num_perm=16, bands=8, threshold=0.5
+        ).count(),
+        "dedup_simhash": lambda: dedup.simhash_pairs(docs, max_hamming=3).count(),
+        "dedup_ngram_jaccard": lambda: dedup.ngram_jaccard_pairs(
+            docs, threshold=0.5, max_shingle_df=50
+        ).count(),
+        "ann_lsh": lambda: ann.lsh_knn_join(queries, vecs, k=10, n_planes=12).count(),
+        "ann_ivf": lambda: ann.ivf_topk(queries, vecs, centroids, k=10).count(),
+    }
+
+    results: dict[str, dict] = {}
+    for name, fn in ops.items():
+        t0 = time.time()
+        out_rows = fn()
+        warm = time.time() - t0
+        t0 = time.time()
+        out_rows = fn()
+        hot = time.time() - t0
+        unit_rows = VECS if name.startswith("ann") else DOCS
+        results[name] = {
+            "sec_warm": round(warm, 2),
+            "sec_hot": round(min(warm, hot), 2),
+            "result_rows": out_rows,
+            "rows_per_sec": round(unit_rows / min(warm, hot), 1),
+        }
+        print(f"[fam] {name}: {results[name]}", file=sys.stderr, flush=True)
+
+    print(
+        json.dumps(
+            {
+                "metric": "dedup/ANN family throughput",
+                "docs": DOCS,
+                "vectors": VECS,
+                "dim": DIM,
+                "cpus": CPUS,
+                "ops": results,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

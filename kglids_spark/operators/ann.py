@@ -10,22 +10,26 @@ kglids_server.py:124-127). Spark-native equivalents:
 - knn_join: top-k per query row — blocked cross join + window
   row_number ≤ k. Exact but O(|Q|·|C|); for small query sets.
 - LSH path (the 100 TB route): deterministic random-hyperplane sign
-  buckets. Hyperplane components come from a hash of (seed, plane,
-  dim) so the bucketing is reproducible with no driver-side state and
-  computes entirely in Tungsten (no Python). Candidates within the
-  same bucket (optionally multi-probe over Hamming-1 neighbors) are
-  re-ranked exactly.
+  buckets. Hyperplanes are md5-derived from (seed, plane, dim) on the
+  driver and inlined as plan literals, so bucketing is reproducible
+  with no mutable driver state and every dot product is an unrolled
+  whole-stage-codegen scalar chain (no Python, no interpreted
+  higher-order functions). Candidates within the same bucket
+  (optionally multi-probe over Hamming-1 neighbors) are re-ranked
+  exactly.
 """
 
 from __future__ import annotations
 
 import math
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from kglids_spark.functions.scalar import cosine_similarity, dot_product
+from kglids_spark.functions.scalar import cosine_similarity, dot_literal
 
 
 def brute_force_knn(
@@ -73,42 +77,40 @@ def knn_join(
 # LSH: deterministic random-hyperplane sign buckets
 
 
-def _hyperplane_component(seed: int, plane: int) -> F.Column:
-    """Pseudo-gaussian hyperplane component for each vector dimension:
-    sum of 4 hash-uniforms - 2 (Irwin-Hall CLT approx), derived from
-    (seed, plane, dim) so executors need no shipped state."""
+def gaussian_planes(n_planes: int, dim: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-gaussian hyperplanes: component (p, d) is an
+    Irwin-Hall sum of 4 md5-derived uniforms - 2 (CLT approx), computed
+    ONCE driver-side and inlined as plan literals (a few KB shipped with
+    the serialized plan — no driver state, no broadcast needed).
 
-    def comp(dim_idx: F.Column) -> F.Column:
-        total = F.lit(-2.0)
-        for r in range(4):
-            h = F.pmod(
-                F.xxhash64(F.lit(f"lsh:{seed}:{plane}:{r}"), dim_idx), F.lit(2**31)
-            )
-            total = total + (h + F.lit(0.5)) / F.lit(float(2**31))
-        return total
+    Round-1 computed these per ROW with hash expressions inside a
+    zip_with lambda: n_planes × dim × 4 interpreted hash calls per row
+    (~3k at 12×64) — measured 20+ s for a 50k-vector bucket pass that
+    the literal form does in well under a second."""
+    import hashlib
 
-    return comp
+    planes = []
+    for p in range(n_planes):
+        row = []
+        for d in range(dim):
+            total = -2.0
+            for r in range(4):
+                h = int.from_bytes(
+                    hashlib.md5(f"lshg:{seed}:{p}:{d}:{r}".encode()).digest()[:4], "big"
+                )
+                total += (h + 0.5) / 2.0**32
+            row.append(total)
+        planes.append(row)
+    return planes
 
 
 def lsh_bucket_expr(
-    vec_col: str = "embedding", n_planes: int = 8, seed: int = 42
+    vec_col: str = "embedding", n_planes: int = 8, seed: int = 42, dim: int = 64
 ) -> F.Column:
-    """Bucket id in [0, 2^n_planes): sign bit per hyperplane.
-
-    dot(v, plane_p) = Σ_d v[d] * g(seed,p,d), computed with
-    zip_with over (vector, dim-index sequence) — all JVM-side."""
-    v = F.col(vec_col)
-    dims = F.transform(F.sequence(F.lit(0), F.size(v) - 1), lambda i: i.cast("long"))
-    bucket = F.lit(0).cast("long")
-    for p in range(n_planes):
-        comp = _hyperplane_component(seed, p)
-        dot = F.aggregate(
-            F.zip_with(v, dims, lambda x, d: x.cast("double") * comp(d)),
-            F.lit(0.0),
-            lambda acc, t: acc + t,
-        )
-        bucket = bucket + F.when(dot > 0, F.lit(1 << p).cast("long")).otherwise(F.lit(0))
-    return bucket
+    """Bucket id in [0, 2^n_planes): sign bit per hyperplane, planes
+    inlined as literals (gaussian_planes), dot products unrolled into
+    whole-stage-codegen scalar chains (dot_literal)."""
+    return lsh_bucket_planes_expr(vec_col, gaussian_planes(n_planes, dim, seed))
 
 
 def lsh_knn_join(
@@ -117,6 +119,7 @@ def lsh_knn_join(
     k: int = 10,
     n_planes: int = 8,
     seed: int = 42,
+    dim: int = 64,
     q_id: str = "q_id",
     q_vec: str = "q_vec",
     c_id: str = "vec_id",
@@ -130,12 +133,12 @@ def lsh_knn_join(
     cc = corpus.select(
         F.col(c_id).alias("c_id"),
         F.col(c_vec).alias("c_vec"),
-        lsh_bucket_expr(c_vec, n_planes, seed).alias("bucket"),
+        lsh_bucket_expr(c_vec, n_planes, seed, dim).alias("bucket"),
     )
     qb = queries.select(
         F.col(q_id).alias("q_id"),
         F.col(q_vec).alias("q_vec"),
-        lsh_bucket_expr(q_vec, n_planes, seed).alias("b0"),
+        lsh_bucket_expr(q_vec, n_planes, seed, dim).alias("b0"),
     )
     if multiprobe:
         probes = F.array(
@@ -176,13 +179,14 @@ def md5_sign_planes(n_planes: int, dim: int, seed: int = 42) -> list[list[float]
 
 
 def lsh_bucket_planes_expr(vec_col, planes: list[list[float]]) -> F.Column:
-    """Bucket id from explicit ±1 hyperplane literals (portable
-    variant of lsh_bucket_expr; signs from md5_sign_planes)."""
+    """Bucket id from explicit hyperplane literals: sign bit per plane,
+    each dot product an unrolled codegen-able scalar chain (identical
+    summation order to the old aggregate fold, so bucket values and the
+    DuckDB oracle are unchanged)."""
     v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
     bucket = F.lit(0).cast("long")
     for p, plane in enumerate(planes):
-        arr = F.array(*[F.lit(x) for x in plane])
-        d = dot_product(v, arr)
+        d = dot_literal(v, plane)
         bucket = bucket + F.when(d > 0, F.lit(1 << p).cast("long")).otherwise(F.lit(0))
     return bucket
 
@@ -286,19 +290,52 @@ def ivf_assign(
     corpus: DataFrame,
     centroids: list[list[float]],
     vec_col: str = "embedding",
+    method: str = "auto",
 ) -> DataFrame:
     """IVF coarse quantization: assign each vector to its nearest
     centroid (broadcast literal array of centroids — the k-means fit
     itself is out of band). Downstream kNN probes only the closest
     lists, the classic IVF pruning. Ties break to the lowest centroid
-    index (strict-greater replacement)."""
-    best = None
-    for ci, cvec in enumerate(centroids):
-        c_arr = F.array(*[F.lit(float(x)) for x in cvec])
-        d = dot_product(F.col(vec_col), c_arr)
-        cand = F.struct(d.alias("score"), F.lit(ci).alias("centroid"))
-        best = cand if best is None else F.when(cand["score"] > best["score"], cand).otherwise(best)
-    return corpus.withColumn("ivf_list", best["centroid"])
+    index (negated-index struct max).
+
+    Two implementations, switched by ``method``:
+
+    - ``expr``: per-centroid unrolled literal dots + array_max over
+      (score, -index) structs — pure Catalyst, bit-reproducible
+      sequential summation (matches the DuckDB oracle), ties to the
+      LOWEST index. The expression tree is O(centroids × dim) PER ROW,
+      which exceeds whole-stage-codegen field limits and evaluates
+      interpreted beyond a couple dozen centroids (a 64×64 assignment
+      over 50k rows effectively hung) — so it is the small-codebook /
+      oracle path only.
+    - ``pandas``: Arrow-batched numpy ``V @ C.T`` + argmax — one BLAS
+      matmul per batch, the right tool for dense linear algebra at any
+      real codebook size (np.argmax also ties to the lowest index).
+      Summation order differs from sequential at ~1e-15 relative, so
+      assignments can differ from ``expr`` only on exact-tie scores.
+
+    ``auto`` picks expr for ≤16 centroids, pandas beyond."""
+    if method == "auto":
+        method = "expr" if len(centroids) <= 16 else "pandas"
+    if method == "expr":
+        v = F.col(vec_col)
+        scored = F.array(
+            *[
+                F.struct(dot_literal(v, cvec).alias("score"), F.lit(-ci).alias("nci"))
+                for ci, cvec in enumerate(centroids)
+            ]
+        )
+        best = F.array_max(scored)
+        return corpus.withColumn("ivf_list", (-best["nci"]).cast("int"))
+
+    ct = np.asarray(centroids, dtype=np.float64).T  # dim × k
+
+    @F.pandas_udf("int")
+    def assign(vecs: pd.Series) -> pd.Series:
+        m = np.stack(vecs.to_numpy())  # batch × dim
+        return pd.Series(np.argmax(m @ ct, axis=1).astype("int32"))
+
+    return corpus.withColumn("ivf_list", assign(F.col(vec_col)))
 
 
 def ivf_topk(

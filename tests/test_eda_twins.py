@@ -171,7 +171,7 @@ def test_ann_lsh_twin_lockstep(spark):
     queries = corpus.filter(F.col("vec_id").isin(5, 999)).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
     )
-    prod = ann.lsh_knn_join(queries, corpus, k=3, n_planes=4)
+    prod = ann.lsh_knn_join(queries, corpus, k=3, n_planes=4, dim=dim)
     twin = ann.lsh_knn_join_md5(queries, corpus, k=3, n_planes=4, dim=dim)
     for df in (prod, twin):
         top1 = {r.q_id: (r.c_id, r.cosine) for r in df.filter(F.col("rank") == 1).collect()}
@@ -182,3 +182,24 @@ def test_ann_lsh_twin_lockstep(spark):
     def joins(df):
         return df._jdf.queryExecution().optimizedPlan().toString().count("Join")
     assert joins(prod) == joins(twin)
+
+
+def test_ivf_assign_pandas_matches_expr(spark):
+    """The Arrow/numpy IVF assignment (scale path) must agree with the
+    Catalyst expression path (oracle path) everywhere off exact ties."""
+    import math
+
+    from kglids_spark.operators.ann import ivf_assign
+
+    dim = 16
+    vecs = spark.createDataFrame(
+        [
+            (i, [math.sin(0.31 * (i + 1) * (j + 1)) for j in range(dim)])
+            for i in range(500)
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    cents = [[math.cos(0.17 * (c + 1) * (j + 1)) for j in range(dim)] for c in range(12)]
+    a = {r.vec_id: r.ivf_list for r in ivf_assign(vecs, cents, method="expr").collect()}
+    b = {r.vec_id: r.ivf_list for r in ivf_assign(vecs, cents, method="pandas").collect()}
+    assert a == b
