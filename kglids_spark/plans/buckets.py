@@ -28,4 +28,12 @@ def bucket_expr(key: str = "doc_id", n_buckets: int = DEFAULT_BUCKETS) -> F.Colu
 def with_bucket(
     df: DataFrame, key: str = "doc_id", n_buckets: int = DEFAULT_BUCKETS
 ) -> DataFrame:
+    """Attach the logical bucket. If the frame already carries
+    ``bucket_id`` — e.g. it was read from a table physically
+    ``PARTITIONED BY (bucket_id)`` (see TableStore ``partition_by``) —
+    the stored column is trusted and reused: filters on it then hit the
+    partition layout, so resume-time completed-bucket exclusion prunes
+    whole files instead of scanning and discarding rows."""
+    if BUCKET_COL in df.columns:
+        return df
     return df.withColumn(BUCKET_COL, bucket_expr(key, n_buckets))

@@ -207,3 +207,43 @@ def test_kll_merge_stable_across_resume(spark, tokens_df, tmp_path):
     assert again.metrics["buckets_completed_prior"] == 8
     assert again.metrics["n_tok_median_kll"] == first.metrics["n_tok_median_kll"]
     assert again.metrics["n_tok_iqr_kll"] == first.metrics["n_tok_iqr_kll"]
+
+
+def test_bucket_partitioned_store_prunes_files(spark, tokens_df, tmp_path):
+    """A tokens table written PARTITIONED BY (bucket_id) — the Iceberg
+    ``bucket(N, doc_id)`` emulation — must give real file pruning for
+    the resume-time completed-bucket exclusion: the filtered scan's
+    plan carries a PartitionFilter and touches only the files of the
+    surviving buckets."""
+    store = TableStore(spark, str(tmp_path / "pstore"))
+    store.overwrite(
+        "tokens", with_bucket(tokens_df, n_buckets=N_BUCKETS), partition_by=[BUCKET_COL]
+    )
+    t = store.read("tokens")
+    completed = list(range(N_BUCKETS // 2))
+    pruned = t.filter(~F.col(BUCKET_COL).isin(completed))
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and BUCKET_COL in plan
+    read_files = {
+        r[0] for r in pruned.select(F.input_file_name()).distinct().collect()
+    }
+    assert read_files  # surviving buckets still read
+    assert all(f"{BUCKET_COL}={b}/" not in f for b in completed for f in read_files)
+    assert len(read_files) < len(t.inputFiles())
+
+
+def test_prebucketed_table_verdicts_identical(spark, tokens_df):
+    """validate() must trust a stored bucket_id column (partition
+    layout) and produce the exact verdict matrix of the computed-hash
+    path — the two are the same logical bucketing."""
+    suite = C.default_suite(SOURCES)
+    direct = validate(tokens_df, suite, n_buckets=N_BUCKETS, extract_violation_rows=False)
+    pre = validate(
+        with_bucket(tokens_df, n_buckets=N_BUCKETS),
+        suite,
+        n_buckets=N_BUCKETS,
+        extract_violation_rows=False,
+    )
+    assert sorted(map(tuple, pre.verdicts.collect())) == sorted(
+        map(tuple, direct.verdicts.collect())
+    )
