@@ -13,13 +13,18 @@ Two parts:
    on a deterministic tokens table at two parallelism levels
    (N vs 4N cores), reporting validated sequences/sec at both and the
    scaling efficiency throughput_4N / (4 * throughput_N). Each level
-   runs in its own subprocess (one JVM cannot change local[N] masters).
+   runs in its own pinned subprocess (one JVM cannot change local[N]
+   masters); single timed passes ALTERNATE between the two parked JVMs
+   so both levels sample the same host-weather window (see
+   _worker_loop docstring).
 
-   The pair defaults to local[2] vs local[8], NOT 8 vs 32: this sandbox
-   is a VM whose 32 vCPUs are host-overcommitted — measured 40% CPU
-   steal and zero aggregate throughput gain beyond 8 busy workers
-   (see BENCH.md "Host CPU evidence"), so 8→32 measures the host
-   scheduler, not the engine. Override with SPARK_GRAFT_SCALE_CPUS=8,32.
+   The pair defaults to local[1] vs local[4], NOT 8 vs 32: this sandbox
+   is a VM whose 32 vCPUs are host-overcommitted — measured zero
+   aggregate throughput gain beyond ~8 busy workers, and the per-core
+   grant at 8 threads oscillates 2-6x on a minutes timescale (BENCH.md
+   "Host CPU evidence"), so higher pairs measure the host scheduler,
+   not the engine. 1→4 stays inside the host's reliably-granted
+   capacity. Override with SPARK_GRAFT_SCALE_CPUS=2,8 etc.
 """
 
 from __future__ import annotations
@@ -32,11 +37,11 @@ import time
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-# 6M rows (~7.6 GB parquet): large enough that the ~2s fixed driver
+# 12M rows (~15 GB parquet): large enough that the ~3s fixed driver
 # overhead per run (plan/scheduling of ~4 jobs, measured with a 1-row
-# input) stays under 15% of the shortest timed config
-BENCH_ROWS = int(os.environ.get("SPARK_GRAFT_BENCH_ROWS", "6000000"))
-TOKENS_PATH = os.environ.get("SPARK_GRAFT_TOKENS_PATH", "/tmp/kglids_bench_tokens")
+# input) stays under 10% of the shortest timed config
+BENCH_ROWS = int(os.environ.get("SPARK_GRAFT_BENCH_ROWS", "12000000"))
+TOKENS_PATH = os.environ.get("SPARK_GRAFT_TOKENS_PATH", "/tmp/kglids_bench_tokens12")
 
 HEADLINE = [
     "q1_pricing_summary",
@@ -101,6 +106,137 @@ def _worker_validate(cpus: int, tokens_path: str, repeats: int = 4) -> dict:
     }
     spark.stop()
     return out
+
+
+def _worker_loop(cpus: int, tokens_path: str) -> None:
+    """Long-lived pinned worker: parks between passes and runs one
+    timed validate pass per "run" command on stdin.
+
+    Why a loop instead of N back-to-back passes: this host's effective
+    CPU/memory bandwidth wobbles 2-3x on a minutes timescale (identical
+    cached scans measured 14.5-39s — BENCH.md "Host CPU evidence"), so
+    timing all local[N] passes, THEN all local[4N] passes confounds the
+    scaling ratio with host weather. The orchestrator alternates single
+    passes between two parked JVMs so both levels sample the same
+    weather window; best-of-per-level then compares like with like."""
+    from kglids_spark.session import get_spark
+    from kglids_spark.operators import constraints as C
+    from kglids_spark.operators.validate import validate
+    from kglids_spark.sources.tokens import SOURCES
+
+    spark = get_spark(app_name=f"bench_validate_{cpus}", cpus=cpus)
+    df = spark.read.parquet(tokens_path)
+    suite = C.default_suite(SOURCES)
+    for line in sys.stdin:
+        cmd = line.strip()
+        if cmd == "quit":
+            break
+        if cmd == "warmup":
+            # full-size pass (codegen/JIT, parquet footers, page cache)
+            validate(df, suite, n_buckets=64, extract_violation_rows=False)
+            print(json.dumps({"ok": True}), flush=True)
+            continue
+        if cmd == "run":
+            t0 = time.time()
+            res = validate(df, suite, n_buckets=64, extract_violation_rows=True)
+            n_viol = res.violations.count()
+            dt = time.time() - t0
+            print(
+                json.dumps(
+                    {
+                        "t": round(dt, 3),
+                        "rows": res.metrics["rows_validated"],
+                        "violations": n_viol,
+                        "distinct_estimate": res.metrics["distinct_key_estimate"],
+                    }
+                ),
+                flush=True,
+            )
+    spark.stop()
+
+
+class _PinnedWorker:
+    """Handle on a taskset-pinned ``--worker-loop`` subprocess."""
+
+    def __init__(self, cpus: int):
+        self.cpus = cpus
+        cmd = [
+            "taskset", "-c", f"0-{cpus - 1}",
+            sys.executable, os.path.abspath(__file__),
+            "--worker-loop", "--cpus", str(cpus),
+        ]
+        self.proc = subprocess.Popen(
+            cmd,
+            stdin=subprocess.PIPE,
+            stdout=subprocess.PIPE,
+            stderr=subprocess.DEVNULL,
+            text=True,
+        )
+
+    def _cmd(self, cmd: str) -> dict:
+        assert self.proc.stdin and self.proc.stdout
+        self.proc.stdin.write(cmd + "\n")
+        self.proc.stdin.flush()
+        line = self.proc.stdout.readline()
+        if not line:
+            raise RuntimeError(f"worker local[{self.cpus}] died")
+        return json.loads(line)
+
+    def warmup(self) -> None:
+        self._cmd("warmup")
+
+    def run(self) -> dict:
+        return self._cmd("run")
+
+    def quit(self) -> None:
+        try:
+            assert self.proc.stdin
+            self.proc.stdin.write("quit\n")
+            self.proc.stdin.flush()
+            self.proc.wait(timeout=120)
+        except Exception:
+            self.proc.kill()
+
+
+def _scaling_measurement(
+    low_cpus: int, high_cpus: int, passes: int = 5
+) -> tuple[dict, dict]:
+    """Interleaved paired sampling: one warmup per JVM, then alternate
+    single timed passes low/high. Only one worker computes at a time
+    (the other JVM is parked on a blocking stdin read), so passes never
+    contend; interleaving puts both levels in the same weather window."""
+    w_low, w_high = _PinnedWorker(low_cpus), _PinnedWorker(high_cpus)
+    try:
+        w_low.warmup()
+        w_high.warmup()
+        runs_low, runs_high = [], []
+        for i in range(passes):
+            runs_low.append(w_low.run())
+            runs_high.append(w_high.run())
+            print(
+                f"[bench] pass {i + 1}/{passes}: local[{low_cpus}]={runs_low[-1]['t']}s "
+                f"local[{high_cpus}]={runs_high[-1]['t']}s",
+                file=sys.stderr,
+                flush=True,
+            )
+    finally:
+        w_low.quit()
+        w_high.quit()
+
+    def summarize(cpus: int, runs: list[dict]) -> dict:
+        best = min(r["t"] for r in runs)
+        rows = runs[0]["rows"]
+        return {
+            "cpus": cpus,
+            "rows": rows,
+            "elapsed_sec": best,
+            "all_runs_sec": [r["t"] for r in runs],
+            "sequences_per_sec": round(rows / best, 1),
+            "violations": runs[0]["violations"],
+            "distinct_estimate": runs[0]["distinct_estimate"],
+        }
+
+    return summarize(low_cpus, runs_low), summarize(high_cpus, runs_high)
 
 
 def _worker_generate(cpus: int, rows: int, tokens_path: str) -> dict:
@@ -170,6 +306,10 @@ def main() -> None:
         cpus = int(sys.argv[sys.argv.index("--cpus") + 1])
         print(json.dumps(_worker_validate(cpus, TOKENS_PATH)))
         return
+    if "--worker-loop" in sys.argv:
+        cpus = int(sys.argv[sys.argv.index("--cpus") + 1])
+        _worker_loop(cpus, TOKENS_PATH)
+        return
     if "--worker-generate" in sys.argv:
         cpus = int(sys.argv[sys.argv.index("--cpus") + 1])
         print(json.dumps(_worker_generate(cpus, BENCH_ROWS, TOKENS_PATH)))
@@ -215,13 +355,12 @@ def main() -> None:
         if _existing_rows(TOKENS_PATH) != BENCH_ROWS
         else {"generated_rows": BENCH_ROWS, "gen_sec": 0.0}
     )
-    scale_pair = os.environ.get("SPARK_GRAFT_SCALE_CPUS", "2,8")
+    scale_pair = os.environ.get("SPARK_GRAFT_SCALE_CPUS", "1,4")
     low_cpus, high_cpus = (int(x) for x in scale_pair.split(","))
     host = _host_cpu_speedup(low_cpus, high_cpus)
     print(f"[bench] host probe: {host}", file=sys.stderr, flush=True)
-    v_low = _spawn(["--worker-validate", "--cpus", str(low_cpus)], pin_cpus=low_cpus)
+    v_low, v_high = _scaling_measurement(low_cpus, high_cpus, passes=4)
     print(f"[bench] local[{low_cpus}]: {v_low}", file=sys.stderr, flush=True)
-    v_high = _spawn(["--worker-validate", "--cpus", str(high_cpus)], pin_cpus=high_cpus)
     print(f"[bench] local[{high_cpus}]: {v_high}", file=sys.stderr, flush=True)
     # peak = best measured config. An unpinned local[32] run was tried
     # and measures WORSE than pinned local[8] (310k vs 394k seq/s):

@@ -38,6 +38,15 @@ def main(argv: list[str] | None = None) -> int:
     g.add_argument("--seed", type=int, default=42)
     g.add_argument("--partitions", type=int, default=None)
     g.add_argument("--no-violations", action="store_true")
+    g.add_argument(
+        "--bucket-partitioned",
+        type=int,
+        default=None,
+        metavar="N_BUCKETS",
+        help="materialize bucket_id and write PARTITIONED BY (bucket_id) "
+        "— the Iceberg bucket(N, doc_id) layout; validate then gets "
+        "file-level resume pruning",
+    )
 
     v = sub.add_parser("validate", help="run the constraint suite")
     v.add_argument("--input", required=True)
@@ -79,7 +88,36 @@ def main(argv: list[str] | None = None) -> int:
     a.add_argument("--scripts", required=True, help="directory of .py files")
     a.add_argument("--out", default=None, help="parquet output for statement rows")
 
+    z = sub.add_parser(
+        "package",
+        help="zip the kglids_spark package for spark-submit --py-files "
+        "(north_rule: the job ships as one archive to every executor)",
+    )
+    z.add_argument("--out", default="kglids_spark.zip")
+
     args = ap.parse_args(argv)
+
+    if args.cmd == "package":
+        # no SparkSession needed: pure-stdlib zip of the package tree
+        import os
+        import zipfile
+
+        pkg_root = os.path.dirname(os.path.abspath(__file__))
+        with zipfile.ZipFile(args.out, "w", zipfile.ZIP_DEFLATED) as zf:
+            for dirpath, dirnames, filenames in os.walk(pkg_root):
+                dirnames[:] = [d for d in dirnames if d != "__pycache__"]
+                for fn in sorted(filenames):
+                    if not fn.endswith(".py"):
+                        continue
+                    full = os.path.join(dirpath, fn)
+                    rel = os.path.join(
+                        "kglids_spark", os.path.relpath(full, pkg_root)
+                    )
+                    zf.write(full, rel)
+            n_files = len(zf.namelist())
+        print(json.dumps({"written": args.out, "files": n_files}))
+        return 0
+
     spark = get_spark(app_name=f"kglids_spark.{args.cmd}", cpus=getattr(args, "cpus", None))
 
     if args.cmd == "generate":
@@ -90,7 +128,13 @@ def main(argv: list[str] | None = None) -> int:
             plant_violations=not args.no_violations,
             partitions=args.partitions,
         )
-        df.write.mode("overwrite").parquet(args.out)
+        w = df.write.mode("overwrite")
+        if args.bucket_partitioned:
+            from kglids_spark.plans.buckets import with_bucket
+
+            df = with_bucket(df, n_buckets=args.bucket_partitioned)
+            w = df.write.mode("overwrite").partitionBy("bucket_id")
+        w.parquet(args.out)
         print(json.dumps({"written": args.out, "rows": args.rows}))
         return 0
 

@@ -305,10 +305,18 @@ def validate(
         all_stats = new_stats
 
     # ---- idempotent merge: earliest run wins per bucket ----------------
-    # persist: merged feeds both the driver-side verdict build and the
-    # HLL-union job — without it the whole input scan would run twice
-    merged = _dedupe_earliest(all_stats).persist()
-    merged_rows = merged.collect()
+    # ONE action returns both the per-bucket sketch rows and the
+    # cross-bucket HLL union estimate (collect_list + hll_union_agg in
+    # the same aggregate): a separate estimate job would re-run the
+    # whole input scan (or force a persist) and add ~1s of fixed
+    # per-pass job overhead that the N-vs-4N efficiency pays at 4N
+    merged = _dedupe_earliest(all_stats)
+    agg_row = merged.groupBy().agg(
+        F.collect_list(F.struct(*merged.columns)).alias("rows"),
+        F.hll_sketch_estimate(F.hll_union_agg("hll_key")).alias("est"),
+    ).collect()[0]
+    merged_rows = list(agg_row.rows)
+    est = int(agg_row.est) if agg_row.est is not None else 0
 
     # ---- baseline from a ledger snapshot (time travel) -----------------
     if baseline_hist is None and baseline_snapshot_id is not None:
@@ -434,16 +442,25 @@ def validate(
     else:
         viols = spark.createDataFrame([], f"{key} string, constraint_id string")
 
-    # ---- distinct estimate + lineage metrics -----------------------------
-    est = merged.agg(
-        F.hll_sketch_estimate(F.hll_union_agg("hll_key")).alias("est")
-    ).collect()[0].est if merged_rows else 0
-    merged.unpersist()
+    # ---- lineage metrics -------------------------------------------------
     if extract_violation_rows:
         slim_df.unpersist()
     if dup_counts is not None:
         dup_counts.unpersist()
     elapsed = time.time() - t_start
+    # executor metrics ride the lineage row (north_star: "lineage
+    # (snapshot id, constraint-set hash, executor metrics)"); guarded —
+    # the py4j status APIs are best-effort across Spark builds
+    exec_metrics: dict = {}
+    try:
+        sc = spark.sparkContext
+        exec_metrics = {
+            "n_executors": int(sc._jsc.sc().getExecutorMemoryStatus().size()),
+            "default_parallelism": int(sc.defaultParallelism),
+            "master": sc.master,
+        }
+    except Exception:  # pragma: no cover
+        pass
     metrics = {
         "run_id": run_id,
         "constraint_hash": chash,
@@ -455,6 +472,7 @@ def validate(
         "elapsed_sec": elapsed,
         "sequences_per_sec": (int(n_rows_total) / elapsed) if elapsed > 0 else 0.0,
         **({"stats_snapshot": stats_snapshot} if stats_snapshot else {}),
+        **({"executors": exec_metrics} if exec_metrics else {}),
         **sketch_metrics,
         **drift_metrics,
     }
