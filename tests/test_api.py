@@ -118,3 +118,36 @@ def test_pipeline_apis(kglids):
     models = kglids.show_top_k_models_by_task("classification", k=3)
     assert models.iloc[0]["Usage"] >= 1
     assert all(m.endswith("Classifier") for m in models["Module"])
+
+
+def test_package_zip_imports_standalone(tmp_path):
+    """`cli package` must produce a --py-files zip from which every
+    module resolves without the source tree on sys.path (the
+    spark-submit shipping path)."""
+    import subprocess
+    import sys
+
+    out = tmp_path / "kglids_spark.zip"
+    r = subprocess.run(
+        [sys.executable, "-m", "kglids_spark.cli", "package", "--out", str(out)],
+        capture_output=True,
+        text=True,
+        check=True,
+    )
+    probe = (
+        "import sys; sys.path.insert(0, sys.argv[1]); "
+        "import importlib; "
+        "mods = ['kglids_spark', 'kglids_spark.operators.constraints', "
+        "'kglids_spark.operators.validate', 'kglids_spark.plans.buckets']; "
+        "[importlib.import_module(m) for m in mods]; "
+        "import kglids_spark; assert sys.argv[1] in kglids_spark.__file__; "
+        "print('ok')"
+    )
+    r2 = subprocess.run(
+        [sys.executable, "-c", probe, str(out)],
+        capture_output=True,
+        text=True,
+        cwd=str(tmp_path),  # away from the repo root so the zip is the only source
+        check=True,
+    )
+    assert r2.stdout.strip().endswith("ok")

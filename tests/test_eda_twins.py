@@ -203,3 +203,41 @@ def test_ivf_assign_pandas_matches_expr(spark):
     a = {r.vec_id: r.ivf_list for r in ivf_assign(vecs, cents, method="expr").collect()}
     b = {r.vec_id: r.ivf_list for r in ivf_assign(vecs, cents, method="pandas").collect()}
     assert a == b
+
+
+def test_lsh_bucket_pandas_matches_expr(spark):
+    """The Arrow/numpy LSH bucket (production path) must agree with the
+    literal-expression path everywhere off exact hyperplane ties; the
+    two differ only in float summation order (~1e-15)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from kglids_spark.operators.ann import (
+        gaussian_planes,
+        lsh_bucket_pandas_udf,
+        lsh_bucket_planes_expr,
+    )
+
+    dim = 64
+    vecs = spark.createDataFrame(
+        [
+            (i, [math.sin(0.23 * (i + 1) * (j + 1)) for j in range(dim)])
+            for i in range(400)
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    planes = gaussian_planes(8, dim, 42)
+    a = {
+        r.vec_id: r.b
+        for r in vecs.select(
+            "vec_id", lsh_bucket_planes_expr(F.col("embedding"), planes).alias("b")
+        ).collect()
+    }
+    b = {
+        r.vec_id: r.b
+        for r in vecs.select(
+            "vec_id", lsh_bucket_pandas_udf(planes)(F.col("embedding")).alias("b")
+        ).collect()
+    }
+    assert a == b
