@@ -1909,7 +1909,10 @@ def _media_features_values_sql() -> str:
     for i in range(_N_MEDIA):
         r = MC.synth_media_row(i)
         for j, v in enumerate(MC.features_for_payload(r["kind"], r["payload"])):
-            rows.append(f"({_sq(r['media_id'])}, {_sq(r['kind'])}, {j}, {v!r})")
+            # ::DOUBLE — bare float literals in a VALUES list take a
+            # common DECIMAL type whose double conversion is inexact
+            # (125.921875 came back 125.92187499999999)
+            rows.append(f"({_sq(r['media_id'])}, {_sq(r['kind'])}, {j}, {v!r}::DOUBLE)")
     return (
         "SELECT * FROM (VALUES "
         + ", ".join(rows)
@@ -1933,7 +1936,7 @@ def _media_frames_values_sql(every_ms: int = 60, fps: int = 25) -> str:
             fidx = min(int(ts * fps / 1000), int(dur * fps / 1000) - 1)
             px = MC.decode_bmp(frames[fidx]).astype(np.float64)
             luma = float((px @ np.array([0.299, 0.587, 0.114])).mean())
-            rows.append(f"({_sq(r['media_id'])}, {ts}, {fidx}, {luma!r})")
+            rows.append(f"({_sq(r['media_id'])}, {ts}, {fidx}, {luma!r}::DOUBLE)")
     return (
         "SELECT * FROM (VALUES "
         + ", ".join(rows)
