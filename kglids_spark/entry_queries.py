@@ -1909,10 +1909,12 @@ def _media_features_values_sql() -> str:
     for i in range(_N_MEDIA):
         r = MC.synth_media_row(i)
         for j, v in enumerate(MC.features_for_payload(r["kind"], r["payload"])):
-            # ::DOUBLE — bare float literals in a VALUES list take a
-            # common DECIMAL type whose double conversion is inexact
-            # (125.921875 came back 125.92187499999999)
-            rows.append(f"({_sq(r['media_id'])}, {_sq(r['kind'])}, {j}, {v!r}::DOUBLE)")
+            # string-cast to DOUBLE — a bare float literal parses as
+            # DECIMAL, and DuckDB's decimal->double conversion is
+            # lossy past 2^53 of scaled integer (56.061243749999996
+            # came back 56.06124375, even with an explicit ::DOUBLE on
+            # the numeric literal); the string parse is exact
+            rows.append(f"({_sq(r['media_id'])}, {_sq(r['kind'])}, {j}, '{v!r}'::DOUBLE)")
     return (
         "SELECT * FROM (VALUES "
         + ", ".join(rows)
@@ -1936,7 +1938,7 @@ def _media_frames_values_sql(every_ms: int = 60, fps: int = 25) -> str:
             fidx = min(int(ts * fps / 1000), int(dur * fps / 1000) - 1)
             px = MC.decode_bmp(frames[fidx]).astype(np.float64)
             luma = float((px @ np.array([0.299, 0.587, 0.114])).mean())
-            rows.append(f"({_sq(r['media_id'])}, {ts}, {fidx}, {luma!r}::DOUBLE)")
+            rows.append(f"({_sq(r['media_id'])}, {ts}, {fidx}, '{luma!r}'::DOUBLE)")
     return (
         "SELECT * FROM (VALUES "
         + ", ".join(rows)
