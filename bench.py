@@ -31,8 +31,10 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import subprocess
 import sys
+import tempfile
 import time
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -157,10 +159,18 @@ def _worker_loop(cpus: int, tokens_path: str) -> None:
 
 
 class _PinnedWorker:
-    """Handle on a taskset-pinned ``--worker-loop`` subprocess."""
+    """Handle on a taskset-pinned ``--worker-loop`` subprocess. Worker
+    stderr is captured to a tempfile so a dead JVM reports its actual
+    failure (tail of stderr) instead of a bare 'worker died'."""
 
-    def __init__(self, cpus: int):
+    def __init__(self, cpus: int, extra_env: dict[str, str] | None = None):
         self.cpus = cpus
+        self._errf = tempfile.NamedTemporaryFile(
+            mode="w+", suffix=f"_w{cpus}.err", delete=False
+        )
+        env = dict(os.environ)
+        if extra_env:
+            env.update(extra_env)
         cmd = [
             "taskset", "-c", f"0-{cpus - 1}",
             sys.executable, os.path.abspath(__file__),
@@ -170,9 +180,18 @@ class _PinnedWorker:
             cmd,
             stdin=subprocess.PIPE,
             stdout=subprocess.PIPE,
-            stderr=subprocess.DEVNULL,
+            stderr=self._errf,
             text=True,
+            env=env,
         )
+
+    def _stderr_tail(self, n: int = 2000) -> str:
+        try:
+            self._errf.flush()
+            with open(self._errf.name) as f:
+                return f.read()[-n:]
+        except Exception:
+            return "<stderr unavailable>"
 
     def _cmd(self, cmd: str) -> dict:
         assert self.proc.stdin and self.proc.stdout
@@ -180,7 +199,9 @@ class _PinnedWorker:
         self.proc.stdin.flush()
         line = self.proc.stdout.readline()
         if not line:
-            raise RuntimeError(f"worker local[{self.cpus}] died")
+            raise RuntimeError(
+                f"worker local[{self.cpus}] died; stderr tail:\n{self._stderr_tail()}"
+            )
         return json.loads(line)
 
     def warmup(self) -> None:
@@ -370,18 +391,20 @@ def main() -> None:
     # past ~8 busy workers the host grants no additional CPU, so extra
     # task slots only add scheduler/GC contention.
     v_peak = max((v_low, v_high), key=lambda v: v["sequences_per_sec"])
-    # Headline ratio = best PAIRWISE speedup: pass i at the low level
+    # Headline ratio = MEDIAN pairwise speedup: pass i at the low level
     # runs immediately before pass i at the high level, so the pair
-    # shares the host-weather window and their ratio cancels it; the
-    # best pair is the least-disturbed window. Cross-pair minima are
-    # also reported — when weather shifts between a low pass and the
-    # best high pass, min-low/min-high compares different windows and
-    # has measured anywhere from 0.60 to 0.93 for identical binaries.
+    # shares the host-weather window and their ratio cancels it. The
+    # median over the 5 pairs is the unbiased headline (max over noisy
+    # ratios is upward-biased — ADVICE r2); max/min are reported as the
+    # window range. Cross-pair minima are also reported — when weather
+    # shifts between a low pass and the best high pass, min-low/min-high
+    # compares different windows and has measured anywhere from 0.60 to
+    # 0.93 for identical binaries.
     pair_speedups = [
         round(tl / th, 3)
         for tl, th in zip(v_low["all_runs_sec"], v_high["all_runs_sec"])
     ]
-    speedup = max(pair_speedups)
+    speedup = statistics.median(pair_speedups)
     speedup_minima = v_high["sequences_per_sec"] / v_low["sequences_per_sec"]
     efficiency = speedup / (high_cpus / low_cpus)
     # efficiency relative to the CPU the host actually grants at each
@@ -403,6 +426,7 @@ def main() -> None:
             f"local[{high_cpus}]": v_high,
             "speedup": round(speedup, 3),
             "pair_speedups": pair_speedups,
+            "pair_speedup_range": [min(pair_speedups), max(pair_speedups)],
             "speedup_cross_pair_minima": round(speedup_minima, 3),
             "parallelism_ratio": high_cpus // low_cpus,
             "scaling_efficiency_raw": round(efficiency, 3),

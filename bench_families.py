@@ -105,25 +105,36 @@ def main() -> None:
     ]
 
     ops = {
-        "dedup_exact": lambda: dedup.exact_duplicates(docs).count(),
+        "dedup_exact": lambda: dedup.exact_duplicates(docs),
         "dedup_minhash_lsh": lambda: dedup.minhash_lsh_pairs(
             docs, num_perm=16, bands=8, threshold=0.5
-        ).count(),
-        "dedup_simhash": lambda: dedup.simhash_pairs(docs, max_hamming=3).count(),
+        ),
+        "dedup_simhash": lambda: dedup.simhash_pairs(docs, max_hamming=3),
         "dedup_ngram_jaccard": lambda: dedup.ngram_jaccard_pairs(
             docs, threshold=0.5, max_shingle_df=50
-        ).count(),
-        "ann_lsh": lambda: ann.lsh_knn_join(queries, vecs, k=10, n_planes=12).count(),
-        "ann_ivf": lambda: ann.ivf_topk(queries, vecs, centroids, k=10).count(),
+        ),
+        "ann_lsh": lambda: ann.lsh_knn_join(queries, vecs, k=10, n_planes=12),
+        "ann_ivf": lambda: ann.ivf_topk(queries, vecs, centroids, k=10),
     }
 
+    # formatted-plan snapshots: one file per op so round-over-round plan
+    # regressions (a lost broadcast, a new shuffle, an exploded literal
+    # tree) show up as a plain text diff (VERDICT r1 #10 / r2 #2)
+    plans_dir = os.environ.get("SPARK_GRAFT_FAM_PLANS", "bench_plans")
+    os.makedirs(plans_dir, exist_ok=True)
+
     results: dict[str, dict] = {}
-    for name, fn in ops.items():
+    for name, build in ops.items():
+        df = build()
+        with open(os.path.join(plans_dir, f"{name}.txt"), "w") as f:
+            f.write(df._jdf.queryExecution().explainString(
+                spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+            ))
         t0 = time.time()
-        out_rows = fn()
+        out_rows = df.count()
         warm = time.time() - t0
         t0 = time.time()
-        out_rows = fn()
+        out_rows = build().count()
         hot = time.time() - t0
         unit_rows = VECS if name.startswith("ann") else DOCS
         results[name] = {

@@ -1857,6 +1857,204 @@ def eda_operations(spark, sf_dir):
 
 
 # =====================================================================
+# Reference score parity: user-supplied embedding tables
+# (word_embeddings.py:46-75 label formula, workers.py:105-121 content)
+# =====================================================================
+
+from kglids_spark.sources import word_vectors_fixture as WF  # noqa: E402
+
+
+def _sql_dlist(vec) -> str:
+    if vec is None:
+        return "CAST(NULL AS DOUBLE[])"
+    return "CAST([" + ", ".join(repr(float(x)) for x in vec) + "] AS DOUBLE[])"
+
+
+def _sql_dbl(x) -> str:
+    return "CAST(NULL AS DOUBLE)" if x is None else repr(float(x))
+
+
+def _ref_scores_sql() -> str:
+    prof_rows = ", ".join(
+        f"({_sq(cid)}, {_sq(tid)}, {_sq(WF._label(name))}, {_sq(dt)}, "
+        f"{_sql_dlist(emb)}, {_sql_dbl(s)}, {_sql_dbl(tr)})"
+        for cid, tid, name, dt, emb, s, tr in WF.PROFILES
+    )
+    wv_rows = ", ".join(
+        f"({_sq(w)}, {_sql_dlist(v)})" for w, v in WF.WORD_VECTORS
+    )
+    # tanh is absent from this DuckDB build: 1 - 2/(exp(2x)+1) is
+    # identical to ~1e-16, far inside the 5dp rounding
+    return f"""
+    WITH profiles AS (
+      SELECT * FROM (VALUES {prof_rows})
+        p(column_id, table_id, label, data_type, embedding, scaling_factor, true_ratio)),
+    wv AS (
+      SELECT word,
+             list_transform(vector, x -> x / sqrt(list_dot_product(vector, vector))) AS vec
+      FROM (VALUES {wv_rows}) w(word, vector)),
+    pairs AS (
+      SELECT a.column_id AS col1_id, b.column_id AS col2_id, a.data_type,
+             a.label AS l1, b.label AS l2,
+             a.embedding AS e1, b.embedding AS e2,
+             a.scaling_factor AS s1, b.scaling_factor AS s2,
+             a.true_ratio AS tr1, b.true_ratio AS tr2
+      FROM profiles a JOIN profiles b
+        ON a.data_type = b.data_type AND a.table_id <> b.table_id
+       AND a.column_id < b.column_id),
+    tok AS (
+      SELECT *,
+        CASE WHEN l1 = '' THEN [] ELSE string_split(l1, ' ') END AS la,
+        CASE WHEN l2 = '' THEN [] ELSE string_split(l2, ' ') END AS lb
+      FROM pairs),
+    rem AS (
+      SELECT *,
+        CASE WHEN len(la) > 1 AND len(lb) > 1
+             THEN list_filter(la, t -> NOT list_contains(list_intersect(la, lb), t))
+             ELSE la END AS ra,
+        CASE WHEN len(la) > 1 AND len(lb) > 1
+             THEN list_filter(lb, t -> NOT list_contains(list_intersect(la, lb), t))
+             ELSE lb END AS rb
+      FROM tok),
+    fin AS (
+      SELECT *,
+        CASE WHEN (len(ra) >= 1 AND len(rb) = 0) OR (len(rb) >= 1 AND len(ra) = 0)
+             THEN la ELSE ra END AS fa,
+        CASE WHEN (len(ra) >= 1 AND len(rb) = 0) OR (len(rb) >= 1 AND len(ra) = 0)
+             THEN lb ELSE rb END AS fb
+      FROM rem),
+    branched AS (
+      SELECT *,
+        CASE WHEN l1 = l2 THEN 1.0
+             WHEN (l1 = '' AND l2 <> '') OR (l1 <> '' AND l2 = '') THEN 0.0
+             WHEN len(fa) = 0 AND len(fb) = 0 THEN 1.0
+             ELSE NULL END AS branch
+      FROM fin),
+    ta AS (SELECT col1_id, col2_id, unnest(fa) AS tok FROM branched WHERE branch IS NULL),
+    tb AS (SELECT col1_id, col2_id, unnest(fb) AS tok FROM branched WHERE branch IS NULL),
+    tav AS (SELECT col1_id, col2_id, w.vec AS va FROM ta LEFT JOIN wv w ON w.word = ta.tok),
+    tbv AS (SELECT col1_id, col2_id, w.vec AS vb FROM tb LEFT JOIN wv w ON w.word = tb.tok),
+    tokscore AS (
+      SELECT a.col1_id, a.col2_id,
+             max(CASE WHEN a.va IS NULL OR b.vb IS NULL THEN 1 ELSE 0 END) AS any_missing,
+             sum(list_dot_product(a.va, b.vb)) AS dot_sum,
+             count(*) AS n_combos
+      FROM tav a JOIN tbv b USING (col1_id, col2_id)
+      GROUP BY 1, 2),
+    label_scores AS (
+      SELECT b.col1_id, b.col2_id, 'label' AS kind,
+             round(COALESCE(b.branch,
+                   CASE WHEN t.any_missing = 1 THEN 0.0
+                        ELSE t.dot_sum / t.n_combos END), 5) AS score
+      FROM branched b LEFT JOIN tokscore t USING (col1_id, col2_id)),
+    content_scores AS (
+      SELECT col1_id, col2_id, 'content' AS kind,
+             round(CASE WHEN data_type = 'boolean' THEN 1.0 - abs(tr1 - tr2)
+                        WHEN e1 IS NOT NULL AND e2 IS NOT NULL
+                        THEN 1.0 - (1.0 - 2.0/(exp(2.0*(list_distance(e1, e2) + s1 + s2)) + 1.0))
+                        ELSE NULL END, 5) AS score
+      FROM pairs)
+    SELECT CAST(col1_id AS VARCHAR) AS col1_id, CAST(col2_id AS VARCHAR) AS col2_id,
+           kind, CAST(score AS DOUBLE) AS score
+    FROM (SELECT * FROM label_scores
+          UNION ALL SELECT * FROM content_scores WHERE score IS NOT NULL)
+    """
+
+
+@register("similarity_scores_reference", _ref_scores_sql())
+def similarity_scores_reference(spark, sf_dir):
+    """Score-parity hook: the reference's exact label-similarity (GloVe
+    mean pairwise dot, word_embeddings.py:46-75) and content-similarity
+    (CoLR 1-tanh(L2+s1+s2), workers.py:111-121; boolean true-ratio,
+    workers.py:105-110) formulae over USER-SUPPLIED embedding tables —
+    here the deterministic fixture (sources/word_vectors_fixture.py)
+    standing in for GloVe/CoLR weights absent from the checkout."""
+    from kglids_spark.operators.ref_scores import reference_similarity_scores
+
+    profiles, wv = WF.load_fixture(spark)
+    return reference_similarity_scores(profiles, wv)
+
+
+_EDA_ITER_SQL = f"""
+    WITH ops AS (SELECT * FROM {_eda_values(EF.EDA_OPS, 'o', 'eda_id, column_id, analysis_type, chart_type')}),
+    kcols AS (SELECT * FROM {_eda_values(EF.KG_COLUMNS, 'k', 'column_id, data_type, e1, e2, e3, e4')}),
+    qcols AS (SELECT * FROM {_eda_values(EF.QUERY_COLUMNS, 'q', 'name, data_type, e1, e2, e3, e4')}),
+    mine AS (
+      SELECT eda_id, analysis_type, chart_type FROM ops
+      WHERE column_id = '{EF.SIMILAR_COLUMN_ID}' AND analysis_type = 'multivariate'),
+    whole AS (
+      SELECT eda_id, analysis_type, chart_type,
+             CAST(NULL AS VARCHAR) AS secondary_column_id,
+             CAST(NULL AS VARCHAR) AS matched_column
+      FROM mine WHERE chart_type IN ('heatmap', 'pairwise')),
+    others AS (
+      SELECT m.eda_id, m.analysis_type, m.chart_type,
+             o.column_id AS secondary_column_id, k.data_type,
+             k.e1 AS ke1, k.e2 AS ke2, k.e3 AS ke3, k.e4 AS ke4,
+             row_number() OVER (PARTITION BY m.eda_id ORDER BY o.column_id) AS ord
+      FROM mine m JOIN ops o USING (eda_id)
+      JOIN kcols k ON k.column_id = o.column_id
+      WHERE m.chart_type NOT IN ('heatmap', 'pairwise')
+        AND o.column_id <> '{EF.SIMILAR_COLUMN_ID}'),
+    r1 AS (
+      SELECT * FROM (
+        SELECT b.eda_id, b.analysis_type, b.chart_type, b.secondary_column_id,
+               q.name AS matched_column,
+               row_number() OVER (
+                 PARTITION BY b.eda_id, b.secondary_column_id
+                 ORDER BY (ke1-q.e1)*(ke1-q.e1) + (ke2-q.e2)*(ke2-q.e2)
+                        + (ke3-q.e3)*(ke3-q.e3) + (ke4-q.e4)*(ke4-q.e4) ASC,
+                          q.name) AS rn
+        FROM others b JOIN qcols q
+          ON q.data_type = b.data_type AND q.name <> '{EF.MAIN_COLUMN_NAME}'
+        WHERE b.ord = 1)
+      WHERE rn = 1),
+    r2 AS (
+      SELECT * FROM (
+        SELECT b.eda_id, b.analysis_type, b.chart_type, b.secondary_column_id,
+               q.name AS matched_column,
+               row_number() OVER (
+                 PARTITION BY b.eda_id, b.secondary_column_id
+                 ORDER BY (ke1-q.e1)*(ke1-q.e1) + (ke2-q.e2)*(ke2-q.e2)
+                        + (ke3-q.e3)*(ke3-q.e3) + (ke4-q.e4)*(ke4-q.e4) ASC,
+                          q.name) AS rn
+        FROM others b JOIN qcols q
+          ON q.data_type = b.data_type AND q.name <> '{EF.MAIN_COLUMN_NAME}'
+        WHERE b.ord = 2
+          AND NOT EXISTS (SELECT 1 FROM r1
+                          WHERE r1.eda_id = b.eda_id AND r1.matched_column = q.name))
+      WHERE rn = 1),
+    matched AS (SELECT eda_id, analysis_type, chart_type, secondary_column_id,
+                       matched_column FROM r1
+                UNION ALL
+                SELECT eda_id, analysis_type, chart_type, secondary_column_id,
+                       matched_column FROM r2),
+    enough AS (SELECT eda_id FROM matched GROUP BY eda_id HAVING count(*) >= 2)
+    SELECT * FROM whole
+    UNION ALL SELECT m.* FROM matched m JOIN enough USING (eda_id)
+"""
+
+
+@register("eda_operations_iterative", _EDA_ITER_SQL)
+def eda_operations_iterative(spark, sf_dir):
+    """Reference-order multivariate EDA matching
+    (kglids_server.py:262-282): other-columns match the query table's
+    columns ITERATIVELY, each op excluding its already-matched names,
+    then ops with <2 matched columns are dropped. The fixture's e9 op
+    has two int other-columns whose independent nearest is the same
+    query column — this query and eda_operations provably differ there.
+    Oracle: the bounded iteration unrolled as one CTE per round (the
+    fixture's max op arity is 2)."""
+    from kglids_spark.operators.eda import recommend_eda_operations
+
+    ops, kcols, qcols = EF.load_eda_tables(spark)
+    return recommend_eda_operations(
+        ops, kcols, qcols, EF.SIMILAR_COLUMN_ID, EF.MAIN_COLUMN_NAME,
+        "multivariate", iterative=True,
+    )
+
+
+# =====================================================================
 # Sampling (P11) + multimodal plumbing — rows-only checks
 # =====================================================================
 
@@ -1975,41 +2173,45 @@ def multimodal_frame_sampling(spark, sf_dir):
 # =====================================================================
 # Driver registration order
 # =====================================================================
-# The round-1 driver recorded CORRECTNESS rows for only the FIRST 50
-# registered names, leaving 17 queries formally unchecked. Registration
-# order is therefore an explicit artifact: the front of the registry
-# carries (a) everything unchecked in round 1, (b) everything new or
-# behaviourally changed this round, (c) the md5 twins that pin the
-# no_oracle production paths, then (d) a cross-section of the remaining
-# operator families. Queries beyond the window are unchanged since
-# their green round-1 rows and remain covered by tests/test_entry.py,
-# which cross-checks EVERY oracle query on every pytest run.
+# The driver records CORRECTNESS rows for only the FIRST 50 registered
+# names, so registration order is an explicit artifact. Round-3 window
+# (VERDICT r2 "Next round" #1): (a) the 21 queries whose last driver
+# row is round 1 — rotating them to the front closes the union at
+# "every query checked within the last two rounds" (4 of them are
+# rows-only by construction; their md5 twins ride in (c)); (b) queries
+# NEW in round 3; (c) queries whose operator code changed in round 3
+# (k_hop unpersist, validate tiered merge + bucket-metadata validation,
+# EDA fixture extension) plus the md5 twin pins; (d) a cross-section of
+# the remaining families. `sample_fraction` is registered OUTSIDE the
+# window (VERDICT #9) so every driver slot except the 4 rotated twins
+# is oracle-checkable. Queries beyond the window all have green
+# round-2 rows and stay covered by tests/test_entry.py, which
+# cross-checks EVERY oracle query on every pytest run.
 
 _DRIVER_PRIORITY = [
-    # (a) unchecked in round 1
-    "embedding_mean_pool", "recommend_tables_content", "search_columns_regex",
-    "q3_shipping_priority", "q5_local_supplier_volume",
-    "pipelines_info", "pipeline_library_usage", "pipeline_search_classifier",
-    "pipeline_hyperparameters", "pipeline_top_used_libraries",
-    "pipelines_by_tags", "pipelines_for_deep_learning", "pipeline_transformations",
-    "sample_fraction", "sample_deterministic_hash",
-    "multimodal_features", "multimodal_frame_sampling",
-    # (b) new in round 2
-    "crc32_column_ids", "fine_grained_types",
-    "pipeline_popular_parameters", "eda_operations",
-    # (c) changed in round 2 + twin pins
-    "dedup_ngram_jaccard", "khop_nation_pairs_same_region", "profile_stats",
-    "constraints_documents", "dedup_minhash_lsh_md5", "dedup_simhash_md5",
-    "doc_fingerprint_md5", "ann_lsh_topk_md5",
+    # (a) last checked in round 1 — rotate forward (VERDICT r2 #1)
+    "true_ratio_returnflag", "group_count_customers_per_nation",
+    "group_max_rowcount", "histogram_n_chars", "join_multiway_region",
+    "anti_join_customers_no_orders", "semi_join_customers_with_orders",
+    "topk_orders_per_priority", "score_normalized_events",
+    "union_distinct_sources_langs", "intersect_except_keys",
+    "label_generation", "md5_column_ids", "shipdate_year_counts",
+    "json_extract_props", "per_source_stats", "rolling_avg_events",
+    "dedup_minhash_lsh", "dedup_simhash", "doc_fingerprint", "ann_lsh_topk",
+    # (b) new in round 3
+    "similarity_scores_reference", "eda_operations_iterative",
+    # (c) operator code changed in round 3 + twin pins
+    "khop_nation_pairs_same_region", "constraints_documents", "profile_stats",
+    "eda_operations", "ann_lsh_topk_md5", "dedup_minhash_lsh_md5",
+    "dedup_simhash_md5", "doc_fingerprint_md5",
     # (d) core cross-section
-    "q1_pricing_summary", "similarity_pairs_sources",
-    "asof_click_purchase", "range_join_click_error",
+    "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier_volume",
+    "similarity_pairs_sources", "recommend_tables_content",
+    "search_columns_regex", "embedding_mean_pool", "fine_grained_types",
+    "crc32_column_ids", "asof_click_purchase", "range_join_click_error",
     "sessionize_events", "tumbling_window_events", "rollup_events_hypertable",
     "drift_ks_events", "drift_psi_events",
-    "text_quality", "text_lang_id", "token_counts", "doc_digest",
-    "dedup_exact_groups", "dedup_embedding_cosine",
-    "ann_bruteforce_topk", "ann_knn_join", "ann_ivf_topk",
-    "embedding_norm_stats", "topk_revenue_customers", "latest_event_per_user",
+    "dedup_ngram_jaccard", "dedup_exact_groups", "text_lang_id",
 ]
 
 _missing = [n for n in _DRIVER_PRIORITY if n not in QUERIES]

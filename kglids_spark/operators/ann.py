@@ -124,15 +124,28 @@ def lsh_bucket_pandas_udf(planes: list[list[float]]):
     belongs. Summation order differs from the sequential fold at
     ~1e-15 relative, so buckets can differ from the expr path only for
     vectors lying numerically ON a hyperplane (recall-, not
-    correctness-relevant; both join sides use the same path)."""
+    correctness-relevant; both join sides use the same path).
+
+    Null or wrong-dimension vectors get a NULL bucket (mirroring the
+    expr path, where a null array nulls out every dot product) instead
+    of crashing np.stack; a null bucket never equi-joins, so such rows
+    silently drop from the candidate set."""
     P = np.asarray(planes, dtype=np.float64).T  # dim × n_planes
+    dim = P.shape[0]
     shifts = np.arange(len(planes), dtype=np.int64)
 
     @F.pandas_udf("long")
     def _bucket(vecs: pd.Series) -> pd.Series:
-        m = np.stack(vecs.to_numpy()).astype(np.float64)  # batch × dim
-        bits = (m @ P > 0).astype(np.int64)
-        return pd.Series((bits << shifts).sum(axis=1))
+        raw = vecs.to_numpy()
+        ok = np.array(
+            [v is not None and len(v) == dim for v in raw], dtype=bool
+        )
+        out = pd.array([pd.NA] * len(raw), dtype="Int64")
+        if ok.any():
+            m = np.stack(raw[ok]).astype(np.float64)  # valid × dim
+            bits = (m @ P > 0).astype(np.int64)
+            out[ok] = (bits << shifts).sum(axis=1)
+        return pd.Series(out)
 
     return _bucket
 

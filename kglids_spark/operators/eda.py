@@ -20,10 +20,19 @@ divergence). Everything is one declarative plan: no per-op loop, no
 driver round-trips per operation (the reference issues one pgvector
 query per op in a Python loop).
 
-Divergence noted: the reference's multivariate path matches other
-columns ITERATIVELY, excluding already-matched names (order-dependent);
-here each other-column matches independently — same results whenever
-nearest matches are distinct, deterministic always.
+Matching modes (``iterative`` flag): the reference's multivariate path
+matches other columns ITERATIVELY — each op accumulates
+``chart_columns`` and the pgvector query excludes names already in it
+(``name NOT IN (...)``, kglids_server.py:262-273), so a later
+other-column can never claim an earlier one's match — and finally
+keeps only heatmap/pairwise ops or ops with ≥2 matched columns
+(``len(chart_columns) > 2`` with the main column included,
+kglids_server.py:280-282). ``iterative=True`` reproduces exactly that,
+with the reference's unspecified GROUP_CONCAT iteration order pinned
+to sorted(secondary_column_id). The default (``iterative=False``)
+matches each other-column independently — same results whenever
+nearest matches are distinct, and one window pass instead of
+max-arity rounds.
 """
 
 from __future__ import annotations
@@ -52,6 +61,7 @@ def recommend_eda_operations(
     similar_column_id: str,
     main_column_name: str,
     analysis_type: str,
+    iterative: bool = False,
 ) -> DataFrame:
     """(eda_id, analysis_type, chart_type, secondary_column_id,
     matched_column) for the EDA ops attached to ``similar_column_id``.
@@ -102,14 +112,18 @@ def recommend_eda_operations(
         (F.col(f"ke{i}") - F.col(f"e{i}")) * (F.col(f"ke{i}") - F.col(f"e{i}"))
         for i in (1, 2, 3, 4)
     )
+    qcols = F.broadcast(query_columns.filter(F.col("name") != main_column_name))
+
+    if iterative and analysis_type == "multivariate":
+        return whole_table.unionByName(
+            _match_iterative(others, qcols, dist)
+        )
+
     w = Window.partitionBy("eda_id", "secondary_column_id").orderBy(
         dist.asc(), F.col("name").asc()
     )
     matched = (
-        others.join(
-            F.broadcast(query_columns.filter(F.col("name") != main_column_name)),
-            "data_type",
-        )
+        others.join(qcols, "data_type")
         .withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
         .select(
@@ -121,3 +135,70 @@ def recommend_eda_operations(
         )
     )
     return whole_table.unionByName(matched)
+
+
+def _match_iterative(others: DataFrame, qcols, dist) -> DataFrame:
+    """Reference-order multivariate matching: round r matches each op's
+    r-th other column (sorted by secondary_column_id) to its nearest
+    same-type query column NOT already matched by that op in earlier
+    rounds, then ops with <2 matched columns are dropped
+    (kglids_server.py:262-282). The loop is bounded by op arity (the
+    max other-column count over ops — single-digit for any real chart),
+    each round one broadcast join + window; the matched set stays a
+    DataFrame, so nothing is collected but the tiny arity scalar."""
+    ranked_others = others.withColumn(
+        "_ord",
+        F.row_number().over(
+            Window.partitionBy("eda_id").orderBy("secondary_column_id")
+        ),
+    )
+    max_ord_row = ranked_others.agg(F.max("_ord")).collect()[0][0]
+    max_ord = int(max_ord_row or 0)
+
+    spark = others.sparkSession
+    empty = spark.createDataFrame(
+        [],
+        "eda_id string, analysis_type string, chart_type string, "
+        "secondary_column_id string, matched_column string",
+    )
+    if max_ord == 0:
+        return empty
+    matched = spark.createDataFrame([], "eda_id string, matched_column string")
+    rounds = []
+    w = Window.partitionBy("eda_id", "secondary_column_id").orderBy(
+        dist.asc(), F.col("name").asc()
+    )
+    for r in range(1, max_ord + 1):
+        best = (
+            ranked_others.filter(F.col("_ord") == r)
+            .join(qcols, "data_type")
+            .join(
+                matched.withColumnRenamed("matched_column", "name"),
+                ["eda_id", "name"],
+                "left_anti",
+            )
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select(
+                "eda_id",
+                "analysis_type",
+                "chart_type",
+                "secondary_column_id",
+                F.col("name").alias("matched_column"),
+            )
+            .localCheckpoint(eager=True)  # r rounds, not r² replans
+        )
+        rounds.append(best)
+        matched = matched.unionByName(best.select("eda_id", "matched_column"))
+
+    out = rounds[0]
+    for b in rounds[1:]:
+        out = out.unionByName(b)
+    # reference keeps only ops with >2 chart columns (main + ≥2 matched)
+    enough = (
+        out.groupBy("eda_id")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") >= 2)
+        .select("eda_id")
+    )
+    return out.join(enough, "eda_id", "left_semi")

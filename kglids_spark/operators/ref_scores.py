@@ -1,0 +1,202 @@
+"""Reference-formula similarity scoring over user-supplied embeddings.
+
+The engine's default similarity layer (operators/similarity.py) uses
+public stand-ins for the reference's learned scores because the GloVe /
+CoLR weights are absent from the checkout. This module closes the
+score-parity gap for users who HAVE embeddings: ingest a word→vector
+table (any dimension) and column profiles carrying per-column content
+embeddings + scaling factors, and the engine computes the reference's
+exact formulae:
+
+- label similarity = mean pairwise dot product of unit-normalized word
+  vectors of the two sanitized column labels, with exact-match
+  short-circuit to 1.0, empty-vs-nonempty → 0.0, common-token removal
+  when both labels are multi-token, revert-to-full-lists when removal
+  empties exactly one side, 1.0 when it empties both, and 0.0 when any
+  surviving token has no vector
+  (kg_governor/data_global_schema_builder/utils/word_embeddings.py:46-75);
+- content similarity (non-boolean) = 1 - tanh(‖e1-e2‖₂ + s1 + s2),
+  the CoLR distance (workers.py:111-121);
+- content similarity (boolean) = 1 - |true_ratio1 - true_ratio2|
+  (workers.py:105-110).
+
+Shape: one triangular same-dtype cross-table pair join over profile
+rows (profiles ≪ data — the same θ-join as similarity.py J1), then the
+label-token work explodes only the pair×token combinations (labels are
+a handful of tokens, so this is |pairs| × O(1) rows). The word-vector
+join broadcasts. Mean pairwise dot is computed as sum/count over the
+exploded combinations — no O(dim) per-pair expression trees; dot
+products stay in zip_with/aggregate over the vector arrays.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from kglids_spark.functions.scalar import dot_product, generate_label, l2_norm
+
+ROUND_DP = 5  # cross-engine-stable score rounding (matches ANN oracles)
+
+
+def ingest_word_vectors(
+    word_vectors: DataFrame, word_col: str = "word", vec_col: str = "vector"
+) -> DataFrame:
+    """Normalize each vector to unit length — the reference does this
+    once at model load (word_embeddings.py:21-33) so that
+    semantic_distance is a plain dot product."""
+    norm = l2_norm(F.col(vec_col))
+    return word_vectors.select(
+        F.col(word_col).alias("word"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double") / norm).alias("vec"),
+    )
+
+
+def _pairs(profiles: DataFrame) -> DataFrame:
+    a, b = profiles.alias("a"), profiles.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.data_type") == F.col("b.data_type"))
+            & (F.col("a.table_id") != F.col("b.table_id"))
+            & (F.col("a.column_id") < F.col("b.column_id")),
+            "inner",
+        )
+        .select(
+            F.col("a.column_id").alias("col1_id"),
+            F.col("b.column_id").alias("col2_id"),
+            F.col("a.data_type").alias("data_type"),
+            generate_label(F.col("a.column_name")).alias("l1"),
+            generate_label(F.col("b.column_name")).alias("l2"),
+            F.col("a.embedding").alias("e1"),
+            F.col("b.embedding").alias("e2"),
+            F.col("a.scaling_factor").alias("s1"),
+            F.col("b.scaling_factor").alias("s2"),
+            F.col("a.true_ratio").alias("tr1"),
+            F.col("b.true_ratio").alias("tr2"),
+        )
+    )
+
+
+def label_similarity_reference(
+    profiles: DataFrame, word_vectors: DataFrame
+) -> DataFrame:
+    """(col1_id, col2_id, score) for every same-dtype cross-table pair,
+    scored by the reference's get_distance_between_column_labels."""
+    wv = F.broadcast(ingest_word_vectors(word_vectors))
+
+    empty = F.array().cast("array<string>")
+    p = _pairs(profiles).select(
+        "col1_id",
+        "col2_id",
+        "l1",
+        "l2",
+        F.when(F.col("l1") == "", empty).otherwise(F.split("l1", " ")).alias("la"),
+        F.when(F.col("l2") == "", empty).otherwise(F.split("l2", " ")).alias("lb"),
+    )
+    inter = F.array_intersect("la", "lb")
+    both_multi = (F.size("la") > 1) & (F.size("lb") > 1)
+    # list-comprehension removal, not array_except: preserves duplicate
+    # non-common tokens, as the reference's filter does
+    ra = F.when(
+        both_multi, F.filter("la", lambda t: ~F.array_contains(inter, t))
+    ).otherwise(F.col("la"))
+    rb = F.when(
+        both_multi, F.filter("lb", lambda t: ~F.array_contains(inter, t))
+    ).otherwise(F.col("lb"))
+    p = p.withColumn("ra", ra).withColumn("rb", rb)
+    revert = ((F.size("ra") >= 1) & (F.size("rb") == 0)) | (
+        (F.size("rb") >= 1) & (F.size("ra") == 0)
+    )
+    p = p.withColumn("fa", F.when(revert, F.col("la")).otherwise(F.col("ra")))
+    p = p.withColumn("fb", F.when(revert, F.col("lb")).otherwise(F.col("rb")))
+
+    # branch order mirrors the reference: exact match first, then the
+    # empty-label check, then the empty-combination check
+    branch = (
+        F.when(F.col("l1") == F.col("l2"), F.lit(1.0))
+        .when(
+            ((F.col("l1") == "") & (F.col("l2") != ""))
+            | ((F.col("l1") != "") & (F.col("l2") == "")),
+            F.lit(0.0),
+        )
+        .when((F.size("fa") == 0) & (F.size("fb") == 0), F.lit(1.0))
+        .otherwise(F.lit(None).cast("double"))
+    )
+    p = p.withColumn("branch", branch).persist()
+
+    need_tokens = p.filter(F.col("branch").isNull())
+    ta = need_tokens.select("col1_id", "col2_id", F.explode("fa").alias("tok"))
+    tb = need_tokens.select("col1_id", "col2_id", F.explode("fb").alias("tok"))
+    ta = ta.join(wv, ta.tok == wv.word, "left").select(
+        "col1_id", "col2_id", F.col("vec").alias("va")
+    )
+    tb = tb.join(wv, tb.tok == wv.word, "left").select(
+        "col1_id", "col2_id", F.col("vec").alias("vb")
+    )
+    combos = ta.join(tb, ["col1_id", "col2_id"])
+    token_scores = combos.groupBy("col1_id", "col2_id").agg(
+        F.max(
+            (F.col("va").isNull() | F.col("vb").isNull()).cast("int")
+        ).alias("any_missing"),
+        F.sum(dot_product("va", "vb")).alias("dot_sum"),
+        F.count(F.lit(1)).alias("n_combos"),
+    )
+    token_score = F.when(F.col("any_missing") == 1, F.lit(0.0)).otherwise(
+        F.col("dot_sum") / F.col("n_combos")
+    )
+
+    out = (
+        p.join(
+            token_scores.select(
+                "col1_id", "col2_id", token_score.alias("token_score")
+            ),
+            ["col1_id", "col2_id"],
+            "left",
+        )
+        .select(
+            "col1_id",
+            "col2_id",
+            F.round(F.coalesce("branch", "token_score"), ROUND_DP).alias("score"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    p.unpersist()
+    return out
+
+
+def content_similarity_reference(profiles: DataFrame) -> DataFrame:
+    """(col1_id, col2_id, score): CoLR 1 - tanh(L2 + s1 + s2) for
+    non-boolean pairs with embeddings, 1 - |tr1 - tr2| for booleans."""
+    p = _pairs(profiles)
+    dist = F.sqrt(
+        F.aggregate(
+            F.zip_with("e1", "e2", lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+    colr = 1.0 - F.tanh(dist + F.col("s1") + F.col("s2"))
+    boolean = 1.0 - F.abs(F.col("tr1") - F.col("tr2"))
+    score = F.when(F.col("data_type") == "boolean", boolean).otherwise(
+        F.when(F.col("e1").isNotNull() & F.col("e2").isNotNull(), colr)
+    )
+    return p.select(
+        "col1_id", "col2_id", F.round(score, ROUND_DP).alias("score")
+    ).filter(F.col("score").isNotNull())
+
+
+def reference_similarity_scores(
+    profiles: DataFrame, word_vectors: DataFrame
+) -> DataFrame:
+    """Union of both kinds: (col1_id, col2_id, kind, score) — the
+    drop-in replacement for similarity.column_similarity_edges' scoring
+    when real embedding tables are supplied (thresholding/downstream
+    re-ranking is unchanged and lives in similarity.py)."""
+    label = label_similarity_reference(profiles, word_vectors).select(
+        "col1_id", "col2_id", F.lit("label").alias("kind"), "score"
+    )
+    content = content_similarity_reference(profiles).select(
+        "col1_id", "col2_id", F.lit("content").alias("kind"), "score"
+    )
+    return label.unionByName(content)

@@ -171,6 +171,7 @@ def k_hop_paths(
             F.col("table2_id").alias("src"), F.col("table1_id").alias("dst"), "score"
         )
     ).distinct().persist()
+    pinned = [sym]
 
     frontier = sym.filter(F.col("src") == start_table).select(
         F.array(F.col("src"), F.col("dst")).alias("path"),
@@ -184,8 +185,7 @@ def k_hop_paths(
     # self-join: without this, hop h's plan re-executes every prior join
     # once per downstream union branch — exponential recomputation in
     # max_hops (VERDICT r1). The count() doubles as an early exit on an
-    # exhausted frontier; per-hop cached frontiers stay pinned because
-    # `results` reads them lazily at the caller's action.
+    # exhausted frontier.
     for _ in range(max_hops - 1):
         frontier = (
             frontier.filter(F.col("end") != target_table)
@@ -198,6 +198,7 @@ def k_hop_paths(
             )
             .persist()
         )
+        pinned.append(frontier)
         if frontier.count() == 0:
             break
         results = results.unionByName(
@@ -205,4 +206,17 @@ def k_hop_paths(
                 "path", F.size("path").alias("nodes"), "min_score"
             )
         )
-    return results.withColumn("hops", F.col("nodes") - 1).drop("nodes")
+    # Release every interim handle before returning (VERDICT r2 "What's
+    # wrong #1": sym + per-hop frontiers stayed pinned for the session).
+    # The eager localCheckpoint materializes the small result set and
+    # cuts its lineage to the cached frontiers, so unpersisting them is
+    # safe; the checkpoint blocks belong to the returned frame and are
+    # released by the ContextCleaner when the caller drops it.
+    out = (
+        results.withColumn("hops", F.col("nodes") - 1)
+        .drop("nodes")
+        .localCheckpoint(eager=True)
+    )
+    for h in pinned:
+        h.unpersist()
+    return out

@@ -27,6 +27,7 @@ Scale design (10^12 rows, 1000 executors):
 
 from __future__ import annotations
 
+import math
 import time
 import uuid
 from dataclasses import dataclass
@@ -52,6 +53,13 @@ VERDICT_SCHEMA = T.StructType(
 )
 
 GLOBAL_BUCKET = -1  # verdict rows for table-level constraints
+
+# Above this bucket count the merged-sketch collect switches from the
+# single-action global aggregate to a two-level aggregation, so no
+# single task ever materializes all buckets (VERDICT r2 "What's wrong
+# #2"). At or below it, one final task holding n_buckets × ~5 KB sketch
+# rows (≤ ~5 MB at 1024) is cheaper than an extra job.
+MERGE_COLLECT_MAX = 1024
 
 
 @dataclass
@@ -309,14 +317,42 @@ def validate(
     # cross-bucket HLL union estimate (collect_list + hll_union_agg in
     # the same aggregate): a separate estimate job would re-run the
     # whole input scan (or force a persist) and add ~1s of fixed
-    # per-pass job overhead that the N-vs-4N efficiency pays at 4N
+    # per-pass job overhead that the N-vs-4N efficiency pays at 4N.
+    # Past MERGE_COLLECT_MAX buckets the global collect_list would
+    # funnel every sketch row through ONE final task (a straggler at
+    # 10^4-10^5 buckets on a real cluster), so the merge tiers: level 1
+    # groups ~sqrt(n_buckets) buckets per task (collect_list + partial
+    # HLL union), the driver assembles the G small groups, and a tiny
+    # local-list job finishes the HLL union over G sketches.
     merged = _dedupe_earliest(all_stats)
-    agg_row = merged.groupBy().agg(
-        F.collect_list(F.struct(*merged.columns)).alias("rows"),
-        F.hll_sketch_estimate(F.hll_union_agg("hll_key")).alias("est"),
-    ).collect()[0]
-    merged_rows = list(agg_row.rows)
-    est = int(agg_row.est) if agg_row.est is not None else 0
+    if n_buckets <= MERGE_COLLECT_MAX:
+        agg_row = merged.groupBy().agg(
+            F.collect_list(F.struct(*merged.columns)).alias("rows"),
+            F.hll_sketch_estimate(F.hll_union_agg("hll_key")).alias("est"),
+        ).collect()[0]
+        merged_rows = list(agg_row.rows)
+        est = int(agg_row.est) if agg_row.est is not None else 0
+    else:
+        n_groups = max(int(math.isqrt(n_buckets)), 1)
+        lvl1 = (
+            merged.groupBy(F.pmod(F.col("bucket_id"), F.lit(n_groups)).alias("_g"))
+            .agg(
+                F.collect_list(F.struct(*merged.columns)).alias("rows"),
+                F.hll_union_agg("hll_key").alias("hll_group"),
+            )
+            .collect()
+        )
+        merged_rows = [r for grp in lvl1 for r in grp.rows]
+        group_sketches = [
+            (bytes(grp.hll_group),) for grp in lvl1 if grp.hll_group is not None
+        ]
+        est = 0
+        if group_sketches:
+            est_df = spark.createDataFrame(group_sketches, "hll binary")
+            est_val = est_df.agg(
+                F.hll_sketch_estimate(F.hll_union_agg("hll"))
+            ).collect()[0][0]
+            est = int(est_val) if est_val is not None else 0
 
     # ---- baseline from a ledger snapshot (time travel) -----------------
     if baseline_hist is None and baseline_snapshot_id is not None:

@@ -11,20 +11,39 @@ explicitly so the N-vs-4N scaling evidence is reproducible.
 from __future__ import annotations
 
 import os
+import re
 
 from pyspark.sql import SparkSession
 
 DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 
-def _mem_gb() -> int:
-    mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g")
-    return max(int("".join(ch for ch in mem if ch.isdigit()) or 16), 2)
+def _mem_mb() -> int:
+    """Parse SPARK_GRAFT_DRIVER_MEM as a JVM-style size string into MiB.
+
+    Unit-aware (``512m`` is 512 MiB, not 512 GiB): the -Xms/-Xmn GC
+    flags derived from this must never exceed the -Xmx that Spark sets
+    from the same string, or the JVM refuses to start. A bare number is
+    MiB (Spark's default unit for memory confs); unparseable values
+    fall back to 16g."""
+    mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g").strip().lower()
+    m = re.fullmatch(r"(\d+)\s*([kmgt]?)b?", mem)
+    if not m:
+        return 16 * 1024
+    n, unit = int(m.group(1)), m.group(2)
+    mb = {
+        "k": n // 1024,
+        "": n,
+        "m": n,
+        "g": n * 1024,
+        "t": n * 1024 * 1024,
+    }[unit]
+    return max(mb, 512)
 
 
-def _gc_opts(heap_gb: int) -> str:
-    young = max(heap_gb * 3 // 4, 1)
-    return f"-XX:+UseParallelGC -Xms{heap_gb}g -Xmn{young}g"
+def _gc_opts(heap_mb: int) -> str:
+    young = max(heap_mb * 3 // 4, 256)
+    return f"-XX:+UseParallelGC -Xms{heap_mb}m -Xmn{young}m"
 
 
 def get_spark(
@@ -75,8 +94,8 @@ def get_spark(
         #   so giving decode garbage most of the heap is the right
         #   trade for any executor size; on a real cluster the same
         #   flags go in spark.executor.extraJavaOptions.
-        .config("spark.driver.extraJavaOptions", _gc_opts(_mem_gb()))
-        .config("spark.executor.extraJavaOptions", _gc_opts(_mem_gb()))
+        .config("spark.driver.extraJavaOptions", _gc_opts(_mem_mb()))
+        .config("spark.executor.extraJavaOptions", _gc_opts(_mem_mb()))
         .config("spark.sql.parquet.columnarReaderBatchSize", "1024")
     )
     if extra_conf:

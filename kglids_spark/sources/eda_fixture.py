@@ -39,12 +39,25 @@ EDA_OPS: list[tuple] = [
     ("e7", "kg.sales.qty", "multivariate", "bubble"),
     ("e7", "kg.sales.region", "multivariate", "bubble"),
     ("e8", "kg.sales.qty", "univariate", "histogram"),  # not on price: excluded
+    # e9: two int other-columns whose independent nearest is the SAME
+    # query column (units) — iterative matching must give the second
+    # (qty2) the runner-up (count). The case where the modes differ.
+    ("e9", "kg.sales.price", "multivariate", "parallel"),
+    ("e9", "kg.sales.qty", "multivariate", "parallel"),
+    ("e9", "kg.sales.qty2", "multivariate", "parallel"),
+    # e10: first other-column (day, sorts before qty) has no same-type
+    # query column — iterative mode then drops the whole op (<2
+    # matched); independent mode keeps the qty row.
+    ("e10", "kg.sales.price", "multivariate", "parallel2"),
+    ("e10", "kg.sales.day", "multivariate", "parallel2"),
+    ("e10", "kg.sales.qty", "multivariate", "parallel2"),
 ]
 
 # (column_id, data_type, e1..e4)
 KG_COLUMNS: list[tuple] = [
     ("kg.sales.price", "float", 3.0, 1.0, 0.0, 0.0),
     ("kg.sales.qty", "int", 1.0, 0.0, 0.0, 0.0),
+    ("kg.sales.qty2", "int", 1.2, 0.0, 0.0, 0.0),  # nearest is also units
     ("kg.sales.region", "string", 0.0, 1.0, 0.0, 0.0),
     ("kg.sales.day", "date", 0.0, 0.0, 5.0, 0.0),
 ]

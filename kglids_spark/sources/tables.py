@@ -48,6 +48,17 @@ def load_testdata(spark: SparkSession, sf_dir: str, tables: list[str] | None = N
     return out
 
 
+def _bucketing_props(df: DataFrame) -> dict:
+    """Snapshot-manifest properties for a frame bucketed by
+    plans.buckets.with_bucket: the bucket count rides the manifest so
+    readers can validate requested-vs-stored bucketing even though a
+    hive partition write drops StructField metadata."""
+    from kglids_spark.plans.buckets import stored_n_buckets
+
+    n = stored_n_buckets(df)
+    return {"n_buckets": n} if n is not None else {}
+
+
 class TableStore:
     """Parquet-dir table store with Iceberg-style snapshot manifests.
 
@@ -106,7 +117,8 @@ class TableStore:
         manifest = self._load_manifest(table)
         manifest["snapshots"].append(
             {"id": snap_id, "ts": time.time(), "op": op, "path": data_dir,
-             **({"partition_by": partition_by} if partition_by else {})}
+             **({"partition_by": partition_by} if partition_by else {}),
+             **_bucketing_props(df)}
         )
         os.makedirs(self._tdir(table), exist_ok=True)
         tmp = self._manifest_path(table) + ".tmp"
@@ -126,7 +138,8 @@ class TableStore:
             w = w.partitionBy(*partition_by)
         w.parquet(data_dir)
         manifest = {"snapshots": [{"id": snap_id, "ts": time.time(), "op": "overwrite", "path": data_dir,
-                                   **({"partition_by": partition_by} if partition_by else {})}]}
+                                   **({"partition_by": partition_by} if partition_by else {}),
+                                   **_bucketing_props(df)}]}
         tmp = self._manifest_path(table) + ".tmp"
         os.makedirs(self._tdir(table), exist_ok=True)
         with open(tmp, "w") as f:
@@ -155,9 +168,20 @@ class TableStore:
             raise KeyError(f"table {table} is empty")
         # mergeSchema: snapshots written by older engine versions may
         # lack newer sketch columns — they read back as nulls
-        return self.spark.read.option("mergeSchema", "true").parquet(
+        df = self.spark.read.option("mergeSchema", "true").parquet(
             *[s["path"] for s in live]
         )
+        # Re-attach the recorded bucket count: hive partition columns
+        # are directory keys, so the StructField metadata with_bucket
+        # wrote is lost in the round trip — the manifest carries it
+        # instead, and with_bucket then validates requested-vs-stored
+        # bucketing instead of blindly trusting the column (ADVICE r2).
+        ns = {s.get("n_buckets") for s in live if s.get("n_buckets") is not None}
+        from kglids_spark.plans.buckets import BUCKET_COL, META_N_BUCKETS
+
+        if len(ns) == 1 and BUCKET_COL in df.columns:
+            df = df.withMetadata(BUCKET_COL, {META_N_BUCKETS: int(ns.pop())})
+        return df
 
 
 def read_csv_table(
