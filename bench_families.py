@@ -130,18 +130,27 @@ def main() -> None:
             f.write(df._jdf.queryExecution().explainString(
                 spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
             ))
-        t0 = time.time()
-        out_rows = df.count()
-        warm = time.time() - t0
-        t0 = time.time()
-        out_rows = build().count()
-        hot = time.time() - t0
+        # Honest per-pass timing: the dedup ops persist intermediates
+        # inside their plans, and Spark's CacheManager matches identical
+        # analyzed plans across calls — without clearCache() every pass
+        # after the first reads the previous pass's cached exploded
+        # shingles/signatures and reports cache-scan time, not operator
+        # time (observed: 371s -> 9s on ngram).
+        passes = []
+        out_rows = 0
+        for i in range(3):
+            spark.catalog.clearCache()
+            queries.cache().count()  # keep the tiny query set resident
+            t0 = time.time()
+            out_rows = build().count()
+            passes.append(round(time.time() - t0, 2))
+        best = min(passes[1:])  # pass 0 pays codegen/JIT
         unit_rows = VECS if name.startswith("ann") else DOCS
         results[name] = {
-            "sec_warm": round(warm, 2),
-            "sec_hot": round(min(warm, hot), 2),
+            "sec_all": passes,
+            "sec_best": best,
             "result_rows": out_rows,
-            "rows_per_sec": round(unit_rows / min(warm, hot), 1),
+            "rows_per_sec": round(unit_rows / best, 1),
         }
         print(f"[fam] {name}: {results[name]}", file=sys.stderr, flush=True)
 

@@ -656,8 +656,13 @@ _NGRAM_SQL = """
 
 @register("dedup_ngram_jaccard", _NGRAM_SQL)
 def dedup_ngram_jaccard(spark, sf_dir):
+    """String-shingle config (bit-portable to the oracle); the
+    hash-shingle production default is pinned to this by
+    test_ngram_hashed_twin_lockstep."""
     d = _t(spark, sf_dir, "documents")
-    pairs = dedup.ngram_jaccard_pairs(d, threshold=0.5, max_shingle_df=10**9)
+    pairs = dedup.ngram_jaccard_pairs(
+        d, threshold=0.5, max_shingle_df=10**9, hash_shingles=False
+    )
     return pairs.select("id1", "id2", F.round("jaccard", 6).alias("jaccard"))
 
 
@@ -709,6 +714,81 @@ def dedup_embedding_cosine(spark, sf_dir):
         e, threshold=-2.0, block_col="label"
     ).withColumn("cosine", F.round("cosine", 5))
     return pairs.filter(F.col("cosine") >= 0.2).select("id1", "id2", "cosine")
+
+
+_CLUSTERS_SQL = """
+    WITH RECURSIVE norm AS (
+      SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t FROM documents),
+    words AS (SELECT doc_id, string_split(t, ' ') AS ws FROM norm),
+    shingles AS (
+      SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS sh
+      FROM words, unnest(range(1, greatest(len(ws) - 2, 1) + 1)) u(i)),
+    counts AS (SELECT doc_id, count(*) AS ns FROM shingles GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS common
+      FROM shingles a JOIN shingles b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    pairs AS (
+      SELECT id1, id2 FROM inter
+      JOIN counts c1 ON id1 = c1.doc_id JOIN counts c2 ON id2 = c2.doc_id
+      WHERE common::DOUBLE / (c1.ns + c2.ns - common) >= 0.5),
+    sym AS (SELECT id1 AS src, id2 AS dst FROM pairs
+            UNION SELECT id2, id1 FROM pairs),
+    reach AS (
+      SELECT src AS id, src AS lab FROM sym
+      UNION
+      SELECT s.src AS id, r.lab FROM sym s JOIN reach r ON s.dst = r.id)
+    SELECT id, min(lab) AS cluster_id FROM reach GROUP BY id
+"""
+
+
+@register("dedup_clusters", _CLUSTERS_SQL)
+def dedup_clusters(spark, sf_dir):
+    """Connected components over the ngram near-dup pairs: (doc, min id
+    of its duplicate component) — the keep-one-per-cluster decision
+    step. Spark side: pointer-jumping min-label propagation
+    (dedup.dup_clusters); oracle: transitive min-label closure via a
+    recursive CTE."""
+    d = _t(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(
+        d, threshold=0.5, max_shingle_df=10**9, hash_shingles=False
+    )
+    return dedup.dup_clusters(pairs)
+
+
+_PACK_SQL = """
+    SELECT doc_id,
+           (COALESCE(sum(n_chars) OVER (
+              ORDER BY md5(doc_id::VARCHAR), doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0))::BIGINT AS pack_offset,
+           ((COALESCE(sum(n_chars) OVER (
+              ORDER BY md5(doc_id::VARCHAR), doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)) // 4096)::BIGINT AS bin_id,
+           ((COALESCE(sum(n_chars) OVER (
+              ORDER BY md5(doc_id::VARCHAR), doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)) % 4096)::INTEGER AS bin_pos
+    FROM documents
+"""
+
+
+@register("pack_sequences_bins", _PACK_SQL)
+def pack_sequences_bins(spark, sf_dir):
+    """Sequence packing: global token-prefix-sum bin assignment via the
+    two-phase distributed prefix sum (operators/packing.py — per-bucket
+    partials + broadcast offsets + intra-bucket windows; NEVER a
+    single-task global window). Order key here is the portable md5 of
+    doc_id with its first hex byte as the monotone range bucket, so the
+    oracle is a plain global window cumsum."""
+    from kglids_spark.operators.packing import pack_sequences
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    order = F.md5(F.col("doc_id").cast("string"))
+    bucket = F.conv(F.substring(order, 1, 2), 16, 10)
+    packed = pack_sequences(
+        d, 4096, key="doc_id", n_tok_col="n_chars",
+        order_col=order, bucket_col=bucket,
+    )
+    return packed.select("doc_id", "pack_offset", "bin_id", "bin_pos")
 
 
 # =====================================================================
@@ -2200,6 +2280,7 @@ _DRIVER_PRIORITY = [
     "dedup_minhash_lsh", "dedup_simhash", "doc_fingerprint", "ann_lsh_topk",
     # (b) new in round 3
     "similarity_scores_reference", "eda_operations_iterative",
+    "dedup_clusters", "pack_sequences_bins",
     # (c) operator code changed in round 3 + twin pins
     "khop_nation_pairs_same_region", "constraints_documents", "profile_stats",
     "eda_operations", "ann_lsh_topk_md5", "dedup_minhash_lsh_md5",
@@ -2211,7 +2292,7 @@ _DRIVER_PRIORITY = [
     "crc32_column_ids", "asof_click_purchase", "range_join_click_error",
     "sessionize_events", "tumbling_window_events", "rollup_events_hypertable",
     "drift_ks_events", "drift_psi_events",
-    "dedup_ngram_jaccard", "dedup_exact_groups", "text_lang_id",
+    "dedup_ngram_jaccard",
 ]
 
 _missing = [n for n in _DRIVER_PRIORITY if n not in QUERIES]

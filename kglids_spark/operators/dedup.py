@@ -57,6 +57,26 @@ def word_shingles(col, n: int = 3) -> F.Column:
     )
 
 
+def hashed_word_shingles(col, n: int = 3) -> F.Column:
+    """Distinct word-n-gram shingles as int64 hashes, built WITHOUT
+    constructing shingle strings: xxhash64 over the n word columns
+    directly. Measured ~100x faster than the string path at 100k docs
+    (0.4s vs 44.5s for explode+distinct — array_distinct over per-doc
+    longs + no array_join/concat allocation), and the downstream
+    self-join shuffles 8-byte keys instead of ~25-byte strings. Short
+    docs (< n words) hash their available words with null padding —
+    the same docs match each other, mirroring the string path's single
+    truncated shingle."""
+    c = F.col(col) if isinstance(col, str) else col
+    ws = F.split(normalize_text(c), " ")
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(ws) - (n - 1), F.lit(1))),
+            lambda i: F.xxhash64(*[F.element_at(ws, i + k) for k in range(n)]),
+        )
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -64,22 +84,40 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.5,
     max_shingle_df: int = 1000,
+    hash_shingles: bool = True,
 ) -> DataFrame:
     """Near-duplicate pairs by word-n-gram Jaccard similarity.
 
     intersection via a self-join on shingle; |union| = |A|+|B|-|A∩B|.
     Shingles appearing in more than ``max_shingle_df`` docs are dropped
     before the join (they carry no dedup signal and dominate the
-    shuffle — at web scale this cap is what keeps the join feasible)."""
+    shuffle — at web scale this cap is what keeps the join feasible).
+    The drop is a broadcast ANTI-join against the HOT set: by
+    construction |hot| ≤ n_shingle_rows / max_shingle_df (≪ corpus), so
+    broadcasting it avoids re-shuffling every exploded shingle row
+    (measured 28.5s → 0.2s at 100k docs vs the old inner join on the
+    rare set, which is ~99% of all shingles).
+
+    ``hash_shingles`` (default): shingles are int64 xxhash64 values
+    (hashed_word_shingles) — the production path. ``False`` joins on
+    the exact shingle strings — bit-portable to the DuckDB oracle
+    (dedup_ngram_jaccard query); results differ only on 64-bit hash
+    collisions (~1e-6 at 10M shingles), pinned equal on the test corpus
+    by test_dedup.py::test_ngram_hashed_twin_lockstep."""
+    shingle_expr = (
+        hashed_word_shingles(text_col, n)
+        if hash_shingles
+        else word_shingles(text_col, n)
+    )
     docs = df.select(
-        F.col(id_col).alias("id"), word_shingles(text_col, n).alias("shingles")
+        F.col(id_col).alias("id"), shingle_expr.alias("shingles")
     ).withColumn("n_shingles", F.size("shingles"))
     ex = docs.select("id", "n_shingles", F.explode("shingles").alias("sh"))
     if max_shingle_df < 2**31:  # cap disabled -> skip the df-count pass
-        rare = ex.groupBy("sh").agg(F.count(F.lit(1)).alias("df_count")).filter(
-            F.col("df_count") <= max_shingle_df
+        hot = ex.groupBy("sh").agg(F.count(F.lit(1)).alias("df_count")).filter(
+            F.col("df_count") > max_shingle_df
         )
-        ex = ex.join(rare.select("sh"), "sh")
+        ex = ex.join(F.broadcast(hot.select("sh")), "sh", "left_anti")
     ex = ex.persist()
     slim = ex.select("id", "sh")
     a = slim.alias("a")
@@ -527,3 +565,102 @@ def embedding_near_dup_pairs(
         )
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def dup_clusters(
+    pairs: DataFrame,
+    id1: str = "id1",
+    id2: str = "id2",
+    max_iters: int = 20,
+) -> DataFrame:
+    """Connected components over duplicate pairs → (id, cluster_id)
+    where cluster_id is the MIN id in the component — the step that
+    turns any pair family (exact / minhash / simhash / ngram /
+    embedding) into keep-one-per-cluster dedup decisions.
+
+    Algorithm: iterative min-label propagation with pointer jumping —
+    each round every node takes min(own label, neighbors' labels, its
+    LABEL's label); the label-chasing join halves label-tree depth per
+    round (path doubling), so convergence is O(log(max component
+    diameter)) rounds, not O(diameter) — a chain of 1000 dups converges
+    in ~10 rounds. Each round is two hash joins + a groupBy on the
+    PAIRS table (≪ corpus: only docs with a duplicate partner appear).
+
+    Lineage discipline: the pointer-jump self-join references the
+    previous labels frame FOUR times per round, so without truncation
+    the logical plan grows ~4^rounds (measured: a 2^31-char plan string
+    OOMed the driver at round ~6). Each round's result is therefore
+    eagerly localCheckpoint-ed — plan depth stays O(1) — and the
+    superseded rounds' checkpoint blocks are unpersisted via their
+    LogicalRDD handles before returning, so only the returned frame's
+    blocks remain (same no-leak discipline as similarity.k_hop_paths).
+    Converged when no label changes.
+    """
+    edges = pairs.select(
+        F.col(id1).alias("src"), F.col(id2).alias("dst")
+    )
+    sym = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct().persist()
+    labels = (
+        sym.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    interim = [labels]
+    for _ in range(max_iters):
+        neigh = (
+            sym.join(labels.withColumnRenamed("id", "dst"), "dst")
+            .groupBy("src")
+            .agg(F.min("label").alias("nmin"))
+            .withColumnRenamed("src", "id")
+        )
+        stepped = (
+            labels.join(neigh, "id", "left")
+            .select("id", F.least("label", F.coalesce("nmin", "label")).alias("label"))
+        )
+        # pointer jumping: label := label(label)
+        jumped = (
+            stepped.alias("s")
+            .join(
+                stepped.select(
+                    F.col("id").alias("label"), F.col("label").alias("ll")
+                ).alias("t"),
+                "label",
+                "left",
+            )
+            .select(F.col("id"), F.least("label", F.coalesce("ll", "label")).alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        interim.append(jumped)
+        changed = (
+            jumped.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = jumped
+        if changed == 0:
+            break
+    out = labels.select("id", F.col("label").alias("cluster_id")).localCheckpoint(
+        eager=True
+    )
+    sym.unpersist()
+    _release_local_checkpoints(interim)
+    return out
+
+
+def _release_local_checkpoints(frames) -> None:
+    """Unpersist the checkpoint blocks behind eagerly localCheckpoint-ed
+    DataFrames. A checkpointed frame's analyzed plan is a LogicalRDD
+    whose ``rdd`` is the persisted (lineage-truncated) RDD; unpersisting
+    it frees the blocks deterministically instead of waiting for the
+    ContextCleaner. Only call on frames that are no longer needed."""
+    for df in frames:
+        try:
+            plan = df._jdf.queryExecution().analyzed()
+            if plan.getClass().getName().endswith("LogicalRDD"):
+                plan.rdd().unpersist(False)
+        except Exception:  # pragma: no cover - best-effort release
+            pass

@@ -103,3 +103,38 @@ def test_deterministic_hash_sample_stable_under_repartition(spark):
     assert s1 == s2
     # ~12.5% expected (0x20/0x100); generous tolerance
     assert 0.10 < len(s1) / 20000 < 0.15
+
+
+def test_ngram_hashed_twin_lockstep(spark):
+    """The production hashed-shingle path (xxhash64 over word columns,
+    int64 join keys) must produce the same pairs and jaccard values as
+    the string-shingle path that the DuckDB oracle mirrors
+    (dedup_ngram_jaccard). They can differ only on 64-bit hash
+    collisions (~1e-6 at 10M shingles); on the real test corpus they
+    must be identical."""
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    kw = dict(threshold=0.5, max_shingle_df=10**9)
+    want = {
+        (r["id1"], r["id2"]): round(r["jaccard"], 9)
+        for r in dedup.ngram_jaccard_pairs(d, hash_shingles=False, **kw).collect()
+    }
+    got = {
+        (r["id1"], r["id2"]): round(r["jaccard"], 9)
+        for r in dedup.ngram_jaccard_pairs(d, hash_shingles=True, **kw).collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_ngram_hot_shingle_cap_still_prunes(spark):
+    """The broadcast anti-join rewrite must preserve the df-cap
+    semantics: shingles in > max_shingle_df docs carry no votes."""
+    rows = [(i, "common prefix words here tail%d" % i) for i in range(8)]
+    rows += [(100, "alpha beta gamma delta"), (101, "alpha beta gamma delta")]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = _pairs(
+        dedup.ngram_jaccard_pairs(d, threshold=0.2, max_shingle_df=4)
+    )
+    # 'common prefix words'-family shingles appear in 8 docs > cap=4 ->
+    # pruned; docs 0-7 share nothing else, so no pair among them
+    assert all(not (a < 8 and b < 8) for a, b in pairs)
+    assert (100, 101) in pairs

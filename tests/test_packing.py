@@ -1,0 +1,152 @@
+"""Sequence packing (distributed prefix sum) + duplicate clustering
+(pointer-jumping connected components) — round-3 training-pipeline
+operators."""
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from kglids_spark.operators.dedup import dup_clusters
+from kglids_spark.operators.packing import bin_fill_stats, pack_sequences
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    # deterministic doc sizes, skewed: some giant docs span many bins
+    return spark.range(5000).select(
+        F.concat(F.lit("doc"), "id").alias("doc_id"),
+        (F.pmod(F.xxhash64(F.lit("sz"), "id"), F.lit(900)) + 10).cast("int").alias("n_tok"),
+    ).cache()
+
+
+def _brute_force(df, seq_len):
+    """Single-task global window — the semantics oracle."""
+    w = (
+        Window.orderBy(F.shiftrightunsigned(F.xxhash64(F.col("doc_id")), 1), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return df.withColumn(
+        "pack_offset", F.coalesce(F.sum("n_tok").over(w), F.lit(0)).cast("long")
+    ).withColumn("bin_id", (F.col("pack_offset") / seq_len).cast("long"))
+
+
+def test_pack_matches_single_window(spark, docs):
+    got = {
+        r.doc_id: (r.pack_offset, r.bin_id)
+        for r in pack_sequences(docs, 2048, n_buckets=16).collect()
+    }
+    want = {
+        r.doc_id: (r.pack_offset, r.bin_id) for r in _brute_force(docs, 2048).collect()
+    }
+    assert got == want
+
+
+def test_pack_invariant_under_bucket_count_and_partitioning(spark, docs):
+    """The two-phase prefix sum must produce IDENTICAL assignments for
+    any bucket count and any physical partitioning — the same
+    verdict-identity discipline as validate's logical buckets."""
+    base = {
+        r.doc_id: (r.pack_offset, r.bin_id, r.bin_pos)
+        for r in pack_sequences(docs, 1024, n_buckets=1).collect()
+    }
+    for n_buckets, parts in [(4, 3), (64, 16), (256, 5)]:
+        again = {
+            r.doc_id: (r.pack_offset, r.bin_id, r.bin_pos)
+            for r in pack_sequences(
+                docs.repartition(parts), 1024, n_buckets=n_buckets
+            ).collect()
+        }
+        assert again == base, f"n_buckets={n_buckets} diverged"
+
+
+def test_pack_offsets_are_exact_prefix_sums(spark, docs):
+    packed = pack_sequences(docs, 4096, n_buckets=8)
+    rows = sorted(packed.collect(), key=lambda r: r.pack_offset)
+    run = 0
+    for r in rows:
+        assert r.pack_offset == run
+        assert r.bin_id == run // 4096 and r.bin_pos == run % 4096
+        run += r.n_tok
+    total = docs.agg(F.sum("n_tok")).collect()[0][0]
+    assert run == total
+
+
+def test_pack_no_single_task_window(spark, docs):
+    """The plan must not contain a partition-less window (the
+    single-task collapse this operator exists to avoid)."""
+    plan = (
+        pack_sequences(docs, 2048, n_buckets=16)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Window" in plan
+    import re
+
+    for m in re.finditer(r"Window \[.*?\], \[(.*?)\], \[", plan):
+        assert m.group(1).strip(), "partition-less global window in plan"
+
+
+def test_bin_fill_stats(spark, docs):
+    packed = pack_sequences(docs, 4096, n_buckets=8)
+    stats = bin_fill_stats(packed, 4096)
+    total_docs = stats.agg(F.sum("docs_started")).collect()[0][0]
+    assert total_docs == docs.count()
+
+
+# ---------------------------------------------------------------------------
+# dup_clusters
+
+
+def _union_find(pairs):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {x: find(x) for x in parent}
+
+
+@pytest.mark.parametrize(
+    "edges",
+    [
+        # long chain (path-doubling stress: diameter 40)
+        [(f"n{i:03d}", f"n{i + 1:03d}") for i in range(40)],
+        # several components + a star + an isolated pair
+        [("a1", "a2"), ("a2", "a3"), ("b1", "b9"), ("b9", "b2"),
+         ("c5", "c1"), ("c5", "c2"), ("c5", "c9"), ("z1", "z2")],
+    ],
+)
+def test_dup_clusters_match_union_find(spark, edges):
+    pairs = spark.createDataFrame(edges, "id1 string, id2 string")
+    got = {r.id: r.cluster_id for r in dup_clusters(pairs).collect()}
+    want = _union_find(edges)
+    assert got == want
+
+
+def test_dup_clusters_chain_converges_fast(spark):
+    """Pointer jumping: a 200-node chain must converge well inside the
+    default max_iters (O(log d), not O(d))."""
+    edges = [(f"p{i:04d}", f"p{i + 1:04d}") for i in range(200)]
+    pairs = spark.createDataFrame(edges, "id1 string, id2 string")
+    got = {r.cluster_id for r in dup_clusters(pairs, max_iters=12).collect()}
+    assert got == {"p0000"}
+
+
+def test_dup_clusters_no_pinned_rdds(spark):
+    jsc = spark.sparkContext._jsc.sc()
+    before = jsc.getPersistentRDDs().size()
+    pairs = spark.createDataFrame(
+        [("x1", "x2"), ("x2", "x3"), ("y1", "y2")], "id1 string, id2 string"
+    )
+    out = dup_clusters(pairs)
+    out.count()
+    after = jsc.getPersistentRDDs().size()
+    # only the returned frame's own checkpoint blocks may remain
+    assert after <= before + 1
