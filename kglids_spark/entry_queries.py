@@ -791,6 +791,80 @@ def pack_sequences_bins(spark, sf_dir):
     return packed.select("doc_id", "pack_offset", "bin_id", "bin_pos")
 
 
+_CONTAM_SQL = """
+    WITH norm AS (
+      SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+      FROM documents),
+    words AS (SELECT doc_id, string_split(t, ' ') AS ws FROM norm),
+    grams AS (
+      SELECT DISTINCT doc_id, array_to_string(ws[i:i+7], ' ') AS g
+      FROM words, unnest(range(1, greatest(len(ws) - 7, 1) + 1)) u(i)),
+    bwords AS (
+      SELECT doc_id AS bench_id, ws[1:12] AS ws FROM words WHERE doc_id % 100 = 7),
+    bgrams AS (
+      SELECT DISTINCT bench_id, array_to_string(ws[i:i+7], ' ') AS g
+      FROM bwords, unnest(range(1, greatest(len(ws) - 7, 1) + 1)) u(i)),
+    bn AS (SELECT bench_id, count(*) AS bench_ngrams FROM bgrams GROUP BY 1),
+    hits AS (
+      SELECT c.doc_id, b.bench_id, count(*) AS n_common
+      FROM grams c JOIN bgrams b USING (g) GROUP BY 1, 2)
+    SELECT h.doc_id, h.bench_id, h.n_common, bn.bench_ngrams,
+           round(h.n_common::DOUBLE / bn.bench_ngrams, 6) AS frac_bench
+    FROM hits h JOIN bn USING (bench_id)
+"""
+
+
+@register("benchmark_contamination", _CONTAM_SQL)
+def benchmark_contamination(spark, sf_dir):
+    """Test-set decontamination (dedup.benchmark_contamination): the
+    benchmark here is synthesized from the corpus itself — the 12-word
+    normalized prefix of every 100th document — so verbatim overlap is
+    guaranteed by construction and the oracle checks the full
+    broadcast-gram-join + per-pair aggregation semantics. String-gram
+    config (bit-portable to DuckDB); the int64-hash production default
+    is pinned by test_contamination_hashed_twin_lockstep."""
+    d = _t(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 100 == 7).select(
+        F.col("doc_id").alias("bench_id"),
+        F.array_join(
+            F.slice(F.split(dedup.normalize_text("text"), " "), 1, 12), " "
+        ).alias("text"),
+    )
+    pairs = dedup.benchmark_contamination(
+        d, bench, n=8, hash_shingles=False
+    )
+    return pairs.select(
+        "doc_id", "bench_id", "n_common", "bench_ngrams",
+        F.round("frac_bench", 6).alias("frac_bench"),
+    )
+
+
+_STRAT_SQL = """
+    WITH ranked AS (
+      SELECT doc_id, source, row_number() OVER (
+        PARTITION BY source ORDER BY md5(doc_id::VARCHAR), doc_id) AS rn
+      FROM documents)
+    SELECT doc_id, source FROM ranked
+    WHERE (source = 'src0' AND rn <= 10) OR (source = 'src1' AND rn <= 5)
+       OR (source = 'src2' AND rn <= 30) OR (source = 'src3' AND rn <= 25)
+"""
+
+
+@register("stratified_sample_sources", _STRAT_SQL)
+def stratified_sample_sources(spark, sf_dir):
+    """Exact-quota mixture sampling (sampling.stratified_sample_exact):
+    first-N per source in deterministic md5 order via the two-phase
+    bucket-count + cutoff-bucket-window selection — never a whole-
+    stratum single-task sort. Quotas cover under / over / exactly-equal
+    to the stratum size; unlisted sources are dropped. The oracle is
+    the single-window definition of the same selection."""
+    from kglids_spark.operators.sampling import stratified_sample_exact
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    quotas = {"src0": 10, "src1": 5, "src2": 30, "src3": 25}
+    return stratified_sample_exact(d, "source", quotas, ["doc_id"])
+
+
 # =====================================================================
 # Text analysis (training-pipeline ops)
 # =====================================================================
@@ -2281,6 +2355,7 @@ _DRIVER_PRIORITY = [
     # (b) new in round 3
     "similarity_scores_reference", "eda_operations_iterative",
     "dedup_clusters", "pack_sequences_bins",
+    "benchmark_contamination", "stratified_sample_sources",
     # (c) operator code changed in round 3 + twin pins
     "khop_nation_pairs_same_region", "constraints_documents", "profile_stats",
     "eda_operations", "ann_lsh_topk_md5", "dedup_minhash_lsh_md5",
@@ -2291,7 +2366,6 @@ _DRIVER_PRIORITY = [
     "search_columns_regex", "embedding_mean_pool", "fine_grained_types",
     "crc32_column_ids", "asof_click_purchase", "range_join_click_error",
     "sessionize_events", "tumbling_window_events", "rollup_events_hypertable",
-    "drift_ks_events", "drift_psi_events",
     "dedup_ngram_jaccard",
 ]
 

@@ -48,33 +48,72 @@ def exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
     )
 
 
+def split_words(col) -> F.Column:
+    """Normalized word array of a text column. Materialize this in its
+    OWN projection (``df.select(..., split_words("text").alias("_ws"))``)
+    before building shingles from it: the shingle builders reference the
+    words array a handful of times, and if the split is inlined at each
+    reference the regex+split re-runs per reference. CollapseProject
+    keeps a multiply-referenced non-trivial alias in its own stage, so
+    the pre-split evaluates once per row."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(normalize_text(c), " ")
+
+
+_BIG = 2**31 - 1
+
+
+def _zip_ngrams(ws, n: int) -> F.Column:
+    """array<struct> of consecutive word n-grams: element i is
+    (ws[i], ws[i+1], .., ws[i+n-1]) built by zipping the words array
+    with its own shifted slices — the words expression is referenced a
+    CONSTANT number of times (n+1), never once per output element.
+    The previous per-element ``element_at`` construction embedded a
+    copy of the words expression in every lambda step; higher-order
+    functions run interpreted with no common-subexpression reuse, so
+    the text was re-split ~3x per shingle (measured 402s → 12.5s for
+    the exploded shingles of 100k docs). Length is
+    greatest(size-n+1, 1); docs shorter than n words produce one
+    truncated gram whose missing tail words are null (arrays_zip pads),
+    which ANSI-safely replaces out-of-range element_at."""
+    z = F.arrays_zip(*[F.slice(ws, k + 1, _BIG - k) for k in range(n)])
+    return F.slice(z, 1, F.greatest(F.size(ws) - (n - 1), F.lit(1)))
+
+
+def words_shingles(ws, n: int = 3) -> F.Column:
+    """Distinct word n-gram shingle strings from a words array."""
+    return F.array_distinct(
+        F.transform(
+            _zip_ngrams(ws, n),
+            lambda s: F.concat_ws(" ", *[s[str(k)] for k in range(n)]),
+        )
+    )
+
+
 def word_shingles(col, n: int = 3) -> F.Column:
     """Distinct word n-gram shingles of a text column (array<string>)."""
-    words = F.split(normalize_text(col), " ")
-    idx = F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0)))
+    return words_shingles(split_words(col), n)
+
+
+def hashed_words_shingles(ws, n: int = 3) -> F.Column:
+    """Distinct word-n-gram shingles as int64 hashes from a words
+    array: xxhash64 over the n gram words directly — no shingle-string
+    allocation, and downstream joins shuffle 8-byte keys instead of
+    ~25-byte strings. Truncated grams of short docs hash their
+    available words (nulls skipped by xxhash64), mirroring the string
+    path's single truncated shingle; pinned to the string path by
+    test_ngram_hashed_twin_lockstep."""
     return F.array_distinct(
-        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)))
+        F.transform(
+            _zip_ngrams(ws, n),
+            lambda s: F.xxhash64(*[s[str(k)] for k in range(n)]),
+        )
     )
 
 
 def hashed_word_shingles(col, n: int = 3) -> F.Column:
-    """Distinct word-n-gram shingles as int64 hashes, built WITHOUT
-    constructing shingle strings: xxhash64 over the n word columns
-    directly. Measured ~100x faster than the string path at 100k docs
-    (0.4s vs 44.5s for explode+distinct — array_distinct over per-doc
-    longs + no array_join/concat allocation), and the downstream
-    self-join shuffles 8-byte keys instead of ~25-byte strings. Short
-    docs (< n words) hash their available words with null padding —
-    the same docs match each other, mirroring the string path's single
-    truncated shingle."""
-    c = F.col(col) if isinstance(col, str) else col
-    ws = F.split(normalize_text(c), " ")
-    return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(F.size(ws) - (n - 1), F.lit(1))),
-            lambda i: F.xxhash64(*[F.element_at(ws, i + k) for k in range(n)]),
-        )
-    )
+    """`hashed_words_shingles` over a text column."""
+    return hashed_words_shingles(split_words(col), n)
 
 
 def ngram_jaccard_pairs(
@@ -104,32 +143,74 @@ def ngram_jaccard_pairs(
     (dedup_ngram_jaccard query); results differ only on 64-bit hash
     collisions (~1e-6 at 10M shingles), pinned equal on the test corpus
     by test_dedup.py::test_ngram_hashed_twin_lockstep."""
-    shingle_expr = (
-        hashed_word_shingles(text_col, n)
-        if hash_shingles
-        else word_shingles(text_col, n)
+    mk = hashed_words_shingles if hash_shingles else words_shingles
+    base = df.select(
+        F.col(id_col).alias("id"), split_words(text_col).alias("_ws")
     )
-    docs = df.select(
-        F.col(id_col).alias("id"), shingle_expr.alias("shingles")
+    docs = base.select(
+        "id", mk(F.col("_ws"), n).alias("shingles")
     ).withColumn("n_shingles", F.size("shingles"))
     ex = docs.select("id", "n_shingles", F.explode("shingles").alias("sh"))
-    if max_shingle_df < 2**31:  # cap disabled -> skip the df-count pass
-        hot = ex.groupBy("sh").agg(F.count(F.lit(1)).alias("df_count")).filter(
-            F.col("df_count") > max_shingle_df
+
+    # Inverted-index pair counting (replaces the earlier exploded
+    # self-join, which shuffle-sorted the 8-byte (id, sh) rows on sh for
+    # BOTH merge-join sides and then shuffled them AGAIN on id for the
+    # per-doc counts — three full passes over the shingle rows).
+    #
+    # Two shuffles remain: a df-count pre-pass (so the cap is applied
+    # BEFORE collect_list — no aggregation buffer ever materializes a
+    # hot shingle's posting list; a boilerplate shingle at web scale
+    # has ~10^8 docs and collect-then-filter would OOM the aggregator)
+    # and the postings build groupBy(sh) → sorted doc list. Pairs are
+    # then emitted MAP-SIDE from each ≤cap-sized posting list as array
+    # combinations — the shuffle after that carries only candidate
+    # pairs (bounded by real near-dup mass + cap² per shingle).
+    if max_shingle_df < 2**31:
+        hot = (
+            ex.groupBy("sh")
+            .agg(F.count(F.lit(1)).alias("df_count"))
+            .filter(F.col("df_count") > max_shingle_df)
+            .select("sh")
         )
-        ex = ex.join(F.broadcast(hot.select("sh")), "sh", "left_anti")
-    ex = ex.persist()
-    slim = ex.select("id", "sh")
-    a = slim.alias("a")
-    b = slim.alias("b")
+        rare_ex = ex.join(F.broadcast(hot), "sh", "left_anti")
+        # per-doc denominator over the rare universe: total minus hot
+        # hits (hot shingles carry no dedup signal) — computed from the
+        # tiny broadcast hot set, NOT a second shuffle of all rows
+        hot_per_doc = (
+            ex.join(F.broadcast(hot), "sh")
+            .groupBy("id")
+            .agg(F.count(F.lit(1)).alias("n_hot"))
+        )
+        counts = (
+            docs.join(hot_per_doc, "id", "left")
+            .select(
+                "id",
+                (F.col("n_shingles") - F.coalesce("n_hot", F.lit(0))).alias("ns"),
+            )
+        )
+    else:
+        rare_ex = ex
+        counts = docs.select("id", F.col("n_shingles").alias("ns"))
+
+    idx = (
+        rare_ex.groupBy("sh")
+        .agg(F.sort_array(F.collect_list("id")).alias("ids"))
+        .filter(F.size("ids") >= 2)
+    )
+    pair_combos = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + F.lit(2), F.size(F.col("ids"))),
+                lambda y: F.struct(x.alias("id1"), y.alias("id2")),
+            ),
+        )
+    )
     inter = (
-        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id")))
-        .groupBy(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
+        idx.select(F.explode(pair_combos).alias("p"))
+        .groupBy(F.col("p.id1").alias("id1"), F.col("p.id2").alias("id2"))
         .agg(F.count(F.lit(1)).alias("common"))
     )
-    # when the df cap filtered hot shingles, Jaccard is computed over the
-    # rare-shingle universe (hot shingles carry no dedup signal anyway)
-    counts = ex.groupBy("id").agg(F.count(F.lit(1)).alias("ns"))
     jac = F.col("common") / (F.col("n1") + F.col("n2") - F.col("common"))
     # AQE broadcasts `counts` when small; at web scale it stays a shuffle join
     return (
@@ -152,8 +233,8 @@ def minhash_signatures(
     """(id, sig:array<long>) — num_perm min-hashes per doc, computed as
     one explode + num_perm min() aggregates (single shuffle on id)."""
     ex = df.select(
-        F.col(id_col).alias("id"), F.explode(word_shingles(text_col, shingle_n)).alias("sh")
-    )
+        F.col(id_col).alias("id"), split_words(text_col).alias("_ws")
+    ).select("id", F.explode(words_shingles(F.col("_ws"), shingle_n)).alias("sh"))
     mins = [
         F.min(F.xxhash64(F.lit(f"{seed}:{i}"), F.col("sh"))).alias(f"h{i}")
         for i in range(num_perm)
@@ -241,9 +322,8 @@ def minhash_lsh_pairs_md5(
     assert num_perm % bands == 0
     rows_per_band = num_perm // bands
     ex = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(word_shingles(text_col, shingle_n)).alias("sh"),
-    )
+        F.col(id_col).alias("id"), split_words(text_col).alias("_ws")
+    ).select("id", F.explode(words_shingles(F.col("_ws"), shingle_n)).alias("sh"))
     mins = [
         F.min(F.md5(F.concat(F.lit(f"{p}:"), F.col("sh")))).alias(f"h{p}")
         for p in range(num_perm)
@@ -564,6 +644,59 @@ def embedding_near_dup_pairs(
             cosine_similarity(F.col("a.v"), F.col("b.v")).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
+    )
+
+
+def benchmark_contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    corpus_text: str = "text",
+    corpus_id: str = "doc_id",
+    bench_text: str = "text",
+    bench_id: str = "bench_id",
+    n: int = 8,
+    hash_shingles: bool = True,
+) -> DataFrame:
+    """Test-set decontamination: training docs that share ≥1 word
+    n-gram with a benchmark/eval document (the published n-gram-overlap
+    decontamination protocol; n=8..13 word grams are the common
+    settings). Returns one row per contaminated (training doc, bench
+    doc) pair: (doc_id, bench_id, n_common, bench_ngrams,
+    frac_bench = n_common / bench_ngrams) — filter frac_bench to taste
+    downstream (≥ 1 gram flags verbatim leakage; high fractions flag
+    full-document inclusion).
+
+    Scale design: the benchmark side is tiny (10³–10⁵ eval docs)
+    against a corpus of billions, so the benchmark's exploded n-gram
+    set is BROADCAST — the corpus is scanned once, its n-grams checked
+    map-side against the broadcast hash set, and only the matching
+    (doc, bench) hits (bounded by real contamination, ≪ corpus) enter
+    the aggregation shuffle. No corpus-wide shuffle at any point.
+
+    ``hash_shingles`` joins on int64 xxhash64 grams (production; 8-byte
+    broadcast keys); ``False`` uses the literal gram strings, which is
+    what the DuckDB oracle mirrors (benchmark_contamination query).
+    """
+    mk = hashed_words_shingles if hash_shingles else words_shingles
+    b = benchmark.select(
+        F.col(bench_id).alias("bench_id"), split_words(bench_text).alias("_ws")
+    ).select("bench_id", mk(F.col("_ws"), n).alias("grams"))
+    b_ex = b.select(
+        "bench_id", F.size("grams").alias("bench_ngrams"), F.explode("grams").alias("g")
+    )
+    c_ex = corpus.select(
+        F.col(corpus_id).alias("doc_id"), split_words(corpus_text).alias("_ws")
+    ).select("doc_id", F.explode(mk(F.col("_ws"), n)).alias("g"))
+    return (
+        c_ex.join(F.broadcast(b_ex), "g")
+        .groupBy("doc_id", "bench_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_common"),
+            F.max("bench_ngrams").alias("bench_ngrams"),
+        )
+        .withColumn(
+            "frac_bench", F.col("n_common") / F.col("bench_ngrams")
+        )
     )
 
 

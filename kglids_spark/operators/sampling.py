@@ -1,0 +1,108 @@
+"""Mixture sampling: exact per-stratum quotas over a training corpus.
+
+A pretraining data pipeline resamples its sources to a target mixture
+("keep 30M docs of web, 5M of books, all of wiki"). Fractions are easy
+and scale-free (deterministic hash-threshold Bernoulli — see the
+sample_deterministic_hash query); EXACT quotas need the quota-th
+smallest element per stratum, i.e. a distributed per-group rank.
+
+The naive plan — ``row_number() OVER (PARTITION BY stratum ORDER BY
+hash)`` then ``rank <= quota`` — sorts every stratum inside ONE task
+per stratum: with a handful of sources at 10^12 rows that is a few
+giant straggler tasks, a non-starter (same failure mode as the
+partition-less window that operators/packing.py exists to avoid).
+
+Two-phase exact selection instead (the packing prefix-sum discipline
+applied to order statistics):
+1. rank key: h = md5(doc key) — deterministic, uniform, engine-portable
+   — with a coarse range bucket b = first hex byte of h (256 buckets,
+   monotone in h).
+2. count rows per (stratum, bucket): one map-side-combined groupBy →
+   n_strata × 256 tiny rows to the driver.
+3. per stratum, walk the cumulative counts to find the cutoff bucket
+   b* containing the quota-th row and the residual r = quota − rows in
+   buckets < b*.
+4. keep: every row with b < b* (a broadcast-joined filter — no shuffle
+   of corpus rows), plus the first r rows of bucket b* by (h, key) —
+   ranked with a window over ONLY the (stratum, b*) slice, ~1/256 of
+   the stratum, itself shuffle-partitioned by (stratum, bucket).
+
+Selection is identical to the single-window definition (first `quota`
+rows per stratum in (h, key) order) for any bucketing — the oracle
+(stratified_sample_sources) states exactly that definition.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def stratified_sample_exact(
+    df: DataFrame,
+    strata_col: str,
+    quotas: dict,
+    key_cols: list[str],
+) -> DataFrame:
+    """Exactly ``quotas[s]`` rows for each stratum ``s`` (all rows if
+    the stratum is smaller), chosen as the first rows in deterministic
+    md5(key) order — reproducible across runs, partitionings, and
+    engines. Strata absent from ``quotas`` are dropped (mixture spec =
+    what you keep). Returns the input columns."""
+    key = F.md5(F.concat_ws("\x1f", *[F.col(c).cast("string") for c in key_cols]))
+    bucket = F.conv(F.substring(key, 1, 2), 16, 10).cast("int")
+    spark = df.sparkSession
+
+    work = (
+        df.filter(F.col(strata_col).isin(list(quotas.keys())))
+        .withColumn("_h", key)
+        .withColumn("_b", bucket)
+    )
+    counts = work.groupBy(strata_col, "_b").count().collect()
+
+    per: dict = {}
+    for r in counts:
+        per.setdefault(r[strata_col], {})[r["_b"]] = r["count"]
+    cuts = []  # (stratum, cutoff bucket, residual rows inside it)
+    for s, q in quotas.items():
+        run = 0
+        cut_b, residual = -1, 0  # quota 0 / empty stratum -> keep nothing
+        for b in sorted(per.get(s, {})):
+            if run + per[s][b] >= q:
+                cut_b, residual = b, q - run
+                break
+            run += per[s][b]
+        else:
+            if per.get(s):  # quota >= stratum size -> keep everything
+                cut_b, residual = max(per[s]) + 1, 0
+        cuts.append((s, cut_b, residual))
+    cuts_df = F.broadcast(
+        spark.createDataFrame(
+            cuts, f"{strata_col} string, _cut_b int, _residual long"
+        )
+    )
+
+    joined = work.join(cuts_df, strata_col)
+    below = joined.filter(F.col("_b") < F.col("_cut_b"))
+    w = Window.partitionBy(strata_col, "_b").orderBy("_h", *key_cols)
+    at_cut = (
+        joined.filter(F.col("_b") == F.col("_cut_b"))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= F.col("_residual"))
+        .drop("_rn")
+    )
+    return below.unionByName(at_cut).drop("_h", "_b", "_cut_b", "_residual")
+
+
+def mixture_counts(df: DataFrame, strata_col: str) -> DataFrame:
+    """Observed mixture: rows and share per stratum (the input to
+    choosing quotas). The total comes from a broadcast 1-row aggregate,
+    not a partition-less window."""
+    agg = df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("n_rows"))
+    total = agg.agg(F.sum("n_rows").alias("_total"))
+    return (
+        agg.crossJoin(F.broadcast(total))
+        .withColumn("share", F.col("n_rows") / F.col("_total"))
+        .drop("_total")
+    )

@@ -1,0 +1,146 @@
+"""Exact-quota stratified sampling (two-phase order-statistic
+selection) and benchmark decontamination — round-3 training-pipeline
+operators."""
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from kglids_spark.operators import dedup
+from kglids_spark.operators.sampling import mixture_counts, stratified_sample_exact
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    # 3 strata with sizes 700 / 250 / 50
+    return spark.range(1000).select(
+        F.concat(F.lit("d"), "id").alias("doc_id"),
+        F.when(F.col("id") < 700, "web")
+        .when(F.col("id") < 950, "books")
+        .otherwise("wiki")
+        .alias("source"),
+    ).cache()
+
+
+def _single_window(df, quotas, strata_col="source"):
+    """The definitional selection: first `quota` rows per stratum in
+    (md5(key), key) order via one window — the semantics oracle."""
+    w = Window.partitionBy(strata_col).orderBy(F.md5("doc_id"), "doc_id")
+    ranked = df.withColumn("_rn", F.row_number().over(w))
+    cond = None
+    for s, q in quotas.items():
+        c = (F.col(strata_col) == s) & (F.col("_rn") <= q)
+        cond = c if cond is None else (cond | c)
+    return ranked.filter(cond).drop("_rn")
+
+
+QUOTAS = {"web": 100, "books": 250, "wiki": 80}  # under / exact / over size
+
+
+def test_stratified_matches_single_window(spark, corpus):
+    got = {r.doc_id for r in stratified_sample_exact(corpus, "source", QUOTAS, ["doc_id"]).collect()}
+    want = {r.doc_id for r in _single_window(corpus, QUOTAS).collect()}
+    assert got == want
+
+
+def test_stratified_exact_quota_counts(spark, corpus):
+    out = stratified_sample_exact(corpus, "source", QUOTAS, ["doc_id"])
+    counts = {r.source: r.n for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert counts == {"web": 100, "books": 250, "wiki": 50}
+
+
+def test_stratified_invariant_under_partitioning(spark, corpus):
+    base = {r.doc_id for r in stratified_sample_exact(corpus, "source", QUOTAS, ["doc_id"]).collect()}
+    again = {
+        r.doc_id
+        for r in stratified_sample_exact(
+            corpus.repartition(13), "source", QUOTAS, ["doc_id"]
+        ).collect()
+    }
+    assert again == base
+
+
+def test_stratified_drops_unlisted_strata(spark, corpus):
+    out = stratified_sample_exact(corpus, "source", {"wiki": 10}, ["doc_id"])
+    rows = out.collect()
+    assert len(rows) == 10 and all(r.source == "wiki" for r in rows)
+
+
+def test_stratified_no_whole_stratum_window(spark, corpus):
+    """The cutoff-bucket window must partition by (stratum, bucket),
+    never by stratum alone — the whole point of the two-phase design."""
+    plan = (
+        stratified_sample_exact(corpus, "source", QUOTAS, ["doc_id"])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    import re
+
+    specs = re.findall(r"windowspecdefinition\(([^)]*)", plan)
+    assert specs, "expected a window for the cutoff bucket"
+    assert all("_b#" in s for s in specs), f"window not bucket-partitioned: {specs}"
+
+
+def test_mixture_counts(spark, corpus):
+    rows = {r.source: (r.n_rows, r.share) for r in mixture_counts(corpus, "source").collect()}
+    assert rows["web"][0] == 700 and abs(rows["web"][1] - 0.7) < 1e-9
+    assert abs(sum(v[1] for v in rows.values()) - 1.0) < 1e-9
+
+
+# ---------------------------------------------------------------------------
+# benchmark_contamination
+
+
+def test_contamination_flags_planted_overlap(spark):
+    corpus = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+            (2, "one two three four five six seven eight nine ten"),
+            (3, "unrelated words entirely disjoint from anything benchmarked here now"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(101, "beta gamma delta epsilon zeta eta theta iota")],  # 8 words of doc 1
+        "bench_id long, text string",
+    )
+    out = dedup.benchmark_contamination(corpus, bench, n=8).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.doc_id, r.bench_id, r.n_common, r.bench_ngrams) == (1, 101, 1, 1)
+    assert r.frac_bench == 1.0
+
+
+def test_contamination_hashed_twin_lockstep(spark):
+    """Production int64-gram path must match the string-gram path the
+    DuckDB oracle mirrors, on the real corpus with sliced-prefix
+    benchmarks (the benchmark_contamination query's construction)."""
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    bench = d.filter(F.col("doc_id") % 100 == 7).select(
+        F.col("doc_id").alias("bench_id"),
+        F.array_join(
+            F.slice(F.split(dedup.normalize_text("text"), " "), 1, 12), " "
+        ).alias("text"),
+    )
+    def key(df):
+        return {
+            (r.doc_id, r.bench_id): (r.n_common, r.bench_ngrams)
+            for r in df.collect()
+        }
+    want = key(dedup.benchmark_contamination(d, bench, n=8, hash_shingles=False))
+    got = key(dedup.benchmark_contamination(d, bench, n=8, hash_shingles=True))
+    assert got == want and len(got) > 0
+
+
+def test_contamination_benchmark_side_is_broadcast(spark):
+    d = spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(" ", *[F.concat(F.lit("w"), F.pmod(F.xxhash64(F.lit(j), "id"), F.lit(50))) for j in range(12)]).alias("text"),
+    )
+    bench = d.filter(F.col("doc_id") % 40 == 0).select(
+        F.col("doc_id").alias("bench_id"), "text"
+    )
+    plan = (
+        dedup.benchmark_contamination(d, bench, n=8)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan
