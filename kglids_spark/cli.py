@@ -168,9 +168,15 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     if args.cmd == "profile":
+        from kglids_spark.session import WIDE_ARRAY_SCAN_CONF, scoped_sql_conf
+
         df = spark.read.parquet(args.input)
         prof = profile_table(df, table_id=args.input.rstrip("/").split("/")[-1], exact=args.exact)
-        for row in prof.collect():
+        # profiling scans every column incl. wide token arrays — run the
+        # collect under the wide-array reader-batch profile
+        with scoped_sql_conf(spark, WIDE_ARRAY_SCAN_CONF):
+            rows = prof.collect()
+        for row in rows:
             print(json.dumps(row.asDict(), default=str))
         return 0
 

@@ -197,7 +197,19 @@ def _slim_projection(
     return df_b.select(*[F.col(x) for x in cols], *extra), rewritten
 
 
-def validate(
+def validate(df: DataFrame, constraints: list[C.Constraint], **kwargs) -> ValidationResult:
+    """Run the constraint suite (see ``_validate_impl`` for the full
+    contract). Wraps the pass in the wide-array reader-batch profile
+    (session.WIDE_ARRAY_SCAN_CONF): the token scans that dominate this
+    pass want small column vectors, while the session default stays
+    tuned for narrow scans (bench_ab.py A/B, BENCH.md round 3)."""
+    from kglids_spark.session import WIDE_ARRAY_SCAN_CONF, scoped_sql_conf
+
+    with scoped_sql_conf(df.sparkSession, WIDE_ARRAY_SCAN_CONF):
+        return _validate_impl(df, constraints, **kwargs)
+
+
+def _validate_impl(
     df: DataFrame,
     constraints: list[C.Constraint],
     *,

@@ -12,10 +12,39 @@ from __future__ import annotations
 
 import os
 import re
+from contextlib import contextmanager
 
 from pyspark.sql import SparkSession
 
 DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+# Reader-batch profile for wide array<int32> token scans: ~1.8 MB
+# column vectors instead of ~7 MB at the 4096-row default, measured
+# 3-5x on the 15 GB tokens scan together with the GC profile below.
+# Scoped (not session-wide) because the same small batch costs ~10% on
+# narrow-row scans (bench_ab.py interleaved A/B, BENCH.md round 3).
+WIDE_ARRAY_SCAN_CONF = {"spark.sql.parquet.columnarReaderBatchSize": "1024"}
+
+
+@contextmanager
+def scoped_sql_conf(spark: SparkSession, confs: dict[str, str]):
+    """Set runtime SQL confs for the duration of a block, restoring the
+    previous values (or unsetting) afterwards. SQL confs are consulted
+    at action/planning time, so this scopes correctly around a pass
+    that runs its actions inside the block; frames returned lazily and
+    collected later run under the caller's conf."""
+    old: dict[str, str | None] = {}
+    for k, v in confs.items():
+        old[k] = spark.conf.get(k, None)
+        spark.conf.set(k, str(v))
+    try:
+        yield
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
 
 
 def _mem_mb() -> int:
@@ -94,9 +123,15 @@ def get_spark(
         #   so giving decode garbage most of the heap is the right
         #   trade for any executor size; on a real cluster the same
         #   flags go in spark.executor.extraJavaOptions.
+        #
+        # The 1024-row reader batch is NOT set session-wide: a same-
+        # weather interleaved A/B (bench_ab.py, BENCH.md round 3)
+        # measured it costing ~10% (median pairwise) on the narrow-row
+        # query suite it was never meant for. It is scoped to the
+        # wide-token passes via scoped_sql_conf(WIDE_ARRAY_SCAN_CONF)
+        # in validate()/profile_tables() instead.
         .config("spark.driver.extraJavaOptions", _gc_opts(_mem_mb()))
         .config("spark.executor.extraJavaOptions", _gc_opts(_mem_mb()))
-        .config("spark.sql.parquet.columnarReaderBatchSize", "1024")
     )
     if extra_conf:
         for k, v in extra_conf.items():

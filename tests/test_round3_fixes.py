@@ -337,3 +337,22 @@ def test_ref_scores_pair_coverage(ref_scores):
     contents = [k for k in ref_scores if k[2] == "content"]
     assert len(labels) == 37  # 36 string pairs + 1 boolean pair
     assert len(contents) == 37
+
+
+def test_scoped_sql_conf_sets_and_restores(spark):
+    """The wide-array reader-batch profile is scoped, not session-wide
+    (bench_ab.py: the small batch costs ~10% on narrow scans)."""
+    from kglids_spark.session import WIDE_ARRAY_SCAN_CONF, scoped_sql_conf
+
+    key = "spark.sql.parquet.columnarReaderBatchSize"
+    before = spark.conf.get(key, None)
+    with scoped_sql_conf(spark, WIDE_ARRAY_SCAN_CONF):
+        assert spark.conf.get(key) == "1024"
+    assert spark.conf.get(key, None) == before
+    # restore also on error
+    try:
+        with scoped_sql_conf(spark, {key: "2048"}):
+            raise RuntimeError("boom")
+    except RuntimeError:
+        pass
+    assert spark.conf.get(key, None) == before
