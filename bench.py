@@ -226,15 +226,26 @@ def _scaling_measurement(
     """Interleaved paired sampling: one warmup per JVM, then alternate
     single timed passes low/high. Only one worker computes at a time
     (the other JVM is parked on a blocking stdin read), so passes never
-    contend; interleaving puts both levels in the same weather window."""
+    contend; interleaving puts both levels in the same weather window.
+
+    The within-pair ORDER alternates per pass (low-high, high-low, ...):
+    with a fixed order, a monotone weather drift across the ~3-minute
+    pair window biases every pair's ratio the same way (a round-3
+    series with improving weather read pairs 1.6→3.65 under fixed
+    order); alternating flips the sign of the drift term pair to pair
+    so the median cancels it."""
     w_low, w_high = _PinnedWorker(low_cpus), _PinnedWorker(high_cpus)
     try:
         w_low.warmup()
         w_high.warmup()
         runs_low, runs_high = [], []
         for i in range(passes):
-            runs_low.append(w_low.run())
-            runs_high.append(w_high.run())
+            if i % 2 == 0:
+                runs_low.append(w_low.run())
+                runs_high.append(w_high.run())
+            else:
+                runs_high.append(w_high.run())
+                runs_low.append(w_low.run())
             print(
                 f"[bench] pass {i + 1}/{passes}: local[{low_cpus}]={runs_low[-1]['t']}s "
                 f"local[{high_cpus}]={runs_high[-1]['t']}s",
@@ -383,7 +394,9 @@ def main() -> None:
     low_cpus, high_cpus = (int(x) for x in scale_pair.split(","))
     host = _host_cpu_speedup(low_cpus, high_cpus)
     print(f"[bench] host probe: {host}", file=sys.stderr, flush=True)
-    v_low, v_high = _scaling_measurement(low_cpus, high_cpus, passes=5)
+    v_low, v_high = _scaling_measurement(
+        low_cpus, high_cpus, passes=int(os.environ.get("SPARK_GRAFT_SCALE_PASSES", "6"))
+    )
     print(f"[bench] local[{low_cpus}]: {v_low}", file=sys.stderr, flush=True)
     print(f"[bench] local[{high_cpus}]: {v_high}", file=sys.stderr, flush=True)
     # peak = best measured config. An unpinned local[32] run was tried
