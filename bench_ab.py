@@ -172,8 +172,15 @@ def main() -> None:
         wa.cmd("warmup")
         wb.cmd("warmup")
         for i in range(PASSES):
-            runs_a.append(wa.cmd("run"))
-            runs_b.append(wb.cmd("run"))
+            # alternate within-pair order so a monotone weather drift
+            # flips sign pair-to-pair and the median cancels it (same
+            # fix as bench.py's scaling pairs, BENCH.md round 3)
+            if i % 2 == 0:
+                runs_a.append(wa.cmd("run"))
+                runs_b.append(wb.cmd("run"))
+            else:
+                runs_b.append(wb.cmd("run"))
+                runs_a.append(wa.cmd("run"))
             print(
                 f"[ab] pass {i+1}/{PASSES}: {a[0]} suite={runs_a[-1]['suite']}s "
                 f"wide={runs_a[-1]['wide_scan']}s | {b[0]} suite={runs_b[-1]['suite']}s "
