@@ -101,8 +101,12 @@ def test_histogram_merge_is_elementwise_sum(hists):
     assert merged == [sum(h[i] for h in hists) for i in range(3)]
 
 
+import keyword
+
+# exclude ALL Python keywords, not a hand-picked subset — hypothesis
+# found `or` as an alias, producing unparseable `import a.a as or`
 _ident = st.from_regex(r"[a-z][a-z0-9_]{0,8}", fullmatch=True).filter(
-    lambda s: s not in {"import", "from", "as", "def", "class", "in", "is", "for", "if"}
+    lambda s: not keyword.iskeyword(s)
 )
 
 
