@@ -950,6 +950,98 @@ def token_counts(spark, sf_dir):
 
 
 @register(
+    "text_repetition_signals",
+    r"""
+    WITH w AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS ws
+      FROM documents),
+    g AS (
+      SELECT doc_id, ws,
+             list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1]) AS g2
+      FROM w)
+    SELECT doc_id,
+      round(1.0 - len(list_distinct(ws)) / CAST(len(ws) AS DOUBLE), 6) AS rep_dup_word_frac,
+      round(list_max(list_transform(list_distinct(ws),
+            w -> len(list_filter(ws, x -> x = w)))) / CAST(len(ws) AS DOUBLE), 6) AS rep_top_word_frac,
+      round(CASE WHEN len(g2) = 0 THEN 0.0
+                 ELSE list_max(list_transform(list_distinct(g2),
+                      h -> len(list_filter(g2, x -> x = h)))) / CAST(len(g2) AS DOUBLE)
+            END, 6) AS rep_top_2gram_frac
+    FROM g
+    """,
+)
+def text_repetition_signals(spark, sf_dir):
+    """Gopher-style repetition quality signals, zero-shuffle map-side
+    (text.repetition_signals)."""
+    d = _t(spark, sf_dir, "documents")
+    r = text.repetition_signals(d)
+    return r.select(
+        "doc_id",
+        F.round("rep_dup_word_frac", 6).alias("rep_dup_word_frac"),
+        F.round("rep_top_word_frac", 6).alias("rep_top_word_frac"),
+        F.round("rep_top_2gram_frac", 6).alias("rep_top_2gram_frac"),
+    )
+
+
+# deterministic PII suffix so the redaction query is non-trivial on the
+# synthetic corpus (the generator plants no emails/IPs); built with the
+# same arithmetic on both sides so the oracle pins exact redacted text.
+_PII_SQL = r"""
+    WITH t AS (
+      SELECT source,
+             text || ' contact user' || CAST(doc_id AS VARCHAR)
+                  || '@example.com ip ' || CAST(1 + doc_id % 200 AS VARCHAR)
+                  || '.16.0.9 call 202-555-'
+                  || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t2
+      FROM documents),
+    r AS (
+      SELECT source, t2,
+        regexp_replace(regexp_replace(regexp_replace(t2,
+          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+          '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IPV4>', 'g'),
+          '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b', '<PHONE>', 'g') AS red,
+        len(regexp_extract_all(t2, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+        len(regexp_extract_all(t2, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ipv4,
+        len(regexp_extract_all(t2, '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b')) AS n_phone
+      FROM t)
+    SELECT source, count(*) AS n_docs,
+           CAST(sum(n_email) AS BIGINT) AS emails,
+           CAST(sum(n_ipv4) AS BIGINT) AS ipv4s,
+           CAST(sum(n_phone) AS BIGINT) AS phones,
+           CAST(sum(len(t2) - len(red)) AS BIGINT) AS chars_delta,
+           min(md5(red)) AS redacted_digest
+    FROM r GROUP BY source
+"""
+
+
+@register("pii_redaction", _PII_SQL)
+def pii_redaction(spark, sf_dir):
+    """PII scrub (text.redact_pii) over documents with a planted
+    deterministic suffix; per-source counts + a digest pinning the
+    exact redacted text."""
+    d = _t(spark, sf_dir, "documents")
+    t2 = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com ip "),
+        (F.lit(1) + F.col("doc_id") % 200).cast("string"),
+        F.lit(".16.0.9 call 202-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    red = text.redact_pii(d.withColumn("t2", t2), text_col="t2", out_col="red")
+    return red.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_email").alias("emails"),
+        F.sum("n_ipv4").alias("ipv4s"),
+        F.sum("n_phone").alias("phones"),
+        F.sum(F.length("t2") - F.length("red")).alias("chars_delta"),
+        F.min(F.md5(F.col("red"))).alias("redacted_digest"),
+    )
+
+
+@register(
     "doc_digest",
     r"""
     SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS digest
@@ -2356,6 +2448,7 @@ _DRIVER_PRIORITY = [
     "similarity_scores_reference", "eda_operations_iterative",
     "dedup_clusters", "pack_sequences_bins",
     "benchmark_contamination", "stratified_sample_sources",
+    "text_repetition_signals", "pii_redaction",
     # (c) operator code changed in round 3 + twin pins
     "khop_nation_pairs_same_region", "constraints_documents", "profile_stats",
     "eda_operations", "ann_lsh_topk_md5", "dedup_minhash_lsh_md5",
@@ -2363,8 +2456,8 @@ _DRIVER_PRIORITY = [
     # (d) core cross-section
     "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier_volume",
     "similarity_pairs_sources", "recommend_tables_content",
-    "search_columns_regex", "embedding_mean_pool", "fine_grained_types",
-    "crc32_column_ids", "asof_click_purchase", "range_join_click_error",
+    "search_columns_regex", "fine_grained_types",
+    "asof_click_purchase", "range_join_click_error",
     "sessionize_events", "tumbling_window_events", "rollup_events_hypertable",
     "dedup_ngram_jaccard",
 ]

@@ -89,6 +89,88 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     return out.withColumn("q_score", score.cast("double"))
 
 
+def repetition_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition signals (Rae et al. 2021, appendix A1.1)
+    as pure map-side higher-order functions — ZERO shuffle:
+
+    - ``rep_dup_word_frac``: fraction of word occurrences that are
+      repeats of an earlier word (1 − distinct/total),
+    - ``rep_top_word_frac``: share of occurrences taken by the single
+      most frequent word,
+    - ``rep_top_2gram_frac``: share of word-2-gram occurrences taken by
+      the most frequent 2-gram.
+
+    Each document's mode is found with
+    ``array_max(transform(array_distinct(ws), w -> size(filter(ws, = w))))``
+    — O(distinct × n) per row, which beats an explode + groupBy +
+    window (two shuffles over every word occurrence in the corpus) for
+    web-scale documents: the work is embarrassingly parallel and the
+    plan stays a single projection over the scan. For pathological
+    inputs (≫10⁴ distinct words per doc) switch to the explode path.
+    """
+    c = F.col(text_col)
+    n1 = F.size(F.col("_ws")) - F.lit(1)
+    g2 = F.zip_with(
+        F.slice(F.col("_ws"), F.lit(1), n1),
+        F.slice(F.col("_ws"), F.lit(2), n1),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+
+    def _mode_count(arr):
+        return F.array_max(
+            F.transform(
+                F.array_distinct(arr),
+                lambda v: F.size(F.filter(arr, lambda x: x == v)),
+            )
+        )
+
+    tmp = df.withColumn("_ws", words_expr(c)).withColumn("_g2", g2)
+    n = F.size(F.col("_ws")).cast("double")
+    n_g2 = F.size(F.col("_g2")).cast("double")
+    return (
+        tmp.withColumn(
+            "rep_dup_word_frac",
+            F.lit(1.0) - F.size(F.array_distinct(F.col("_ws"))) / n,
+        )
+        .withColumn("rep_top_word_frac", _mode_count(F.col("_ws")) / n)
+        .withColumn(
+            "rep_top_2gram_frac",
+            # guard: single-word doc has no 2-grams (ANSI divide-by-zero)
+            F.when(n_g2 > 0, _mode_count(F.col("_g2")) / n_g2).otherwise(F.lit(0.0)),
+        )
+        .drop("_ws", "_g2")
+    )
+
+
+# RE2-compatible PII patterns (run identically under Java regex and the
+# DuckDB oracle); C4/CCNet-style scrub targets. Redaction order matters:
+# emails first so their digit runs can't later half-match as IPs.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    "phone": r"\b\d{3}[-. ]\d{3}[-. ]\d{4}\b",
+}
+
+
+def redact_pii(
+    df: DataFrame, text_col: str = "text", out_col: str = "text_redacted"
+) -> DataFrame:
+    """PII scrub for training corpora: redact emails, IPv4 addresses
+    and US-style phone numbers to ``<KIND>`` placeholders and append
+    per-kind match counts (``n_email``/``n_ipv4``/``n_phone``, counted
+    on the ORIGINAL text). Pure ``regexp_replace``/``regexp_count``
+    column expressions — JVM whole-stage codegen, no Python in the hot
+    path, trivially parallel at any scale."""
+    c = F.col(text_col)
+    out = df
+    for kind, pat in PII_PATTERNS.items():
+        out = out.withColumn(f"n_{kind}", F.regexp_count(c, F.lit(pat)))
+    red = c
+    for kind, pat in PII_PATTERNS.items():
+        red = F.regexp_replace(red, pat, f"<{kind.upper()}>")
+    return out.withColumn(out_col, red)
+
+
 def fingerprint_expr(col, shingle_n: int = 3) -> F.Column:
     """64-bit document fingerprint: min xxhash64 over word shingles
     (one-permutation MinHash) — robust to reordering of rare edits,

@@ -1,0 +1,67 @@
+"""Unit tests for the round-3 text operators: Gopher-style repetition
+signals and PII redaction (kglids_spark/operators/text.py)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from kglids_spark.operators import text
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        # hand-computable repetition: ws = [a a a b], g2 = [a a, a a, a b]
+        (1, "a a a b"),
+        # no repetition: every word and 2-gram unique
+        (2, "w x y z"),
+        # single word: no 2-grams -> top_2gram_frac coalesces to 0.0
+        (3, "solo"),
+        (4, "mail me at bob.smith+x@foo-bar.org or 10.0.3.7 call 202-555-0143 now"),
+        (5, "clean text with no pii at all"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_repetition_signals_hand_computed(docs):
+    r = {
+        row["doc_id"]: row
+        for row in text.repetition_signals(docs.filter("doc_id <= 3")).collect()
+    }
+    assert r[1]["rep_dup_word_frac"] == pytest.approx(1 - 2 / 4)
+    assert r[1]["rep_top_word_frac"] == pytest.approx(3 / 4)
+    assert r[1]["rep_top_2gram_frac"] == pytest.approx(2 / 3)
+    assert r[2]["rep_dup_word_frac"] == pytest.approx(0.0)
+    assert r[2]["rep_top_word_frac"] == pytest.approx(1 / 4)
+    assert r[2]["rep_top_2gram_frac"] == pytest.approx(1 / 3)
+    assert r[3]["rep_dup_word_frac"] == pytest.approx(0.0)
+    assert r[3]["rep_top_word_frac"] == pytest.approx(1.0)
+    assert r[3]["rep_top_2gram_frac"] == 0.0  # no 2-grams
+
+
+def test_repetition_signals_zero_shuffle_plan(docs):
+    plan = text.repetition_signals(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # map-side only
+
+
+def test_redact_pii_counts_and_placeholders(docs):
+    out = {
+        row["doc_id"]: row
+        for row in text.redact_pii(docs.filter("doc_id >= 4")).collect()
+    }
+    hit = out[4]
+    assert (hit["n_email"], hit["n_ipv4"], hit["n_phone"]) == (1, 1, 1)
+    red = hit["text_redacted"]
+    assert "<EMAIL>" in red and "<IPV4>" in red and "<PHONE>" in red
+    assert "bob.smith" not in red and "10.0.3.7" not in red and "0143" not in red
+    clean = out[5]
+    assert (clean["n_email"], clean["n_ipv4"], clean["n_phone"]) == (0, 0, 0)
+    assert clean["text_redacted"] == clean["text"]
+
+
+def test_redact_pii_email_not_double_matched_as_ip(spark):
+    # digit-heavy email must be consumed by the email pass, not leave a
+    # fragment the ipv4 pass could mangle
+    df = spark.createDataFrame([(1, "x 1.2.3.4@mail.com y")], ["doc_id", "text"])
+    row = text.redact_pii(df).collect()[0]
+    assert row["text_redacted"] == "x <EMAIL> y"
+    assert row["n_email"] == 1
