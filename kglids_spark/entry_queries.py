@@ -950,6 +950,68 @@ def token_counts(spark, sf_dir):
 
 
 @register(
+    "na_coercion_cast",
+    r"""
+    WITH v AS (
+      SELECT doc_id,
+             (ARRAY[' ', '?', '-', '12.5', 'x'])[CAST(doc_id % 5 AS INT) + 1] AS raw
+      FROM documents),
+    c AS (
+      SELECT doc_id, raw,
+             CASE WHEN raw IN (' ', '?', '-') THEN NULL ELSE raw END AS coerced
+      FROM v)
+    SELECT doc_id, raw, coerced,
+           TRY_CAST(coerced AS DOUBLE) AS num,
+           coerced IS NULL AS was_na
+    FROM c
+    """,
+)
+def na_coercion_cast(spark, sf_dir):
+    """P3 (custom NA-marker coercion ' '/'?'/'-' -> null, reference
+    profile_data.py:111-116) + P4 (numeric coercion via try_cast,
+    profile_data.py:118-120) as an oracle-checked query: the same
+    expressions the profiler applies, over a deterministic raw column."""
+    d = _t(spark, sf_dir, "documents")
+    raw = F.element_at(
+        F.array(F.lit(" "), F.lit("?"), F.lit("-"), F.lit("12.5"), F.lit("x")),
+        (F.col("doc_id") % 5 + 1).cast("int"),
+    )
+    coerced = F.when(raw.isin(" ", "?", "-"), F.lit(None)).otherwise(raw)
+    return d.select(
+        "doc_id",
+        raw.alias("raw"),
+        coerced.alias("coerced"),
+        coerced.try_cast("double").alias("num"),
+        coerced.isNull().alias("was_na"),
+    )
+
+
+@register(
+    "url_encoded_ids",
+    r"""
+    SELECT doc_id,
+           source || '/documents/doc+' || CAST(doc_id AS VARCHAR) || '%26v%3D1' AS col_id_enc
+    FROM documents
+    """,
+)
+def url_encoded_ids(spark, sf_dir):
+    """F2 (percent-encoded hierarchical ids, reference
+    data_profiling/utils.py:4-17): pins Spark's form-encoding
+    ``url_encode`` (space->'+', '&'->%26, '='->%3D — quote_plus
+    semantics) on per-component ids joined by '/'. The oracle spells
+    out the expected encoding for the id alphabet in play."""
+    d = _t(spark, sf_dir, "documents")
+    comp = F.concat(F.lit("doc "), F.col("doc_id").cast("string"), F.lit("&v=1"))
+    enc = F.concat_ws(
+        "/",
+        F.url_encode(F.col("source")),
+        F.url_encode(F.lit("documents")),
+        F.url_encode(comp),
+    )
+    return d.select("doc_id", enc.alias("col_id_enc"))
+
+
+@register(
     "text_repetition_signals",
     r"""
     WITH w AS (
@@ -2449,6 +2511,7 @@ _DRIVER_PRIORITY = [
     "dedup_clusters", "pack_sequences_bins",
     "benchmark_contamination", "stratified_sample_sources",
     "text_repetition_signals", "pii_redaction",
+    "na_coercion_cast", "url_encoded_ids",
     # (c) operator code changed in round 3 + twin pins
     "khop_nation_pairs_same_region", "constraints_documents", "profile_stats",
     "eda_operations", "ann_lsh_topk_md5", "dedup_minhash_lsh_md5",
@@ -2458,7 +2521,7 @@ _DRIVER_PRIORITY = [
     "similarity_pairs_sources", "recommend_tables_content",
     "search_columns_regex", "fine_grained_types",
     "asof_click_purchase", "range_join_click_error",
-    "sessionize_events", "tumbling_window_events", "rollup_events_hypertable",
+    "rollup_events_hypertable",
     "dedup_ngram_jaccard",
 ]
 
