@@ -106,7 +106,9 @@ def repetition_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
     window (two shuffles over every word occurrence in the corpus) for
     web-scale documents: the work is embarrassingly parallel and the
     plan stays a single projection over the scan. For pathological
-    inputs (≫10⁴ distinct words per doc) switch to the explode path.
+    inputs (≫10⁴ distinct words per doc) use
+    :func:`repetition_signals_exploded`, the value-identical
+    shuffle-based twin.
     """
     c = F.col(text_col)
     n1 = F.size(F.col("_ws")) - F.lit(1)
@@ -139,6 +141,54 @@ def repetition_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
             F.when(n_g2 > 0, _mode_count(F.col("_g2")) / n_g2).otherwise(F.lit(0.0)),
         )
         .drop("_ws", "_g2")
+    )
+
+
+def repetition_signals_exploded(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Shuffle-based twin of :func:`repetition_signals` for pathological
+    documents (≫10⁴ distinct words, where the map-side
+    O(distinct × n) lambda is worse than a shuffle): explode words /
+    2-grams, two-level count + max aggregates (map-side combinable),
+    join the per-doc maxima back. Identical values — pinned by
+    ``test_repetition_exploded_lockstep``. Returns (id, 3 signals)."""
+    base = df.select(id_col, words_expr(F.col(text_col)).alias("_ws"))
+    n1 = F.size("_ws") - F.lit(1)
+    g2 = F.zip_with(
+        F.slice("_ws", F.lit(1), n1),
+        F.slice("_ws", F.lit(2), n1),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    base = base.withColumn("_g2", g2)
+    sizes = base.select(
+        id_col, F.size("_ws").alias("_n_w"), F.size("_g2").alias("_n_g")
+    )
+    w_stats = (
+        base.select(id_col, F.explode("_ws").alias("_w"))
+        .groupBy(id_col, "_w")
+        .count()
+        .groupBy(id_col)
+        .agg(F.max("count").alias("_max_w"), F.count(F.lit(1)).alias("_n_uniq"))
+    )
+    g_stats = (
+        base.select(id_col, F.explode("_g2").alias("_g"))  # empty arrays drop
+        .groupBy(id_col, "_g")
+        .count()
+        .groupBy(id_col)
+        .agg(F.max("count").alias("_max_g"))
+    )
+    out = sizes.join(w_stats, id_col).join(g_stats, id_col, "left")
+    nw = F.col("_n_w").cast("double")
+    return out.select(
+        id_col,
+        (F.lit(1.0) - F.col("_n_uniq") / nw).alias("rep_dup_word_frac"),
+        (F.col("_max_w") / nw).alias("rep_top_word_frac"),
+        F.when(
+            F.col("_n_g") > 0, F.col("_max_g") / F.col("_n_g").cast("double")
+        )
+        .otherwise(F.lit(0.0))
+        .alias("rep_top_2gram_frac"),
     )
 
 

@@ -43,6 +43,26 @@ def test_repetition_signals_zero_shuffle_plan(docs):
     assert "Exchange" not in plan  # map-side only
 
 
+def test_repetition_exploded_lockstep(spark, docs):
+    """The shuffle-based twin must produce the exact values of the
+    map-side path, including the no-2-gram edge case, on real corpus
+    text plus the handcrafted docs."""
+    corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    both = corpus.unionByName(docs.withColumn("doc_id", F.col("doc_id") + 10**6))
+    cols = ["rep_dup_word_frac", "rep_top_word_frac", "rep_top_2gram_frac"]
+    a = {
+        r["doc_id"]: tuple(round(r[c], 9) for c in cols)
+        for r in text.repetition_signals(both).select("doc_id", *cols).collect()
+    }
+    b = {
+        r["doc_id"]: tuple(round(r[c], 9) for c in cols)
+        for r in text.repetition_signals_exploded(both).collect()
+    }
+    assert a == b and len(a) > 100
+
+
 def test_redact_pii_counts_and_placeholders(docs):
     out = {
         row["doc_id"]: row
