@@ -114,6 +114,30 @@ def stateful_sessionize(
     )
 
 
+def streaming_dedup_exact(
+    docs_stream: DataFrame,
+    text_col: str = "text",
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup for continuously-ingested corpora:
+    normalize → md5 content digest → ``dropDuplicatesWithinWatermark``
+    on the digest. State is BOUNDED — Spark evicts digest state older
+    than the watermark, so this holds on an unbounded stream where a
+    plain ``dropDuplicates`` would grow state forever; duplicates
+    arriving within the watermark of the first copy are dropped
+    exactly, later re-arrivals are a documented (and at training-data
+    scale, desired-cheap) miss that the periodic batch pass
+    (dedup.exact_duplicates, its batch twin) catches. Emits the first
+    arrival of each digest unchanged."""
+    from kglids_spark.operators.text import content_digest_expr
+
+    s = docs_stream.withColumn(ts_col, F.col(ts_col).cast("timestamp")).withColumn(
+        "digest", content_digest_expr(F.col(text_col))
+    )
+    return s.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(["digest"])
+
+
 def windowed_event_counts(
     events_stream: DataFrame,
     window: str = "5 minutes",

@@ -102,3 +102,44 @@ def test_windowed_event_counts(spark, tmp_path):
     # may be withheld, so compare within one window's worth of slack
     assert got.total <= batch[1]
     assert got.n >= batch[0] - 5
+
+
+def test_streaming_dedup_exact(spark, tmp_path):
+    """dropDuplicatesWithinWatermark on the content digest: duplicates
+    arriving within the watermark are dropped; output = one row per
+    distinct digest (the batch twin's group count)."""
+    from kglids_spark.operators.text import content_digest_expr
+    from kglids_spark.streaming.incremental import streaming_dedup_exact
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    base = docs.withColumn(
+        "ts", F.timestamp_seconds(F.lit(1767225600) + F.col("doc_id"))
+    )
+    # re-inject every 10th doc 5 minutes later under a fresh id
+    dupes = (
+        base.filter("doc_id % 10 = 0")
+        .withColumn("doc_id", F.col("doc_id") + 10**6)
+        .withColumn("ts", F.col("ts") + F.expr("INTERVAL 5 MINUTES"))
+    )
+    inp = base.unionByName(dupes)
+    src = str(tmp_path / "docs_dedup_in")
+    inp.write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(inp.schema).parquet(src)
+    q = (
+        streaming_dedup_exact(stream, watermark="1 hour")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_stream")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = spark.sql(
+        "SELECT count(*) AS n, count(DISTINCT digest) AS d FROM dedup_stream"
+    ).collect()[0]
+    want = inp.select(content_digest_expr(F.col("text")).alias("d")).distinct().count()
+    assert got.n == got.d == want
+    assert want < inp.count()  # the planted duplicates were real
