@@ -83,7 +83,7 @@ def _ensure(spark, path: str, n_rows: int, gen) -> None:
 def main() -> None:
     from pyspark.sql import functions as F
 
-    from kglids_spark.operators import ann, dedup
+    from kglids_spark.operators import ann, dedup, text
     from kglids_spark.session import get_spark
 
     spark = get_spark(app_name="bench_families", cpus=CPUS)
@@ -115,6 +115,26 @@ def main() -> None:
         ),
         "ann_lsh": lambda: ann.lsh_knn_join(queries, vecs, k=10, n_planes=12),
         "ann_ivf": lambda: ann.ivf_topk(queries, vecs, centroids, k=10),
+        # text family (round 3): all map-side, scan-bound — the point of
+        # recording them is the rows/sec ceiling and a plan with zero
+        # Exchange nodes (repetition/pii) at 100× sf0.1. The trailing
+        # aggregate CONSUMES every computed column: under a bare
+        # count() Catalyst prunes the projection and the expressions
+        # never execute (measured 0.1 s "throughput" — a scan).
+        "text_quality_repetition": lambda: text.repetition_signals(
+            text.quality_features(docs)
+        ).agg(
+            F.sum("q_score").alias("s1"),
+            F.sum("rep_dup_word_frac").alias("s2"),
+            F.sum("rep_top_word_frac").alias("s3"),
+            F.sum("rep_top_2gram_frac").alias("s4"),
+        ),
+        "text_pii_redaction": lambda: text.redact_pii(docs).agg(
+            F.sum(F.length("text_redacted")).alias("s1"),
+            F.sum("n_email").alias("s2"),
+            F.sum("n_ipv4").alias("s3"),
+            F.sum("n_phone").alias("s4"),
+        ),
     }
 
     # formatted-plan snapshots: one file per op so round-over-round plan

@@ -63,6 +63,41 @@ def test_repetition_exploded_lockstep(spark, docs):
     assert a == b and len(a) > 100
 
 
+def test_repetition_signals_fuzz_vs_python(spark):
+    """200 seeded random docs vs an independent pure-Python model, one
+    Spark pass (randomness stays outside the Spark plan so shrinkage
+    is irrelevant and the run is deterministic)."""
+    import random
+    from collections import Counter
+
+    rng = random.Random(7)
+    docs = []
+    for i in range(200):
+        vocab = [f"w{j}" for j in range(rng.randint(1, 12))]
+        words = [rng.choice(vocab) for _ in range(rng.randint(1, 40))]
+        docs.append((i, " ".join(words)))
+
+    def expected(ws):
+        cw = Counter(ws)
+        n = len(ws)
+        g2 = [f"{a} {b}" for a, b in zip(ws, ws[1:])]
+        cg = Counter(g2)
+        top2 = (max(cg.values()) / len(g2)) if g2 else 0.0
+        return (1 - len(cw) / n, max(cw.values()) / n, top2)
+
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: (
+            r["rep_dup_word_frac"],
+            r["rep_top_word_frac"],
+            r["rep_top_2gram_frac"],
+        )
+        for r in text.repetition_signals(df).collect()
+    }
+    for i, t in docs:
+        assert got[i] == pytest.approx(expected(t.split(" "))), (i, t)
+
+
 def test_redact_pii_counts_and_placeholders(docs):
     out = {
         row["doc_id"]: row
