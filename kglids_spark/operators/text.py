@@ -50,9 +50,10 @@ def token_count_ws(col) -> F.Column:
 
 
 def token_count_bpe(col) -> F.Column:
-    """BPE-ish token count via regexp_extract_all (JVM regex, no UDF)."""
+    """BPE-ish token count via regexp_count (JVM regex, no UDF, no
+    per-match array materialization)."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.size(F.regexp_extract_all(c, F.lit(TOKEN_REGEX), F.lit(0)))
+    return F.regexp_count(c, F.lit(TOKEN_REGEX))
 
 
 def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
