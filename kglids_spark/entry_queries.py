@@ -865,6 +865,44 @@ def stratified_sample_sources(spark, sf_dir):
     return stratified_sample_exact(d, "source", quotas, ["doc_id"])
 
 
+_TEMP_SQL = """
+    WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+    t AS (SELECT sum(CAST(floor(sqrt(n)) AS BIGINT)) AS tot FROM c),
+    q AS (SELECT source, n,
+                 least(n, 300 * CAST(floor(sqrt(n)) AS BIGINT) // tot) AS quota
+          FROM c, t),
+    ranked AS (
+      SELECT d.source, d.doc_id, q.quota, row_number() OVER (
+        PARTITION BY d.source ORDER BY md5(d.doc_id::VARCHAR), d.doc_id) AS rn
+      FROM documents d JOIN q ON d.source = q.source)
+    SELECT source, count(*) AS n_kept, CAST(sum(doc_id) AS BIGINT) AS id_sum
+    FROM ranked WHERE rn <= quota GROUP BY source
+"""
+
+
+@register("temperature_sample_sources", _TEMP_SQL)
+def temperature_sample_sources(spark, sf_dir):
+    """Temperature-flattened mixture (sampling.temperature_quotas at
+    T=0.5, integer-sqrt weights — bit-reproducible in SQL) feeding the
+    exact-quota two-phase sampler; per-source kept-count + id checksum."""
+    from kglids_spark.operators.sampling import (
+        stratified_sample_exact,
+        temperature_quotas,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    counts = {
+        r["source"]: r["n"]
+        for r in d.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    quotas = temperature_quotas(counts, budget=300, temperature=0.5)
+    kept = stratified_sample_exact(d, "source", quotas, ["doc_id"])
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("doc_id").cast("bigint").alias("id_sum"),
+    )
+
+
 # =====================================================================
 # Text analysis (training-pipeline ops)
 # =====================================================================
@@ -2511,7 +2549,7 @@ _DRIVER_PRIORITY = [
     "dedup_clusters", "pack_sequences_bins",
     "benchmark_contamination", "stratified_sample_sources",
     "text_repetition_signals", "pii_redaction",
-    "na_coercion_cast", "url_encoded_ids",
+    "na_coercion_cast", "url_encoded_ids", "temperature_sample_sources",
     # (c) operator code changed in round 3 + twin pins
     "khop_nation_pairs_same_region", "constraints_documents", "profile_stats",
     "eda_operations", "ann_lsh_topk_md5", "dedup_minhash_lsh_md5",
@@ -2521,7 +2559,6 @@ _DRIVER_PRIORITY = [
     "similarity_pairs_sources", "recommend_tables_content",
     "search_columns_regex", "fine_grained_types",
     "asof_click_purchase", "range_join_click_error",
-    "rollup_events_hypertable",
     "dedup_ngram_jaccard",
 ]
 

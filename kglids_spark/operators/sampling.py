@@ -95,6 +95,38 @@ def stratified_sample_exact(
     return below.unionByName(at_cut).drop("_h", "_b", "_cut_b", "_residual")
 
 
+def temperature_quotas(
+    counts: dict, budget: int, temperature: float = 0.5
+) -> dict:
+    """Temperature-flattened mixture quotas (the T5 §3.4.2 /
+    multilingual-pretraining practice of sampling source s with
+    probability ∝ n_s^T, T<1 up-weighting small sources):
+    ``quota_s = min(n_s, floor(budget · w_s / Σw))``.
+
+    At T=0.5 the weights are INTEGER sqrt (``math.isqrt``) so the whole
+    allocation is integer arithmetic — bit-reproducible in any engine
+    (the temperature_sample_sources oracle recomputes it in SQL as
+    ``floor(sqrt(n))``, identical for n ≪ 2^52). Other temperatures
+    use float ``n**T``: deterministic within one engine, but summation
+    order makes the last ULP engine-specific — documented, which is
+    why the cross-engine spec pins T=0.5. Floor allocation means
+    Σ quotas ≤ budget (no largest-remainder pass: reproducibility over
+    exhausting the budget)."""
+    import math
+
+    if temperature == 0.5:
+        w = {s: math.isqrt(int(n)) for s, n in counts.items()}
+        tot = sum(w.values())
+        if tot == 0:
+            return {s: 0 for s in counts}
+        return {s: min(int(counts[s]), budget * w[s] // tot) for s in counts}
+    w = {s: float(n) ** temperature for s, n in counts.items()}
+    tot = math.fsum(w.values())  # order-independent float sum
+    if tot == 0:
+        return {s: 0 for s in counts}
+    return {s: min(int(counts[s]), int(budget * w[s] / tot)) for s in counts}
+
+
 def mixture_counts(df: DataFrame, strata_col: str) -> DataFrame:
     """Observed mixture: rows and share per stratum (the input to
     choosing quotas). The total comes from a broadcast 1-row aggregate,

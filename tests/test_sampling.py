@@ -144,3 +144,27 @@ def test_contamination_benchmark_side_is_broadcast(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "BroadcastHashJoin" in plan
+
+
+def test_temperature_quotas_flattening():
+    """T=0.5 integer-sqrt spec: small sources are up-weighted relative
+    to proportional sampling, caps bind, and the floor allocation never
+    exceeds the budget."""
+    from kglids_spark.operators.sampling import temperature_quotas
+
+    counts = {"a": 100, "b": 400, "c": 2500}
+    q = temperature_quotas(counts, budget=70, temperature=0.5)
+    # weights 10/20/50, tot 80 -> 8/17/43
+    assert q == {"a": 8, "b": 17, "c": 43}
+    assert sum(q.values()) <= 70
+    # vs proportional (70*n/3000 -> 2/9/58): T=0.5 shifts mass to 'a'
+    assert q["a"] > 70 * 100 // 3000 and q["c"] < 70 * 2500 // 3000
+
+    # the min(n, ...) cap binds for tiny sources
+    q2 = temperature_quotas({"a": 4, "b": 10000}, budget=1000, temperature=0.5)
+    assert q2["a"] == 4 and q2["b"] == min(10000, 1000 * 100 // 102)
+
+    # T=1 float path is proportional; empty input degenerates to zeros
+    q3 = temperature_quotas({"a": 300, "b": 100}, budget=100, temperature=1.0)
+    assert q3 == {"a": 75, "b": 25}
+    assert temperature_quotas({"a": 0}, budget=10) == {"a": 0}
