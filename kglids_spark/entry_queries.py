@@ -326,6 +326,79 @@ def similarity_pairs_sources(spark, sf_dir):
 
 
 @register(
+    "rdf_ntriples_similarity",
+    """
+    WITH prof AS (
+      SELECT source, round(avg(n_chars), 4) AS mean_chars FROM documents GROUP BY source
+    ),
+    edges AS (
+      SELECT a.source AS col1_id, b.source AS col2_id,
+             round(1.0 - abs(a.mean_chars - b.mean_chars) / greatest(a.mean_chars, b.mean_chars), 3) AS score
+      FROM prof a JOIN prof b ON a.source < b.source
+      WHERE 1.0 - abs(a.mean_chars - b.mean_chars) / greatest(a.mean_chars, b.mean_chars) >= 0.97
+    )
+    SELECT '<<<http://kglids.org/resource/' || s
+           || '> <http://kglids.org/ontology/data/hasContentSimilarity> <http://kglids.org/resource/'
+           || o || '>>> <http://kglids.org/ontology/data/withCertainty> '
+           || CAST(score AS VARCHAR) || '.' AS line
+    FROM (
+      SELECT col1_id AS s, col2_id AS o, score FROM edges
+      UNION ALL
+      SELECT col2_id AS s, col1_id AS o, score FROM edges
+    )
+    """,
+)
+def rdf_ntriples_similarity(spark, sf_dir):
+    """S7 Turtle/N-Triples sink, data-graph flavor: similarity edges →
+    RDF-star annotation lines plus their reversed twins, the exact
+    format the reference's .nt shards carry (workers.py:126-136,
+    utils/utils.py:64-90). Bit-exact against the DuckDB-built strings
+    because both sides round to 3 and shortest-repr the score."""
+    from kglids_spark.operators.rdf_export import similarity_ntriples
+
+    d = _t(spark, sf_dir, "documents")
+    prof = d.groupBy("source").agg(F.round(F.avg("n_chars"), 4).alias("mean_chars"))
+    a, b = prof.alias("a"), prof.alias("b")
+    raw_score = F.lit(1.0) - F.abs(F.col("a.mean_chars") - F.col("b.mean_chars")) / F.greatest(
+        F.col("a.mean_chars"), F.col("b.mean_chars")
+    )
+    edges = (
+        a.join(b, F.col("a.source") < F.col("b.source"))
+        .filter(raw_score >= 0.97)
+        .select(
+            F.col("a.source").alias("col1_id"),
+            F.col("b.source").alias("col2_id"),
+            F.lit("content").alias("kind"),
+            raw_score.alias("score"),
+        )
+    )
+    return similarity_ntriples(edges)
+
+
+@register(
+    "rdf_turtle_source_types",
+    """
+    SELECT 'kglidsResource:' || source || ' rdf:type kglids:Source.' AS line
+    FROM (SELECT DISTINCT source FROM documents)
+    """,
+)
+def rdf_turtle_source_types(spark, sf_dir):
+    """S7 Turtle sink, prefixed flavor: membership triples rendered
+    with qname compression (reference build_data_global_schema.py:144
+    Source typing; json_to_rdf/__init__.py:6-12 prefix table).
+    Exercises the nested-namespace rule (kglids vs kglidsData)."""
+    from kglids_spark.operators.rdf_export import ONTOLOGY, iri, turtle_lines
+
+    d = _t(spark, sf_dir, "documents").select("source").distinct()
+    triples = d.select(
+        iri(F.col("source")).alias("subject"),
+        F.lit("<" + ONTOLOGY["rdf"] + "type>").alias("predicate"),
+        iri(F.lit("Source"), ONTOLOGY["kglids"]).alias("object"),
+    )
+    return turtle_lines(triples)
+
+
+@register(
     "khop_nation_pairs_same_region",
     """
     SELECT a.n_name AS nation1, b.n_name AS nation2, r.r_name AS via_region
@@ -2554,10 +2627,13 @@ _DRIVER_PRIORITY = [
     "khop_nation_pairs_same_region", "constraints_documents", "profile_stats",
     "eda_operations", "ann_lsh_topk_md5", "dedup_minhash_lsh_md5",
     "dedup_simhash_md5", "doc_fingerprint_md5",
+    # (b2) new in round 3: RDF sinks (displacing two r2-green,
+    # unchanged-code queries — search_columns_regex, fine_grained_types
+    # — which stay covered by tests/test_entry.py oracles)
+    "rdf_ntriples_similarity", "rdf_turtle_source_types",
     # (d) core cross-section
     "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier_volume",
     "similarity_pairs_sources", "recommend_tables_content",
-    "search_columns_regex", "fine_grained_types",
     "asof_click_purchase", "range_join_click_error",
     "dedup_ngram_jaccard",
 ]
