@@ -648,6 +648,46 @@ def crc32_column_ids(spark, sf_dir):
 
 
 @register(
+    "float_bit_decomposition",
+    """
+    WITH vals AS (
+      SELECT DISTINCT CAST(n_chars AS INT) AS v FROM documents
+      WHERE n_chars > 0 AND n_chars < 8388608
+    ),
+    signed AS (SELECT v FROM vals UNION ALL SELECT -v FROM vals),
+    parts AS (
+      SELECT v,
+             CASE WHEN v < 0 THEN 1 ELSE 0 END AS sign,
+             CAST(floor(log2(abs(v))) AS INT) + 127 AS exponent,
+             CAST(abs(v) * power(2.0, 23 - CAST(floor(log2(abs(v))) AS INT))
+                  - 8388608 AS BIGINT) AS mantissa
+      FROM signed
+    )
+    SELECT v, sign, exponent, CAST(mantissa AS INT) AS mantissa,
+           CASE WHEN sign = 1 THEN '1' ELSE '0' END
+           || lpad(bin(exponent), 8, '0') || lpad(bin(mantissa), 23, '0') AS bits
+    FROM parts
+    """,
+)
+def float_bit_decomposition(spark, sf_dir):
+    """F7 float32 → IEEE-754 bit vector (reference
+    numerical_profile_creator.py:43-46 model input). The Spark side
+    takes the REAL bit path (numpy view of the float32 bytes); the
+    oracle reconstructs the same fields with independent integer
+    arithmetic (exact for |v| < 2^23), so the decomposition is
+    cross-validated rather than self-checked."""
+    from kglids_spark.functions.bits import float32_bits, ieee754_fields
+
+    d = _t(spark, sf_dir, "documents").where(
+        (F.col("n_chars") > 0) & (F.col("n_chars") < (1 << 23))
+    )
+    vals = d.select(F.col("n_chars").cast("int").alias("v")).distinct()
+    signed = vals.unionAll(vals.select((-F.col("v")).alias("v")))
+    bits = signed.select("v", float32_bits(F.col("v").cast("float")).alias("bits"))
+    return bits.select("v", *ieee754_fields("bits"), "bits")
+
+
+@register(
     "shipdate_year_counts",
     """
     SELECT CAST(year(l_shipdate) AS INT) AS ship_year,
@@ -2631,9 +2671,10 @@ _DRIVER_PRIORITY = [
     # unchanged-code queries — search_columns_regex, fine_grained_types
     # — which stay covered by tests/test_entry.py oracles)
     "rdf_ntriples_similarity", "rdf_turtle_source_types",
+    "float_bit_decomposition",
     # (d) core cross-section
     "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier_volume",
-    "similarity_pairs_sources", "recommend_tables_content",
+    "similarity_pairs_sources",
     "asof_click_purchase", "range_join_click_error",
     "dedup_ngram_jaccard",
 ]
