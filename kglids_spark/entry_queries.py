@@ -1101,6 +1101,90 @@ def token_counts(spark, sf_dir):
 
 
 @register(
+    "token_array_ops",
+    r"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_transform(
+               string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+               x -> length(x)) AS t
+      FROM documents
+    )
+    SELECT doc_id,
+           len(t) AS n_tok,
+           CAST(list_sum(t) AS BIGINT) AS tok_sum,
+           md5(array_to_string(list_transform(t[1:5], x -> CAST(x AS VARCHAR)), ',')) AS head_digest,
+           md5(array_to_string(list_transform(list_reverse(t), x -> CAST(x AS VARCHAR)), ',')) AS rev_digest
+    FROM toks
+    """,
+)
+def token_array_ops(spark, sf_dir):
+    """F13 token-array operations (slice/reverse/fold/digest) with a
+    value-exact oracle. The token arrays are synthesized identically in
+    both engines (word lengths of the normalized whitespace split), so
+    the md5-of-joined digest checks element-level byte equality — the
+    input_hint's per-row token-array invariant in an
+    oracle-expressible form (the production validate path pins the
+    same invariant with xxhash64, which DuckDB lacks)."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.transform(
+        F.split(
+            F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")), " "
+        ),
+        lambda x: F.length(x),
+    )
+    as_str = lambda arr: F.array_join(  # noqa: E731
+        F.transform(arr, lambda x: x.cast("string")), ","
+    )
+    t = F.col("t")
+    return d.select("doc_id", toks.alias("t")).select(
+        "doc_id",
+        F.size(t).alias("n_tok"),
+        F.aggregate(t, F.lit(0).cast("bigint"), lambda acc, x: acc + x).alias(
+            "tok_sum"
+        ),
+        F.md5(as_str(F.slice(t, 1, 5)).cast("binary")).alias("head_digest"),
+        F.md5(as_str(F.reverse(t)).cast("binary")).alias("rev_digest"),
+    )
+
+
+@register(
+    "csv_na_scan",
+    """
+    SELECT doc_id,
+           CASE WHEN doc_id % 7 = 0 THEN NULL ELSE CAST(n_chars AS BIGINT) END AS n_chars_read,
+           CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END AS is_na
+    FROM documents
+    """,
+)
+def csv_na_scan(spark, sf_dir):
+    """S2 CSV column scan with NA-marker coercion, end-to-end: write a
+    deterministic CSV (every 7th row's n_chars replaced by the
+    reference's '?' marker), re-read it through read_csv_table
+    (reference profile_data.py:111-120 semantics: marker→null, then
+    whole-column numeric coercion), and emit the coerced values. The
+    oracle computes the same result straight from parquet, so the CSV
+    round trip + coercion is value-checked."""
+    from kglids_spark.sources.tables import read_csv_table
+
+    d = _t(spark, sf_dir, "documents")
+    raw = d.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 7 == 0, F.lit("?"))
+        .otherwise(F.col("n_chars").cast("string"))
+        .alias("n_chars"),
+    )
+    path = "/tmp/kglids_spark_csv_na_scan"
+    raw.coalesce(4).write.mode("overwrite").option("header", True).csv(path)
+    r = read_csv_table(spark, path)
+    return r.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.col("n_chars").alias("n_chars_read"),
+        F.col("n_chars").isNull().cast("int").alias("is_na"),
+    )
+
+
+@register(
     "na_coercion_cast",
     r"""
     WITH v AS (
@@ -2671,11 +2755,10 @@ _DRIVER_PRIORITY = [
     # unchanged-code queries — search_columns_regex, fine_grained_types
     # — which stay covered by tests/test_entry.py oracles)
     "rdf_ntriples_similarity", "rdf_turtle_source_types",
-    "float_bit_decomposition",
+    "float_bit_decomposition", "token_array_ops", "csv_na_scan",
     # (d) core cross-section
     "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier_volume",
     "similarity_pairs_sources",
-    "asof_click_purchase", "range_join_click_error",
     "dedup_ngram_jaccard",
 ]
 
