@@ -127,6 +127,88 @@ def temperature_quotas(
     return {s: min(int(counts[s]), int(budget * w[s] / tot)) for s in counts}
 
 
+def split_assignment(
+    df: DataFrame,
+    key_cols: list[str],
+    splits: dict | None = None,
+    seed: int = 0,
+) -> DataFrame:
+    """Deterministic train/val/test assignment by hash fraction.
+
+    ``u = first 8 md5 hex chars / 2^32`` is uniform in [0, 1) and a
+    pure function of (seed, key), so the assignment is reproducible
+    across runs, engines, partitionings, and INCREMENTAL ingests — a
+    new document never flips an old one's split, which a
+    ``rand()``-based or modulo-on-row-number split cannot guarantee.
+    Pure column expressions: no shuffle, no UDF; the boundaries fold
+    into one CASE chain inside codegen.
+    """
+    splits = splits or {"train": 0.9, "val": 0.05, "test": 0.05}
+    key = F.md5(
+        F.concat_ws(
+            "\x1f", F.lit(str(seed)), *[F.col(c).cast("string") for c in key_cols]
+        )
+    )
+    u = F.conv(F.substring(key, 1, 8), 16, 10).cast("double") / F.lit(float(1 << 32))
+    expr = None
+    edge = 0.0
+    for name, frac in splits.items():
+        edge += float(frac)
+        cond = u < F.lit(edge)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    # float dust above the last boundary joins the last split
+    last = list(splits)[-1]
+    return df.withColumn("split", expr.otherwise(F.lit(last)))
+
+
+def global_positions(
+    df: DataFrame,
+    key_cols: list[str],
+    seed: int = 0,
+    n_buckets: int = 4096,
+) -> DataFrame:
+    """Deterministic global shuffle: every row gets its 0-based
+    position in md5(seed, key) order — the reproducible corpus
+    ordering a training run consumes.
+
+    ``row_number() OVER (ORDER BY h)`` would sort the entire corpus in
+    ONE task; instead the hash's leading hex digits give ``n_buckets``
+    range buckets that are monotone in the full hash, so:
+    1. count rows per bucket (map-side combined, n_buckets tiny rows),
+    2. exclusive-prefix-sum the counts driver-side (n_buckets values),
+    3. broadcast the offsets back and rank only WITHIN each bucket —
+       a window partitioned n_buckets ways, each ~1/n_buckets of the
+       data. position = bucket offset + within-bucket rank.
+    Same two-phase discipline as operators/packing.py; the result is
+    bit-identical to the single-window definition for any n_buckets.
+    """
+    hexdigits = max(1, (n_buckets - 1).bit_length() + 3 >> 2)
+    n_buckets = 16**hexdigits
+    key = F.md5(
+        F.concat_ws(
+            "\x1f", F.lit(str(seed)), *[F.col(c).cast("string") for c in key_cols]
+        )
+    )
+    work = df.withColumn("_h", key).withColumn(
+        "_b", F.conv(F.substring("_h", 1, hexdigits), 16, 10).cast("int")
+    )
+    counts = {r["_b"]: r["count"] for r in work.groupBy("_b").count().collect()}
+    offsets, run = [], 0
+    for b in range(n_buckets):
+        offsets.append((b, run))
+        run += counts.get(b, 0)
+    spark = df.sparkSession
+    off_df = F.broadcast(spark.createDataFrame(offsets, "_b int, _offset long"))
+    w = Window.partitionBy("_b").orderBy("_h", *key_cols)
+    return (
+        work.join(off_df, "_b")
+        .withColumn(
+            "position", F.col("_offset") + F.row_number().over(w) - F.lit(1)
+        )
+        .drop("_h", "_b", "_offset")
+    )
+
+
 def mixture_counts(df: DataFrame, strata_col: str) -> DataFrame:
     """Observed mixture: rows and share per stratum (the input to
     choosing quotas). The total comes from a broadcast 1-row aggregate,

@@ -265,6 +265,24 @@ def content_digest_expr(col) -> F.Column:
     return F.md5(normalize_text(col))
 
 
+def word_frequencies(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus vocabulary histogram: (token, n) counts over the
+    normalized whitespace words — the input to vocab-coverage and
+    token-distribution-drift checks on a training corpus.
+
+    explode → groupBy(token) is the one unavoidable shuffle, and it is
+    partial-aggregated map-side (hot tokens combine within each task
+    before moving), so the shuffle volume is the per-partition VOCAB,
+    not the corpus token count. Top-k consumers should use
+    orderBy+limit (TakeOrdered — no single-task global window)."""
+    return (
+        df.select(F.explode(words_expr(text_col)).alias("token"))
+        .where(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
 def analyze_documents(df: DataFrame, text_col: str = "text") -> DataFrame:
     """One-pass text-analysis projection: language, token counts,
     quality features, fingerprints."""

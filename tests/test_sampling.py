@@ -168,3 +168,75 @@ def test_temperature_quotas_flattening():
     q3 = temperature_quotas({"a": 300, "b": 100}, budget=100, temperature=1.0)
     assert q3 == {"a": 75, "b": 25}
     assert temperature_quotas({"a": 0}, budget=10) == {"a": 0}
+
+
+# --- split_assignment ------------------------------------------------
+
+
+def test_split_assignment_fractions_and_determinism(spark, corpus):
+    from kglids_spark.operators.sampling import split_assignment
+
+    a = split_assignment(corpus, ["doc_id"])
+    counts = {r.split: r.n for r in a.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert set(counts) <= {"train", "val", "test"}
+    assert sum(counts.values()) == 1000
+    # loose CLT bounds around 900/50/50
+    assert 850 <= counts["train"] <= 950
+    # two invocations agree row-for-row
+    b = split_assignment(corpus, ["doc_id"])
+    assert a.join(b, "doc_id").filter(a["split"] != b["split"]).count() == 0
+
+
+def test_split_assignment_stable_under_incremental_ingest(spark, corpus):
+    """A row's split must not depend on what other rows are present."""
+    from kglids_spark.operators.sampling import split_assignment
+
+    full = {r.doc_id: r.split for r in split_assignment(corpus, ["doc_id"]).collect()}
+    subset = corpus.filter(F.col("source") == "wiki")
+    sub = {r.doc_id: r.split for r in split_assignment(subset, ["doc_id"]).collect()}
+    assert sub == {k: v for k, v in full.items() if k in sub}
+
+
+def test_split_assignment_seed_changes_assignment(spark, corpus):
+    from kglids_spark.operators.sampling import split_assignment
+
+    a = split_assignment(corpus, ["doc_id"], seed=0)
+    b = split_assignment(corpus, ["doc_id"], seed=1)
+    differing = a.join(b.withColumnRenamed("split", "split2"), "doc_id").filter(
+        F.col("split") != F.col("split2")
+    )
+    assert differing.count() > 0
+
+
+# --- global_positions ------------------------------------------------
+
+
+def _positions_single_window(df, seed):
+    from pyspark.sql.window import Window as W
+
+    h = F.md5(F.concat_ws("\x1f", F.lit(str(seed)), F.col("doc_id").cast("string")))
+    w = W.orderBy(h, "doc_id")
+    return df.withColumn("position", F.row_number().over(w) - 1)
+
+
+def test_global_positions_match_single_window(spark, corpus):
+    from kglids_spark.operators.sampling import global_positions
+
+    got = {r.doc_id: r.position for r in global_positions(corpus, ["doc_id"], seed=3).collect()}
+    want = {r.doc_id: r.position for r in _positions_single_window(corpus, 3).collect()}
+    assert got == want
+
+
+def test_global_positions_invariant_to_bucket_count(spark, corpus):
+    from kglids_spark.operators.sampling import global_positions
+
+    a = {r.doc_id: r.position for r in global_positions(corpus, ["doc_id"], n_buckets=16).collect()}
+    b = {r.doc_id: r.position for r in global_positions(corpus, ["doc_id"], n_buckets=4096).collect()}
+    assert a == b
+
+
+def test_global_positions_is_permutation(spark, corpus):
+    from kglids_spark.operators.sampling import global_positions
+
+    pos = [r.position for r in global_positions(corpus.repartition(13), ["doc_id"]).collect()]
+    assert sorted(pos) == list(range(1000))
