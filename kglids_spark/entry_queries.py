@@ -2600,6 +2600,65 @@ def similarity_scores_reference(spark, sf_dir):
     return reference_similarity_scores(profiles, wv)
 
 
+@register(
+    "sentence_embedding_labels",
+    r"""
+    WITH names AS (SELECT n_name AS column_id, n_name AS column_name FROM nation),
+    toks AS (
+      SELECT column_id,
+             unnest(string_split(trim(regexp_replace(
+               replace(replace(column_name, chr(10), ' '), '_', ' '),
+               '\s+', ' ', 'g')), ' ')) AS word
+      FROM names),
+    vv AS (
+      SELECT DISTINCT word,
+             CAST(length(word) AS DOUBLE) AS v0,
+             CAST((ascii(word) % 7) + 1 AS DOUBLE) AS v1
+      FROM toks WHERE word NOT LIKE 'M%' AND word != ''),
+    unitv AS (
+      SELECT word, v0 / sqrt(v0*v0 + v1*v1) AS u0, v1 / sqrt(v0*v0 + v1*v1) AS u1
+      FROM vv),
+    j AS (SELECT t.column_id, u.u0, u.u1 FROM toks t JOIN unitv u USING (word))
+    SELECT column_id, round(avg(u0), 5) AS e0, round(avg(u1), 5) AS e1
+    FROM j GROUP BY column_id
+    """,
+)
+def sentence_embedding_labels(spark, sf_dir):
+    """F12 sentence embedding of column names: fastText
+    get_sentence_vector parity (mean of unit-normalized word vectors,
+    kglids_server.py:53-54) over a user-supplied word→vector table —
+    here a deterministic 2-d fixture vocabulary derived from the nation
+    names, with 'M…' words withheld to exercise the documented
+    OOV-skip divergence."""
+    from kglids_spark.operators.ref_scores import sentence_embeddings
+
+    n = _t(spark, sf_dir, "nation").select(
+        F.col("n_name").alias("column_id"), F.col("n_name").alias("column_name")
+    )
+    vocab = (
+        n.select(
+            F.explode(
+                F.split(F.translate(F.col("column_name"), "_\n", "  "), r"\s+")
+            ).alias("word")
+        )
+        .where((F.col("word") != "") & ~F.col("word").startswith("M"))
+        .distinct()
+        .select(
+            "word",
+            F.array(
+                F.length("word").cast("double"),
+                ((F.ascii("word") % 7) + 1).cast("double"),
+            ).alias("vector"),
+        )
+    )
+    emb = sentence_embeddings(n, vocab)
+    return emb.select(
+        "column_id",
+        F.element_at("label_embedding", 1).alias("e0"),
+        F.element_at("label_embedding", 2).alias("e1"),
+    )
+
+
 _EDA_ITER_SQL = f"""
     WITH ops AS (SELECT * FROM {_eda_values(EF.EDA_OPS, 'o', 'eda_id, column_id, analysis_type, chart_type')}),
     kcols AS (SELECT * FROM {_eda_values(EF.KG_COLUMNS, 'k', 'column_id, data_type, e1, e2, e3, e4')}),
@@ -2822,7 +2881,10 @@ _DRIVER_PRIORITY = [
     "union_distinct_sources_langs", "intersect_except_keys",
     "label_generation", "md5_column_ids", "shipdate_year_counts",
     "json_extract_props", "per_source_stats", "rolling_avg_events",
-    "dedup_minhash_lsh", "dedup_simhash", "doc_fingerprint", "ann_lsh_topk",
+    "dedup_minhash_lsh", "dedup_simhash", "ann_lsh_topk",
+    # doc_fingerprint (rows-only) rotated out for a value-exact query;
+    # its md5 twin below + the lockstep test still pin the prod path
+    "sentence_embedding_labels",
     # (b) new in round 3
     "similarity_scores_reference", "eda_operations_iterative",
     "dedup_clusters", "pack_sequences_bins",

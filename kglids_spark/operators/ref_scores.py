@@ -186,6 +186,55 @@ def content_similarity_reference(profiles: DataFrame) -> DataFrame:
     ).filter(F.col("score").isNotNull())
 
 
+def sentence_embeddings(
+    names: DataFrame,
+    word_vectors: DataFrame,
+    id_col: str = "column_id",
+    name_col: str = "column_name",
+) -> DataFrame:
+    """F12: fastText ``get_sentence_vector`` parity over a
+    user-supplied word→vector table — the label embedding the reference
+    stores per column (kglids_server.py:53-54,
+    storage_utils/embedding_store_utils.py:82-84). fastText's sentence
+    vector is the mean of the UNIT-NORMALIZED word vectors of the
+    whitespace tokens; the reference sanitizes the name first
+    (``replace('\\n',' ').replace('_',' ').strip()``).
+
+    Divergence (documented): fastText backs OOV words off to its
+    subword-n-gram matrix, which a word-level table cannot carry —
+    here OOV tokens are skipped, and a name with no in-vocabulary
+    token produces no row.
+
+    Shape: names are metadata (≪ data), the vocab join broadcasts, and
+    the mean-pool folds each name's handful of token vectors gathered
+    by one groupBy — no posexplode of the vector dimension."""
+    sanitized = F.trim(
+        F.regexp_replace(
+            F.replace(F.replace(F.col(name_col), F.lit("\n"), F.lit(" ")), F.lit("_"), F.lit(" ")),
+            r"\s+",
+            " ",
+        )
+    )
+    toks = names.select(
+        F.col(id_col), F.explode(F.split(sanitized, " ")).alias("word")
+    ).where(F.col("word") != "")
+    vocab = F.broadcast(ingest_word_vectors(word_vectors))
+    joined = toks.join(vocab, "word")  # inner: OOV tokens skipped
+    vs = F.col("vs")
+    zero = F.transform(F.element_at(vs, 1), lambda _: F.lit(0.0))
+    summed = F.aggregate(vs, zero, lambda acc, v: F.zip_with(acc, v, lambda a, b: a + b))
+    return (
+        joined.groupBy(id_col)
+        .agg(F.collect_list("vec").alias("vs"))
+        .select(
+            id_col,
+            F.transform(
+                summed, lambda s: F.round(s / F.size(vs), ROUND_DP)
+            ).alias("label_embedding"),
+        )
+    )
+
+
 def reference_similarity_scores(
     profiles: DataFrame, word_vectors: DataFrame
 ) -> DataFrame:

@@ -356,3 +356,46 @@ def test_scoped_sql_conf_sets_and_restores(spark):
     except RuntimeError:
         pass
     assert spark.conf.get(key, None) == before
+
+
+# --- F12 sentence embedding (fastText get_sentence_vector parity) -----
+
+
+def test_sentence_embeddings_mean_of_unit_vectors(spark):
+    import numpy as np
+    from kglids_spark.operators.ref_scores import sentence_embeddings
+
+    names = spark.createDataFrame(
+        [("c1", "user_name"), ("c2", "user"), ("c3", "zzz qqq")],
+        "column_id string, column_name string",
+    )
+    wv = spark.createDataFrame(
+        [("user", [3.0, 4.0]), ("name", [1.0, 0.0])],
+        "word string, vector array<double>",
+    )
+    got = {
+        r.column_id: list(r.label_embedding)
+        for r in sentence_embeddings(names, wv).collect()
+    }
+    u_user = np.array([3.0, 4.0]) / 5.0
+    u_name = np.array([1.0, 0.0])
+    # c1: sanitization turns user_name -> "user name", mean of both units
+    assert got["c1"] == [round(v, 5) for v in (u_user + u_name) / 2]
+    # c2: single in-vocab token -> its unit vector
+    assert got["c2"] == [round(v, 5) for v in u_user]
+    # c3: every token OOV -> no row (documented subword divergence)
+    assert "c3" not in got
+
+
+def test_sentence_embeddings_skips_oov_tokens_only(spark):
+    from kglids_spark.operators.ref_scores import sentence_embeddings
+
+    names = spark.createDataFrame(
+        [("c1", "user mystery")], "column_id string, column_name string"
+    )
+    wv = spark.createDataFrame(
+        [("user", [0.0, 2.0])], "word string, vector array<double>"
+    )
+    got = sentence_embeddings(names, wv).collect()
+    # 'mystery' has no vector: the mean is over the ONE in-vocab token
+    assert len(got) == 1 and list(got[0].label_embedding) == [0.0, 1.0]
