@@ -1801,6 +1801,9 @@ def drift_ks_events(spark, sf_dir):
         F.sum((F.col("event_type") == "click").cast("long")).alias("c1"),
         F.sum((F.col("event_type") == "view").cast("long")).alias("c2"),
     )
+    # the global windows below run over h — the POST-AGGREGATION
+    # histogram (O(nbins) rows), never the corpus; the single-partition
+    # WindowExec warning they trigger is the intended bounded plan
     n1 = F.sum("c1").over(Window.partitionBy())
     n2 = F.sum("c2").over(Window.partitionBy())
     w = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, 0)
@@ -1827,6 +1830,8 @@ def drift_psi_events(spark, sf_dir):
         F.sum((F.col("event_type") == "click").cast("long")).alias("c1"),
         F.sum((F.col("event_type") == "view").cast("long")).alias("c2"),
     )
+    # global windows over the nbins-row histogram h, not the corpus
+    # (see drift_ks_events)
     n1 = F.sum("c1").over(Window.partitionBy())
     n2 = F.sum("c2").over(Window.partitionBy())
     p = h.select(
