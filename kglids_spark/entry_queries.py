@@ -1072,6 +1072,42 @@ def global_shuffle_positions(spark, sf_dir):
     return global_positions(d, ["doc_id"], seed=7).select("doc_id", "position")
 
 
+@register(
+    "epoch_upsample_sources",
+    """
+    WITH fac AS (
+      SELECT * FROM (VALUES ('src0', 2, 0.5), ('src1', 1, 0.0),
+                            ('src2', 0, 0.25), ('src3', 0, 0.0)) f(source, n_full, frac)),
+    u AS (
+      SELECT d.source, d.doc_id,
+             f.n_full + CASE WHEN CAST(('0x' || substring(md5('0' || chr(31) || CAST(d.doc_id AS VARCHAR)), 1, 8)) AS UBIGINT)
+                              / 4294967296.0 < f.frac THEN 1 ELSE 0 END AS n
+      FROM documents d JOIN fac f USING (source)),
+    e AS (
+      SELECT source, doc_id, CAST(unnest(generate_series(1, n)) AS INT) AS epoch
+      FROM u WHERE n > 0)
+    SELECT source, epoch, count(*) AS n_rows, CAST(sum(doc_id) AS BIGINT) AS id_sum
+    FROM e GROUP BY source, epoch
+    """,
+)
+def epoch_upsample_sources(spark, sf_dir):
+    """Deterministic mixture upsampling (sampling.epoch_upsample):
+    '2.5 epochs of src0, 1 of src1, 0.25 of src2' — full copies plus a
+    hash-fraction partial epoch, reproducible across engines. Checked
+    per (source, epoch) with an id checksum so exactly WHICH rows join
+    the partial epoch is value-verified."""
+    from kglids_spark.operators.sampling import epoch_upsample
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    up = epoch_upsample(
+        d, "source", {"src0": 2.5, "src1": 1.0, "src2": 0.25, "src3": 0.0}, ["doc_id"]
+    )
+    return up.groupBy("source", "epoch").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("doc_id").cast("bigint").alias("id_sum"),
+    )
+
+
 # =====================================================================
 # Text analysis (training-pipeline ops)
 # =====================================================================
@@ -2886,10 +2922,11 @@ _DRIVER_PRIORITY = [
     "union_distinct_sources_langs", "intersect_except_keys",
     "label_generation", "md5_column_ids", "shipdate_year_counts",
     "json_extract_props", "per_source_stats", "rolling_avg_events",
-    "dedup_minhash_lsh", "dedup_simhash", "ann_lsh_topk",
-    # doc_fingerprint (rows-only) rotated out for a value-exact query;
-    # its md5 twin below + the lockstep test still pin the prod path
-    "sentence_embedding_labels",
+    "dedup_simhash", "ann_lsh_topk",
+    # doc_fingerprint / dedup_minhash_lsh (rows-only) rotated out for
+    # value-exact queries; their md5 twins below + the lockstep tests
+    # still pin the prod paths
+    "sentence_embedding_labels", "epoch_upsample_sources",
     # (b) new in round 3
     "similarity_scores_reference", "eda_operations_iterative",
     "dedup_clusters", "pack_sequences_bins",

@@ -209,6 +209,62 @@ def global_positions(
     )
 
 
+def epoch_upsample(
+    df: DataFrame,
+    strata_col: str,
+    factors: dict,
+    key_cols: list[str],
+    seed: int = 0,
+) -> DataFrame:
+    """Deterministic mixture upsampling: stratum ``s`` is repeated
+    ``factors[s]`` times — "3.5 epochs of wiki" keeps 3 full copies of
+    every wiki row plus a 4th copy of the deterministic-hash half.
+
+    The fractional epoch reuses split_assignment's hash fraction, so
+    which rows get the extra copy is reproducible and ingest-stable,
+    and the SAME rows join every partial epoch (the standard
+    take-a-prefix-of-the-shuffled-corpus semantics, with the hash
+    order standing in for the shuffle). Output adds an ``epoch``
+    column (1-based) so downstream global_positions can interleave
+    copies instead of emitting them adjacent. Strata absent from
+    ``factors`` are dropped; factor 0 drops the stratum.
+
+    Pure map-side plan: broadcast the factor table, one CASE for the
+    extra-copy test, ``explode(sequence(1, n_copies))`` — output rows
+    are produced where the input partition lives, no shuffle."""
+    spark = df.sparkSession
+    fac = []
+    for s, f in factors.items():
+        f = float(f)
+        fac.append((s, int(f), round(f - int(f), 12)))
+    fac_df = F.broadcast(
+        spark.createDataFrame(fac, f"{strata_col} string, _full int, _frac double")
+    )
+    u = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "\x1f",
+                    F.lit(str(seed)),
+                    *[F.col(c).cast("string") for c in key_cols],
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("double") / F.lit(float(1 << 32))
+    n_copies = F.col("_full") + (u < F.col("_frac")).cast("int")
+    return (
+        df.join(fac_df, strata_col)
+        .withColumn("_n", n_copies)
+        .filter(F.col("_n") > 0)
+        .withColumn("epoch", F.explode(F.sequence(F.lit(1), F.col("_n"))))
+        .drop("_full", "_frac", "_n")
+    )
+
+
 def mixture_counts(df: DataFrame, strata_col: str) -> DataFrame:
     """Observed mixture: rows and share per stratum (the input to
     choosing quotas). The total comes from a broadcast 1-row aggregate,

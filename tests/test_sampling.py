@@ -240,3 +240,49 @@ def test_global_positions_is_permutation(spark, corpus):
 
     pos = [r.position for r in global_positions(corpus.repartition(13), ["doc_id"]).collect()]
     assert sorted(pos) == list(range(1000))
+
+
+# --- epoch_upsample --------------------------------------------------
+
+
+def test_epoch_upsample_copy_counts(spark, corpus):
+    from kglids_spark.operators.sampling import epoch_upsample
+
+    up = epoch_upsample(
+        corpus, "source", {"web": 2.0, "books": 1.5, "wiki": 0.0}, ["doc_id"]
+    )
+    by = {
+        (r.source, r.epoch): r.n
+        for r in up.groupBy("source", "epoch").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    # web x2.0: two full epochs, each the whole stratum
+    assert by[("web", 1)] == 700 and by[("web", 2)] == 700 and ("web", 3) not in by
+    # books x1.5: full epoch + roughly half in epoch 2
+    assert by[("books", 1)] == 250
+    assert 90 <= by[("books", 2)] <= 160
+    # wiki x0.0 dropped entirely
+    assert not any(s == "wiki" for s, _ in by)
+
+
+def test_epoch_upsample_partial_epoch_is_prefix_stable(spark, corpus):
+    """The rows in the x1.5 partial epoch must be exactly the rows in
+    the x1.25 partial epoch's superset — same hash order prefix."""
+    from kglids_spark.operators.sampling import epoch_upsample
+
+    def partial_ids(f):
+        up = epoch_upsample(corpus, "source", {"books": f}, ["doc_id"])
+        return {r.doc_id for r in up.filter(F.col("epoch") == 2).collect()}
+
+    small, big = partial_ids(1.25), partial_ids(1.5)
+    assert small < big  # strict prefix containment
+
+
+def test_epoch_upsample_no_shuffle_plan(spark, corpus):
+    from kglids_spark.operators.sampling import epoch_upsample
+
+    up = epoch_upsample(corpus, "source", {"web": 2.5}, ["doc_id"])
+    plan = up._jdf.queryExecution().executedPlan().toString()
+    # broadcast join + explode only: no Exchange other than the broadcast
+    import re
+    exchanges = [l for l in plan.splitlines() if "Exchange" in l and "Broadcast" not in l]
+    assert exchanges == [], exchanges
