@@ -83,7 +83,7 @@ def _ensure(spark, path: str, n_rows: int, gen) -> None:
 def main() -> None:
     from pyspark.sql import functions as F
 
-    from kglids_spark.operators import ann, dedup, text
+    from kglids_spark.operators import ann, dedup, sampling, text
     from kglids_spark.session import get_spark
 
     spark = get_spark(app_name="bench_families", cpus=CPUS)
@@ -97,6 +97,12 @@ def main() -> None:
         .cache()
     )
     queries.count()
+    srcd = docs.select(
+        "doc_id",
+        F.concat(F.lit("src"), F.pmod(F.col("doc_id"), F.lit(20)).cast("int")).alias(
+            "source"
+        ),
+    )
 
     import math
 
@@ -135,7 +141,26 @@ def main() -> None:
             F.sum("n_ipv4").alias("s3"),
             F.sum("n_phone").alias("s4"),
         ),
+        # sampling/ordering family (round 3): global_positions carries
+        # the ONE hash-partitioned exchange (4096 range buckets);
+        # split+epochs is shuffle-free until the consuming groupBy.
+        # Aggregating consumers so Catalyst cannot prune the work.
+        "sample_global_shuffle": lambda: sampling.global_positions(
+            docs.select("doc_id"), ["doc_id"]
+        ).agg(F.sum("position").alias("s1")),
+        "sample_split_epochs": lambda: sampling.epoch_upsample(
+            sampling.split_assignment(srcd, ["doc_id"]),
+            "source",
+            {f"src{i}": 1.5 for i in range(10)},
+            ["doc_id"],
+        ).groupBy("split").agg(
+            F.count(F.lit(1)).alias("n"), F.sum("epoch").alias("s")
+        ),
     }
+    only = os.environ.get("SPARK_GRAFT_FAM_ONLY")
+    if only:
+        keep = {k.strip() for k in only.split(",")}
+        ops = {k: v for k, v in ops.items() if k in keep}
 
     # formatted-plan snapshots: one file per op so round-over-round plan
     # regressions (a lost broadcast, a new shuffle, an exploded literal
