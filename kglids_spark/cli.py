@@ -64,6 +64,14 @@ def main(argv: list[str] | None = None) -> int:
         default=None,
         help="TableStore root holding the baseline snapshot (defaults to --ledger)",
     )
+    v.add_argument(
+        "--check",
+        action="append",
+        default=[],
+        metavar="PRED @@ COL1,COL2",
+        help="extra expression constraint: SQL predicate, '@@', then "
+        "the columns it reads (repeatable)",
+    )
     v.add_argument("--no-violation-rows", action="store_true")
     v.add_argument("--cpus", type=int, default=None)
 
@@ -141,6 +149,10 @@ def main(argv: list[str] | None = None) -> int:
     if args.cmd == "validate":
         df = spark.read.parquet(args.input)
         suite = C.default_suite(SOURCES)
+        for spec in args.check:
+            pred, _, colspec = spec.partition("@@")
+            cols = [c.strip() for c in colspec.split(",") if c.strip()]
+            suite.append(C.expression(pred.strip(), columns=cols))
         baseline_hist = None
         if args.baseline:
             with open(args.baseline) as f:

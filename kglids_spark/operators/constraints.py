@@ -106,6 +106,29 @@ def schema_type(column: str, expected_type: str, cid: str | None = None) -> Cons
     )
 
 
+def expression(
+    predicate: str, columns: list[str] | None = None, cid: str | None = None
+) -> Constraint:
+    """Arbitrary row-level SQL predicate every valid row must satisfy
+    (the Deequ `satisfies` analog — beyond the reference's fixed
+    kinds). A row violates iff the predicate does not evaluate TRUE,
+    so a NULL predicate result counts as a violation — wrap the
+    predicate in coalesce(...) to opt out.
+
+    ``columns`` declares which columns the predicate reads; validate's
+    slim projection keeps exactly those, so an expression constraint
+    never silently forces a full-width scan of a 10^12-row table
+    (validate raises if the declaration is missing). The predicate
+    text and column list enter the constraint signature, so checkpoint
+    lineage distinguishes suites that differ only in an expression."""
+    return Constraint(
+        cid or f"expression({predicate})",
+        "expression",
+        None,
+        {"predicate": predicate, "columns": tuple(columns or ())},
+    )
+
+
 def default_suite(valid_source_values: list[str]) -> list[Constraint]:
     """The fixture constraint suite (FIXTURES.md F5.2)."""
     return [
@@ -129,6 +152,7 @@ ROW_LEVEL_KINDS = {
     "tok_len_precomputed",
     "referential",
     "referential_flag",
+    "expression",
 }
 
 
@@ -192,6 +216,10 @@ def violation_expr(c: Constraint, df: DataFrame) -> Column:
     if c.kind == "referential_flag":
         # dim membership pre-joined as a boolean flag (validate.py)
         return F.col(c.column).isNotNull() & F.col(c.params["flag"]).isNull()
+    if c.kind == "expression":
+        # violation iff the predicate is not TRUE (NULL -> violation)
+        p = F.expr(c.params["predicate"])
+        return F.coalesce(~p, F.lit(True))
     raise ValueError(f"{c.cid}: kind {c.kind} is not row-level")
 
 

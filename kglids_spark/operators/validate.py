@@ -189,6 +189,15 @@ def _slim_projection(
                 cols[c.column] = None
             if c.kind == "referential_flag":
                 cols[c.params["flag"]] = None
+            if c.kind == "expression":
+                if not c.params.get("columns"):
+                    raise ValueError(
+                        f"{c.cid}: expression constraints must declare the "
+                        "columns they read (constraints.expression(..., "
+                        "columns=[...])) so the slim scan stays slim"
+                    )
+                for x in c.params["columns"]:
+                    cols[x] = None
             rewritten.append(c)
     if drift_spec is not None:
         cols[drift_spec.column] = None

@@ -247,3 +247,48 @@ def test_prebucketed_table_verdicts_identical(spark, tokens_df):
     assert sorted(map(tuple, pre.verdicts.collect())) == sorted(
         map(tuple, direct.verdicts.collect())
     )
+
+
+def test_expression_constraint_counts_match_duckdb(spark, tokens_df, duck):
+    """Deequ-style `satisfies`: violation iff the predicate is not TRUE
+    (NULL predicate -> violation), counts cross-checked with DuckDB."""
+    suite = C.default_suite(SOURCES) + [
+        C.expression("n_tok % 2 = 0", columns=["n_tok"], cid="even_n_tok"),
+        C.expression(
+            "n_tok < 500 OR source = 'web'",
+            columns=["n_tok", "source"],
+            cid="short_or_web",
+        ),
+    ]
+    res = validate(tokens_df, suite, n_buckets=N_BUCKETS, extract_violation_rows=False)
+    got = {
+        r.constraint_id: r.total
+        for r in res.verdicts.groupBy("constraint_id")
+        .agg(F.sum("n_violations").alias("total"))
+        .collect()
+    }
+    want_even = duck.execute(
+        "SELECT count(*) FROM tokens WHERE NOT coalesce(n_tok % 2 = 0, FALSE)"
+    ).fetchone()[0]
+    want_sow = duck.execute(
+        "SELECT count(*) FROM tokens WHERE NOT coalesce(n_tok < 500 OR source = 'web', FALSE)"
+    ).fetchone()[0]
+    assert got["even_n_tok"] == want_even
+    assert got["short_or_web"] == want_sow
+
+
+def test_expression_constraint_requires_column_declaration(tokens_df):
+    with pytest.raises(ValueError, match="declare the\n?.*columns|columns"):
+        validate(
+            tokens_df,
+            C.default_suite(SOURCES) + [C.expression("n_tok > 0")],
+            n_buckets=N_BUCKETS,
+            extract_violation_rows=False,
+        )
+
+
+def test_expression_constraint_in_lineage_hash():
+    base = C.default_suite(SOURCES)
+    a = C.constraint_set_hash(base + [C.expression("n_tok > 0", columns=["n_tok"])])
+    b = C.constraint_set_hash(base + [C.expression("n_tok > 1", columns=["n_tok"])])
+    assert a != b != C.constraint_set_hash(base)
