@@ -129,6 +129,32 @@ def expression(
     )
 
 
+METRIC_STATS = ("null_rate", "mean", "stddev", "min", "max")
+
+
+def metric_range(
+    column: str, stat: str, lo: float, hi: float, cid: str | None = None
+) -> Constraint:
+    """Table-level assertion on an aggregated column statistic
+    (Deequ's hasMean/hasStddev/hasCompleteness analog): the suite
+    passes iff ``lo <= stat(column) <= hi``. stat ∈ METRIC_STATS.
+
+    Evaluated from the SAME single stats scan as everything else: each
+    bucket contributes mergeable sums (n, non-null, Σx, Σx², min, max),
+    the cross-bucket merge is exact, so resume semantics match the
+    sketches — no extra pass, no approximation. stddev is the
+    population form (√(E[x²] − E[x]²)). A column with zero non-null
+    values fails every stat except null_rate."""
+    if stat not in METRIC_STATS:
+        raise ValueError(f"stat must be one of {METRIC_STATS}, got {stat!r}")
+    return Constraint(
+        cid or f"metric({stat}({column}) in [{lo},{hi}])",
+        "metric",
+        column,
+        {"stat": stat, "lo": float(lo), "hi": float(hi)},
+    )
+
+
 def default_suite(valid_source_values: list[str]) -> list[Constraint]:
     """The fixture constraint suite (FIXTURES.md F5.2)."""
     return [

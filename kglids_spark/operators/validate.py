@@ -77,6 +77,7 @@ def _stats_pass(
     key: str,
     dup_counts: DataFrame | None = None,
     kll_col: str | None = None,
+    metric_cols: list[str] = (),
 ) -> DataFrame:
     """The main per-bucket aggregation (one scan) + the uniqueness
     shuffle, joined into one sketch row per bucket. ``dup_counts`` is
@@ -97,6 +98,18 @@ def _stats_pass(
     aggs += viol_sums
     if drift_spec is not None:
         aggs.append(D.histogram_array_expr(drift_spec).alias("hist"))
+    # metric constraints: mergeable per-bucket sums — the cross-bucket
+    # merge (driver side, n_buckets rows) reconstructs the EXACT global
+    # stat, so metric verdicts share resume semantics with the sketches
+    for m in metric_cols:
+        c = F.col(m).cast("double")
+        aggs += [
+            F.count(c).alias(f"_m_n_{m}"),
+            F.sum(c).alias(f"_m_s_{m}"),
+            F.sum(c * c).alias(f"_m_q_{m}"),
+            F.min(c).alias(f"_m_lo_{m}"),
+            F.max(c).alias(f"_m_hi_{m}"),
+        ]
     stats = df_b.groupBy(BUCKET_COL).agg(*aggs)
 
     if row_cs:
@@ -166,6 +179,7 @@ def _slim_projection(
     key: str,
     drift_spec: D.HistSpec | None,
     unique_cols: list[str] = (),
+    metric_cols: list[str] = (),
 ) -> tuple[DataFrame, list[C.Constraint]]:
     """Project the bucketed frame down to exactly the columns the
     constraint suite touches, materializing size(array) for
@@ -203,6 +217,8 @@ def _slim_projection(
         cols[drift_spec.column] = None
     for uc in unique_cols:
         cols[uc] = None
+    for mc in metric_cols:
+        cols[mc] = None
     return df_b.select(*[F.col(x) for x in cols], *extra), rewritten
 
 
@@ -256,6 +272,8 @@ def _validate_impl(
     unique_cs = [c for c in constraints if c.kind == "unique"]
     drift_cs = [c for c in constraints if c.kind in ("drift_ks", "drift_psi")]
     schema_cs = [c for c in constraints if c.kind == "schema_type"]
+    metric_cs = [c for c in constraints if c.kind == "metric"]
+    metric_cols = sorted({c.column for c in metric_cs})
     if drift_cs and drift_spec is None:
         drift_spec = D.HistSpec(column=drift_cs[0].column)
 
@@ -294,7 +312,8 @@ def _validate_impl(
     # both read the persisted slim frame, so the heavy parquet scan of
     # the token arrays happens exactly once per run)
     slim_df, row_cs = _slim_projection(
-        remaining_df, row_cs, key, drift_spec, [uc.column for uc in unique_cs]
+        remaining_df, row_cs, key, drift_spec, [uc.column for uc in unique_cs],
+        metric_cols,
     )
     if extract_violation_rows:
         slim_df = slim_df.persist()
@@ -315,7 +334,8 @@ def _validate_impl(
         # suite) so quantiles ship with every run's bucket_stats
         kll_col = drift_spec.column if drift_spec is not None else None
     new_stats = _stats_pass(
-        slim_df, row_cs, unique_cs, drift_spec, key, dup_counts, kll_col=kll_col
+        slim_df, row_cs, unique_cs, drift_spec, key, dup_counts, kll_col=kll_col,
+        metric_cols=metric_cols,
     )
     new_stats = (
         new_stats.withColumn("run_id", F.lit(run_id))
@@ -433,6 +453,34 @@ def _validate_impl(
                 f"{kll_col}_iqr_kll": (q75 - q25) if q25 is not None else None,
             }
 
+    metric_values: dict = {}
+    if metric_cs and merged_rows:
+        import math as _math
+
+        for m in metric_cols:
+            n = sum(getattr(r, f"_m_n_{m}", 0) or 0 for r in merged_rows)
+            s = sum(getattr(r, f"_m_s_{m}", 0.0) or 0.0 for r in merged_rows)
+            q = sum(getattr(r, f"_m_q_{m}", 0.0) or 0.0 for r in merged_rows)
+            lows = [getattr(r, f"_m_lo_{m}", None) for r in merged_rows]
+            highs = [getattr(r, f"_m_hi_{m}", None) for r in merged_rows]
+            lows = [v for v in lows if v is not None]
+            highs = [v for v in highs if v is not None]
+            mean = s / n if n else None
+            var = max(q / n - mean * mean, 0.0) if n else None
+            metric_values[m] = {
+                "null_rate": 1.0 - (n / n_rows_total) if n_rows_total else None,
+                "mean": mean,
+                "stddev": _math.sqrt(var) if var is not None else None,
+                "min": min(lows) if lows else None,
+                "max": max(highs) if highs else None,
+            }
+        for c in metric_cs:
+            val = metric_values[c.column][c.params["stat"]]
+            ok = val is not None and c.params["lo"] <= val <= c.params["hi"]
+            verdict_rows.append(
+                (GLOBAL_BUCKET, c.cid, n_rows_total, int(not ok), bool(ok))
+            )
+
     drift_metrics = {}
     if drift_cs and merged_hist:
         if baseline is None:
@@ -532,6 +580,12 @@ def _validate_impl(
         **({"executors": exec_metrics} if exec_metrics else {}),
         **sketch_metrics,
         **drift_metrics,
+        **{
+            f"{stat}({m})": v
+            for m, stats_ in metric_values.items()
+            for stat, v in stats_.items()
+            if v is not None
+        },
     }
     if ledger is not None:
         lineage = spark.createDataFrame(
