@@ -1888,6 +1888,64 @@ def drift_psi_events(spark, sf_dir):
 _DOC_SOURCES = [f"src{i}" for i in range(20)]
 
 @register(
+    "constraints_suite_extended",
+    """
+    SELECT 'expr_pos_chars' AS constraint_id,
+           count(*) FILTER (WHERE NOT coalesce(n_chars > 0, FALSE)) AS n_violations,
+           CAST(count(*) FILTER (WHERE NOT coalesce(n_chars > 0, FALSE)) = 0 AS INT) AS passed
+    FROM documents
+    UNION ALL
+    SELECT 'expr_lang_or_short',
+           count(*) FILTER (WHERE NOT coalesce(lang IN ('en','de','fr') OR n_chars < 100, FALSE)),
+           CAST(count(*) FILTER (WHERE NOT coalesce(lang IN ('en','de','fr') OR n_chars < 100, FALSE)) = 0 AS INT)
+    FROM documents
+    UNION ALL
+    SELECT 'metric_mean_chars',
+           CASE WHEN avg(n_chars) BETWEEN 1 AND 100000 THEN 0 ELSE 1 END,
+           CAST(avg(n_chars) BETWEEN 1 AND 100000 AS INT)
+    FROM documents
+    UNION ALL
+    SELECT 'metric_null_rate',
+           CASE WHEN 1.0 - count(n_chars)::DOUBLE / count(*) <= 0.5 THEN 0 ELSE 1 END,
+           CAST(1.0 - count(n_chars)::DOUBLE / count(*) <= 0.5 AS INT)
+    FROM documents
+    UNION ALL
+    SELECT 'not_null(doc_id)',
+           count(*) FILTER (WHERE doc_id IS NULL),
+           CAST(count(*) FILTER (WHERE doc_id IS NULL) = 0 AS INT)
+    FROM documents
+    """,
+)
+def constraints_suite_extended(spark, sf_dir):
+    """The round-3 constraint kinds (expression predicates +
+    metric-threshold assertions) run through the REAL validate()
+    engine — per-bucket sums merged to global verdicts — with the
+    oracle recomputing every verdict from first principles."""
+    from kglids_spark.operators import constraints as C
+    from kglids_spark.operators.validate import validate
+
+    d = _t(spark, sf_dir, "documents")
+    suite = [
+        C.not_null("doc_id"),
+        C.expression("n_chars > 0", columns=["n_chars"], cid="expr_pos_chars"),
+        C.expression(
+            "lang IN ('en','de','fr') OR n_chars < 100",
+            columns=["lang", "n_chars"],
+            cid="expr_lang_or_short",
+        ),
+        C.metric_range("n_chars", "mean", 1, 100000, cid="metric_mean_chars"),
+        C.metric_range("n_chars", "null_rate", 0, 0.5, cid="metric_null_rate"),
+    ]
+    res = validate(
+        d, suite, n_buckets=8, extract_violation_rows=False, kll_col=None
+    )
+    return res.verdicts.groupBy("constraint_id").agg(
+        F.sum("n_violations").alias("n_violations"),
+        F.min(F.col("passed").cast("int")).alias("passed"),
+    )
+
+
+@register(
     "constraints_documents",
     f"""
     SELECT 'not_null(doc_id)' AS constraint_id,
@@ -2922,11 +2980,12 @@ _DRIVER_PRIORITY = [
     "union_distinct_sources_langs", "intersect_except_keys",
     "label_generation", "md5_column_ids", "shipdate_year_counts",
     "json_extract_props", "per_source_stats", "rolling_avg_events",
-    "dedup_simhash", "ann_lsh_topk",
-    # doc_fingerprint / dedup_minhash_lsh (rows-only) rotated out for
-    # value-exact queries; their md5 twins below + the lockstep tests
-    # still pin the prod paths
+    "ann_lsh_topk",
+    # doc_fingerprint / dedup_minhash_lsh / dedup_simhash (rows-only)
+    # rotated out for value-exact queries; their md5 twins below + the
+    # lockstep tests still pin the prod paths
     "sentence_embedding_labels", "epoch_upsample_sources",
+    "constraints_suite_extended",
     # (b) new in round 3
     "similarity_scores_reference", "eda_operations_iterative",
     "dedup_clusters", "pack_sequences_bins",
