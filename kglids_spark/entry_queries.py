@@ -1114,6 +1114,64 @@ def epoch_upsample_sources(spark, sf_dir):
 
 
 @register(
+    "c4_line_filtering",
+    r"""
+    WITH d AS (
+      SELECT doc_id,
+             text || chr(10) || 'Sentence number ' || CAST(doc_id AS VARCHAR)
+                  || ' keeps itself here.'
+                  || chr(10) || 'too short.'
+                  || CASE WHEN doc_id % 11 = 0 THEN chr(10) || 'int x = { 1 };' ELSE '' END
+               AS text
+      FROM documents),
+    l AS (SELECT doc_id, text, string_split(text, chr(10)) AS lines FROM d),
+    k AS (
+      SELECT doc_id, text, lines,
+             list_filter(lines,
+               ln -> len(string_split_regex(trim(ln), '\s+')) >= 5
+                     AND regexp_matches(rtrim(ln), '[.!?"]$')) AS kept
+      FROM l)
+    SELECT doc_id,
+           len(lines) AS n_lines,
+           len(kept) AS n_kept,
+           md5(coalesce(array_to_string(kept, chr(10)), '')) AS clean_digest,
+           CAST(contains(text, '{') AS INT) AS has_brace,
+           CAST(contains(lower(text), 'lorem ipsum') AS INT) AS has_lorem
+    FROM k
+    """,
+)
+def c4_line_filtering(spark, sf_dir):
+    """C4-style line filtering (text.c4_line_filter): ≥5-word lines
+    ending in terminal punctuation survive; boilerplate flags at the
+    document level. The synthetic corpus has no punctuation, so the
+    query plants one surviving sentence, one too-short line, and a
+    code-brace line in every 11th doc — both filter branches and the
+    flags are exercised. The cleaned text is digest-compared, so the
+    oracle checks exactly WHICH lines survived, byte for byte."""
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.lit("\nSentence number "),
+            F.col("doc_id").cast("string"),
+            F.lit(" keeps itself here.\ntoo short."),
+            F.when(F.col("doc_id") % 11 == 0, F.lit("\nint x = { 1 };")).otherwise(
+                F.lit("")
+            ),
+        ),
+    )
+    out = text.c4_line_filter(d)
+    return out.select(
+        "doc_id",
+        "n_lines",
+        "n_kept",
+        F.md5(F.col("text_clean").cast("binary")).alias("clean_digest"),
+        F.col("has_brace").cast("int").alias("has_brace"),
+        F.col("has_lorem").cast("int").alias("has_lorem"),
+    )
+
+
+@register(
     "vocab_top_tokens",
     r"""
     WITH tok AS (
@@ -3002,10 +3060,11 @@ _DRIVER_PRIORITY = [
     "rdf_ntriples_similarity", "rdf_turtle_source_types",
     "float_bit_decomposition", "token_array_ops", "csv_na_scan",
     "split_assignment_sources", "global_shuffle_positions", "vocab_top_tokens",
-    # (d) core cross-section (q3/q5/similarity_pairs/recommend/search/
-    # fine_grained/asof/range rotated out this round: all r2-green with
-    # unchanged code, still DuckDB-checked every pytest run)
-    "q1_pricing_summary",
+    "c4_line_filtering",
+    # (d) core cross-section (q1/q3/q5/similarity_pairs/recommend/
+    # search/fine_grained/asof/range rotated out this round: all
+    # r2-green with unchanged code, still DuckDB-checked every pytest
+    # run)
     "dedup_ngram_jaccard",
 ]
 

@@ -283,6 +283,40 @@ def word_frequencies(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def c4_line_filter(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """C4-style line-level cleaning (Raffel et al. 2020 §2.2 heuristics,
+    re-expressed as pure array expressions): keep only lines with ≥ 5
+    words that end in terminal punctuation (. ! ? or a closing quote),
+    and flag the document-level boilerplate signals (curly brace →
+    code, 'lorem ipsum' → placeholder). Adds:
+
+    - ``text_clean``: surviving lines re-joined
+    - ``n_lines`` / ``n_kept``: before/after line counts
+    - ``has_brace`` / ``has_lorem``: document drop-signals
+
+    All higher-order functions over the line array — zero shuffle, one
+    projection, codegen throughout."""
+    lines = F.split(F.col(text_col), "\n")
+    kept = F.filter(
+        lines,
+        lambda ln: (F.size(F.split(F.trim(ln), r"\s+")) >= 5)
+        & F.rtrim(ln).rlike('[.!?"]$'),
+    )
+    return (
+        df.withColumn("_lines", lines)
+        .withColumn("_kept", kept)
+        .select(
+            "*",
+            F.array_join("_kept", "\n").alias("text_clean"),
+            F.size("_lines").alias("n_lines"),
+            F.size("_kept").alias("n_kept"),
+            F.col(text_col).contains("{").alias("has_brace"),
+            F.lower(F.col(text_col)).contains("lorem ipsum").alias("has_lorem"),
+        )
+        .drop("_lines", "_kept")
+    )
+
+
 def analyze_documents(df: DataFrame, text_col: str = "text") -> DataFrame:
     """One-pass text-analysis projection: language, token counts,
     quality features, fingerprints."""

@@ -120,3 +120,29 @@ def test_redact_pii_email_not_double_matched_as_ip(spark):
     row = text.redact_pii(df).collect()[0]
     assert row["text_redacted"] == "x <EMAIL> y"
     assert row["n_email"] == 1
+
+
+def test_c4_line_filter_rules(spark):
+    from kglids_spark.operators.text import c4_line_filter
+
+    doc = "\n".join(
+        [
+            "This sentence has enough words here.",   # kept
+            "Too short.",                              # < 5 words
+            "this line has five words no punct",      # no terminal punct
+            'He said "hello there my good friend."',  # kept (quote end)
+            "",                                        # empty
+        ]
+    )
+    df = spark.createDataFrame([(1, doc), (2, "lorem IPSUM { }")], "doc_id int, text string")
+    out = {r.doc_id: r for r in c4_line_filter(df).collect()}
+    r1 = out[1]
+    assert r1.n_lines == 5 and r1.n_kept == 2
+    assert r1.text_clean.splitlines() == [
+        "This sentence has enough words here.",
+        'He said "hello there my good friend."',
+    ]
+    assert not r1.has_brace and not r1.has_lorem
+    r2 = out[2]
+    assert r2.n_kept == 0 and r2.text_clean == ""
+    assert r2.has_brace and r2.has_lorem
