@@ -158,3 +158,63 @@ def windowed_event_counts(
             "total_value",
         )
     )
+
+
+def drift_monitor_stream(
+    spark: SparkSession,
+    input_dir: str,
+    baseline_hist: list[int],
+    spec,
+    out_dir: str,
+    checkpoint_dir: str,
+    ks_threshold: float = 0.1,
+    psi_threshold: float = 0.2,
+    trigger_once: bool = True,
+):
+    """Per-micro-batch distribution-drift monitor: each batch's
+    histogram (one map-side indicator-sum aggregate, drift.py:39-60)
+    is compared against a FIXED baseline histogram (e.g. resolved from
+    a ledger snapshot, the batch path's "KS/PSI vs a baseline Iceberg
+    snapshot") and a one-row verdict (epoch, n_rows, ks, psi, passes)
+    is appended to ``out_dir`` as parquet. The stream thereby flags
+    WHICH ingestion batch drifted, which the batch validator — a
+    whole-table statement — cannot localize.
+
+    foreachBatch keeps the heavy work in the batch engine: the
+    histogram aggregate is the same O(n_cells)-row reduction as the
+    batch drift pass, so state never grows with the stream."""
+    from kglids_spark.operators import drift as D
+
+    stream = spark.readStream.schema(TOKENS_SCHEMA).parquet(input_dir)
+
+    def process(batch_df: DataFrame, epoch_id: int) -> None:
+        sess = batch_df.sparkSession
+        row = batch_df.agg(
+            D.histogram_array_expr(spec).alias("hist"),
+            F.count(F.lit(1)).alias("n_rows"),
+        ).collect()[0]
+        verdict = D.evaluate_drift(
+            list(row.hist), baseline_hist, ks_threshold, psi_threshold
+        )
+        sess.createDataFrame(
+            [
+                (
+                    int(epoch_id),
+                    int(row.n_rows),
+                    float(verdict["ks"]),
+                    float(verdict["psi"]),
+                    bool(verdict["ks_pass"]),
+                    bool(verdict["psi_pass"]),
+                )
+            ],
+            "epoch long, n_rows long, ks double, psi double, ks_pass boolean, psi_pass boolean",
+        ).write.mode("append").parquet(out_dir)
+
+    writer = (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
