@@ -375,6 +375,53 @@ def rdf_ntriples_similarity(spark, sf_dir):
     return similarity_ntriples(edges)
 
 
+_RDF_PROF_SQL = """
+    WITH s AS (
+      SELECT count(*) AS total,
+             count(r_regionkey) AS nn_k, count(DISTINCT r_regionkey) AS d_k,
+             CAST(round(min(r_regionkey)::DOUBLE, 3) AS VARCHAR) AS minv,
+             CAST(round(max(r_regionkey)::DOUBLE, 3) AS VARCHAR) AS maxv,
+             CAST(round(quantile_cont(r_regionkey, 0.5)::DOUBLE, 3) AS VARCHAR) AS medv,
+             count(r_name) AS nn_n, count(DISTINCT r_name) AS d_n
+      FROM region),
+    c(node, dtype, nn, dist) AS (
+      SELECT * FROM (VALUES
+        ('<http://kglids.org/resource/region/r_regionkey>', 'int',
+         (SELECT nn_k FROM s), (SELECT d_k FROM s)),
+        ('<http://kglids.org/resource/region/r_name>', 'string',
+         (SELECT nn_n FROM s), (SELECT d_n FROM s))) v)
+    SELECT unnest(list_concat([
+      node || ' <http://kglids.org/ontology/isPartOf> <http://kglids.org/resource/region>.',
+      node || ' <http://www.w3.org/1999/02/22-rdf-syntax-ns#type> <http://kglids.org/ontology/Column>.',
+      node || ' <http://kglids.org/ontology/data/hasDataType> "' || dtype || '".',
+      node || ' <http://schema.org/name> "r_' || CASE WHEN dtype = 'int' THEN 'regionkey' ELSE 'name' END || '".',
+      node || ' <http://kglids.org/ontology/data/hasTotalValueCount> ' || CAST((SELECT total FROM s) AS VARCHAR) || '.',
+      node || ' <http://kglids.org/ontology/data/hasDistinctValueCount> ' || CAST(dist AS VARCHAR) || '.',
+      node || ' <http://kglids.org/ontology/data/hasMissingValueCount> ' || CAST((SELECT total FROM s) - nn AS VARCHAR) || '.',
+      node || ' <http://www.w3.org/2000/01/rdf-schema#label> "r ' || CASE WHEN dtype = 'int' THEN 'regionkey' ELSE 'name' END || '"@en.'
+    ], CASE WHEN dtype = 'int' THEN [
+      node || ' <http://kglids.org/ontology/data/hasMedianValue> ' || (SELECT medv FROM s) || '.',
+      node || ' <http://kglids.org/ontology/data/hasMaxValue> ' || (SELECT maxv FROM s) || '.',
+      node || ' <http://kglids.org/ontology/data/hasMinValue> ' || (SELECT minv FROM s) || '.'
+    ] ELSE [] END)) AS line
+    FROM c
+    """
+
+
+@register("rdf_profile_export", _RDF_PROF_SQL)
+def rdf_profile_export(spark, sf_dir):
+    """The reference's per-column profile triples (workers.py:10-47) —
+    membership, metadata, rdfs:label "..."@en, numeric stats — emitted
+    from the REAL profiler output (exact mode) through
+    rdf_export.profile_ntriples; the oracle rebuilds every line from
+    first-principles SQL aggregates over the same table."""
+    from kglids_spark.operators.profiler import profile_table
+    from kglids_spark.operators.rdf_export import profile_ntriples
+
+    region = _t(spark, sf_dir, "region")
+    return profile_ntriples(profile_table(region, "region", exact=True))
+
+
 @register(
     "rdf_turtle_source_types",
     """
@@ -3051,7 +3098,11 @@ _DRIVER_PRIORITY = [
     "text_repetition_signals", "pii_redaction",
     "na_coercion_cast", "url_encoded_ids", "temperature_sample_sources",
     # (c) operator code changed in round 3 + twin pins
-    "khop_nation_pairs_same_region", "constraints_documents", "profile_stats",
+    "khop_nation_pairs_same_region", "constraints_documents",
+    # profile_stats (r2-green, profiler unchanged) rotated out for
+    # rdf_profile_export, which drives the same exact-profile path AND
+    # the round-3 RDF serialization of its output
+    "rdf_profile_export",
     "eda_operations", "ann_lsh_topk_md5", "dedup_minhash_lsh_md5",
     "dedup_simhash_md5", "doc_fingerprint_md5",
     # (b2) new in round 3: RDF sinks (displacing two r2-green,

@@ -147,6 +147,81 @@ def similarity_ntriples(
     return edges.select(F.explode(lines).alias("line"))
 
 
+def profile_ntriples(profiles: DataFrame) -> DataFrame:
+    """Serialize column profiles to the reference's per-column triple
+    set (workers.py:10-47 ``column_metadata_worker``): membership
+    (isPartOf / rdf:type Column), metadata (hasDataType, schema:name,
+    value counts, rdfs:label "..."@en), numeric stats
+    (hasMedianValue / hasMaxValue / hasMinValue, floats rounded to 3)
+    and hasTrueRatio for booleans.
+
+    Input: the profiler's PROFILE_SCHEMA rows (operators/profiler.py).
+    One map-side array build + explode per profile row; profiles are
+    metadata (≪ data), so this stage is never the bottleneck — it
+    exists for bit-parity of the emitted .nt shards."""
+    from kglids_spark.functions.scalar import generate_label
+
+    col_node = iri(F.col("column_id"))
+    table_node = iri(F.col("table_id"))
+
+    def data_pred(name: str) -> Column:
+        return F.lit("<" + ONTOLOGY["kglidsData"] + name + ">")
+
+    label_lit = F.concat(
+        F.lit('"'), generate_label(F.col("column_name")), F.lit('"@en')
+    )
+    is_numeric = F.col("data_type").isin("int", "float")
+    lines = F.array(
+        triple_line(col_node, F.lit("<" + ONTOLOGY["kglids"] + "isPartOf>"), table_node),
+        triple_line(
+            col_node,
+            F.lit("<" + ONTOLOGY["rdf"] + "type>"),
+            F.lit("<" + ONTOLOGY["kglids"] + "Column>"),
+        ),
+        triple_line(col_node, data_pred("hasDataType"), string_literal(F.col("data_type"))),
+        triple_line(
+            col_node,
+            F.lit("<" + ONTOLOGY["schema"] + "name>"),
+            string_literal(F.col("column_name")),
+        ),
+        triple_line(
+            col_node,
+            data_pred("hasTotalValueCount"),
+            F.col("total_values_count").cast("string"),
+        ),
+        triple_line(
+            col_node,
+            data_pred("hasDistinctValueCount"),
+            F.col("distinct_values_count").cast("string"),
+        ),
+        triple_line(
+            col_node,
+            data_pred("hasMissingValueCount"),
+            F.col("missing_values_count").cast("string"),
+        ),
+        triple_line(col_node, F.lit("<" + ONTOLOGY["rdfs"] + "label>"), label_lit),
+        F.when(
+            is_numeric,
+            triple_line(col_node, data_pred("hasMedianValue"), float_literal(F.col("median"))),
+        ),
+        F.when(
+            is_numeric,
+            triple_line(col_node, data_pred("hasMaxValue"), float_literal(F.col("max_value"))),
+        ),
+        F.when(
+            is_numeric,
+            triple_line(col_node, data_pred("hasMinValue"), float_literal(F.col("min_value"))),
+        ),
+        F.when(
+            F.col("data_type") == "boolean",
+            triple_line(col_node, data_pred("hasTrueRatio"), float_literal(F.col("true_ratio"))),
+        ),
+    )
+    return profiles.select(
+        F.explode(F.filter(lines, lambda x: x.isNotNull())).alias("line")
+    )
+
+
 def write_ntriples(lines: DataFrame, path: str, mode: str = "overwrite") -> None:
     """Distributed .nt sink: one shard per partition, all concatenable
     (the reference's per-task ``<random>.nt`` files, workers.py:49-52,
