@@ -72,6 +72,14 @@ def main(argv: list[str] | None = None) -> int:
         help="extra expression constraint: SQL predicate, '@@', then "
         "the columns it reads (repeatable)",
     )
+    v.add_argument(
+        "--metric",
+        action="append",
+        default=[],
+        metavar="COL STAT LO HI",
+        help="extra metric-threshold constraint, e.g. 'n_tok mean 1 1e6' "
+        "(stat: null_rate|mean|stddev|min|max; repeatable)",
+    )
     v.add_argument("--no-violation-rows", action="store_true")
     v.add_argument("--cpus", type=int, default=None)
 
@@ -153,6 +161,9 @@ def main(argv: list[str] | None = None) -> int:
             pred, _, colspec = spec.partition("@@")
             cols = [c.strip() for c in colspec.split(",") if c.strip()]
             suite.append(C.expression(pred.strip(), columns=cols))
+        for spec in args.metric:
+            col, stat, lo, hi = spec.split()
+            suite.append(C.metric_range(col, stat, float(lo), float(hi)))
         baseline_hist = None
         if args.baseline:
             with open(args.baseline) as f:
