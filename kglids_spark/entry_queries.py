@@ -1219,6 +1219,33 @@ def c4_line_filtering(spark, sf_dir):
 
 
 @register(
+    "heavy_hitter_tokens",
+    r"""
+    WITH tok AS (
+      SELECT unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS item
+      FROM documents),
+    t AS (SELECT item FROM tok WHERE item != ''),
+    tot AS (SELECT count(*) AS n FROM t)
+    SELECT item, count(*) AS n
+    FROM t GROUP BY item
+    HAVING count(*) > (SELECT n FROM tot) / 200.0
+    """,
+)
+def heavy_hitter_tokens(spark, sf_dir):
+    """Exact heavy hitters (frequency.heavy_hitters, k=199 → >0.5%
+    share): Misra-Gries candidate superset per partition, broadcast
+    exact second pass. Result is EXACT, so the oracle is the plain
+    HAVING query the operator avoids running at full cardinality."""
+    from kglids_spark.operators.frequency import heavy_hitters
+
+    d = _t(spark, sf_dir, "documents")
+    words = d.select(F.explode(text.words_expr("text")).alias("token")).where(
+        F.col("token") != ""
+    )
+    return heavy_hitters(words, "token", k=199)
+
+
+@register(
     "vocab_top_tokens",
     r"""
     WITH tok AS (

@@ -1,0 +1,70 @@
+"""Exact distributed heavy hitters: Misra-Gries candidates + one
+exact counting pass.
+
+The naive "groupBy(item).count() then filter" materializes the FULL
+item cardinality through a shuffle — at 10^12 rows of tokens that is a
+shuffle the size of the vocabulary (fine) but for high-cardinality
+items (URLs, doc digests, n-grams) it is the corpus. The classic
+two-phase plan bounds memory and shuffle regardless of cardinality:
+
+1. CANDIDATES — each partition runs a Misra-Gries summary with k
+   counters over its rows (O(k) memory, one pass, vectorized per Arrow
+   batch via ``value_counts``). An item absent from a partition's
+   summary has local frequency ≤ n_p/(k+1); summing over partitions,
+   an item absent from EVERY summary has global frequency ≤ n/(k+1).
+   The union of summaries is therefore a guaranteed superset of every
+   item with global share > 1/(k+1).
+2. EXACT PASS — the candidate set (≤ k × n_partitions rows, tiny) is
+   broadcast-joined back and only candidates are counted exactly; the
+   final filter ``count > n/(k+1)`` makes the result EXACT — identical
+   to the full groupBy — with the groupBy restricted to a bounded key
+   set.
+
+No published reference counterpart (the reference profiles
+cardinality, not frequency); included because heavy-hitter tokens /
+URLs / digests are a standard training-corpus diagnostic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _mg_map_fn(col_name: str, k: int):
+    def fn(batches):
+        import pandas as pd
+
+        counters: dict = {}
+        for pdf in batches:
+            for item, c in pdf[col_name].value_counts().items():
+                counters[item] = counters.get(item, 0) + int(c)
+            if len(counters) > k:
+                # decrement by the (k+1)-th largest count: at most k
+                # counters survive, each decremented count still lower-
+                # bounds true_local - n_p/(k+1)
+                dec = sorted(counters.values(), reverse=True)[k]
+                counters = {i: c - dec for i, c in counters.items() if c - dec > 0}
+        yield pd.DataFrame(
+            {"item": list(counters.keys()), "mg_count": list(counters.values())}
+        )
+
+    return fn
+
+
+def heavy_hitters(df: DataFrame, col: Column | str, k: int = 199) -> DataFrame:
+    """All items whose frequency exceeds n/(k+1), with EXACT counts —
+    e.g. k=199 → every item above 0.5% share. Returns (item, n)."""
+    name = col if isinstance(col, str) else df.select(col.alias("_hh")).columns[0]
+    items = df.select(F.col(name).cast("string").alias("item")).where(
+        F.col("item").isNotNull()
+    )
+    summaries = items.mapInPandas(_mg_map_fn("item", k), "item string, mg_count long")
+    candidates = summaries.select("item").distinct()
+    counted = (
+        items.join(F.broadcast(candidates), "item")
+        .groupBy("item")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    total = items.count()
+    return counted.filter(F.col("n") > F.lit(total) / F.lit(k + 1))
