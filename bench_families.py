@@ -83,7 +83,7 @@ def _ensure(spark, path: str, n_rows: int, gen) -> None:
 def main() -> None:
     from pyspark.sql import functions as F
 
-    from kglids_spark.operators import ann, dedup, sampling, text
+    from kglids_spark.operators import ann, dedup, frequency, sampling, text
     from kglids_spark.session import get_spark
 
     spark = get_spark(app_name="bench_families", cpus=CPUS)
@@ -155,6 +155,13 @@ def main() -> None:
             ["doc_id"],
         ).groupBy("split").agg(
             F.count(F.lit(1)).alias("n"), F.sum("epoch").alias("s")
+        ),
+        # heavy hitters over ~30M exploded word tokens: the MG candidate
+        # pass is the cost; the exact pass touches only candidates
+        "freq_heavy_hitters": lambda: frequency.heavy_hitters(
+            docs.select(F.explode(F.split("text", " ")).alias("token")),
+            "token",
+            k=99,
         ),
     }
     only = os.environ.get("SPARK_GRAFT_FAM_ONLY")

@@ -36,7 +36,9 @@ def _mg_map_fn(col_name: str, k: int):
         import pandas as pd
 
         counters: dict = {}
+        n_rows = 0
         for pdf in batches:
+            n_rows += len(pdf)
             for item, c in pdf[col_name].value_counts().items():
                 counters[item] = counters.get(item, 0) + int(c)
             if len(counters) > k:
@@ -45,8 +47,14 @@ def _mg_map_fn(col_name: str, k: int):
                 # bounds true_local - n_p/(k+1)
                 dec = sorted(counters.values(), reverse=True)[k]
                 counters = {i: c - dec for i, c in counters.items() if c - dec > 0}
+        # sentinel row (item=NULL) carries the partition row count, so
+        # the global total comes from the tiny summary frame instead of
+        # a second full scan
         yield pd.DataFrame(
-            {"item": list(counters.keys()), "mg_count": list(counters.values())}
+            {
+                "item": list(counters.keys()) + [None],
+                "mg_count": list(counters.values()) + [n_rows],
+            }
         )
 
     return fn
@@ -60,11 +68,18 @@ def heavy_hitters(df: DataFrame, col: Column | str, k: int = 199) -> DataFrame:
         F.col("item").isNotNull()
     )
     summaries = items.mapInPandas(_mg_map_fn("item", k), "item string, mg_count long")
-    candidates = summaries.select("item").distinct()
+    # one action materializes the bounded summary frame (≤ (k+1) rows
+    # per partition): totals + candidate set together, so the corpus is
+    # scanned exactly twice (MG pass, exact pass) with nothing pinned
+    rows = summaries.collect()
+    total = sum(r.mg_count for r in rows if r.item is None)
+    cand = sorted({r.item for r in rows if r.item is not None})
+    if not cand or total == 0:
+        return items.sparkSession.createDataFrame([], "item string, n long")
+    candidates = items.sparkSession.createDataFrame([(c,) for c in cand], "item string")
     counted = (
         items.join(F.broadcast(candidates), "item")
         .groupBy("item")
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    total = items.count()
     return counted.filter(F.col("n") > F.lit(total) / F.lit(k + 1))
