@@ -158,7 +158,14 @@ def main(argv: list[str] | None = None) -> int:
         df = spark.read.parquet(args.input)
         suite = C.default_suite(SOURCES)
         for spec in args.check:
-            pred, _, colspec = spec.partition("@@")
+            # rpartition: '@@' may legitimately appear inside a SQL
+            # string literal in the predicate; the column list cannot
+            # contain it
+            pred, sep, colspec = spec.rpartition("@@")
+            if not sep:
+                raise SystemExit(
+                    f"--check {spec!r}: expected 'PREDICATE @@ col1,col2'"
+                )
             cols = [c.strip() for c in colspec.split(",") if c.strip()]
             suite.append(C.expression(pred.strip(), columns=cols))
         for spec in args.metric:

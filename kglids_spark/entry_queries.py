@@ -1069,9 +1069,9 @@ def temperature_sample_sources(spark, sf_dir):
     WITH assigned AS (
       SELECT source,
              CASE
-               WHEN CAST(('0x' || substring(md5('0' || chr(31) || CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT)
+               WHEN CAST(('0x' || substring(md5('split:0' || chr(31) || CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT)
                     / 4294967296.0 < 0.9 THEN 'train'
-               WHEN CAST(('0x' || substring(md5('0' || chr(31) || CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT)
+               WHEN CAST(('0x' || substring(md5('split:0' || chr(31) || CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT)
                     / 4294967296.0 < 0.95 THEN 'val'
                ELSE 'test'
              END AS split,
@@ -1101,7 +1101,7 @@ def split_assignment_sources(spark, sf_dir):
     """
     WITH h AS (
       SELECT doc_id,
-             md5('7' || chr(31) || CAST(doc_id AS VARCHAR)) AS hk
+             md5('shuffle:7' || chr(31) || CAST(doc_id AS VARCHAR)) AS hk
       FROM documents)
     SELECT doc_id,
            CAST(row_number() OVER (ORDER BY hk, doc_id) - 1 AS BIGINT) AS position
@@ -1127,7 +1127,7 @@ def global_shuffle_positions(spark, sf_dir):
                             ('src2', 0, 0.25), ('src3', 0, 0.0)) f(source, n_full, frac)),
     u AS (
       SELECT d.source, d.doc_id,
-             f.n_full + CASE WHEN CAST(('0x' || substring(md5('0' || chr(31) || CAST(d.doc_id AS VARCHAR)), 1, 8)) AS UBIGINT)
+             f.n_full + CASE WHEN CAST(('0x' || substring(md5('epoch:0' || chr(31) || CAST(d.doc_id AS VARCHAR)), 1, 8)) AS UBIGINT)
                               / 4294967296.0 < f.frac THEN 1 ELSE 0 END AS n
       FROM documents d JOIN fac f USING (source)),
     e AS (
@@ -1424,7 +1424,11 @@ def csv_na_scan(spark, sf_dir):
         .otherwise(F.col("n_chars").cast("string"))
         .alias("n_chars"),
     )
-    path = "/tmp/kglids_spark_csv_na_scan"
+    # per-invocation unique path: a fixed one races against concurrent
+    # sessions (driver run + pytest) overwriting mid-scan
+    import uuid
+
+    path = f"/tmp/kglids_spark_csv_na_scan_{uuid.uuid4().hex[:12]}"
     raw.coalesce(4).write.mode("overwrite").option("header", True).csv(path)
     r = read_csv_table(spark, path)
     return r.select(

@@ -63,8 +63,8 @@ def _mg_map_fn(col_name: str, k: int):
 def heavy_hitters(df: DataFrame, col: Column | str, k: int = 199) -> DataFrame:
     """All items whose frequency exceeds n/(k+1), with EXACT counts —
     e.g. k=199 → every item above 0.5% share. Returns (item, n)."""
-    name = col if isinstance(col, str) else df.select(col.alias("_hh")).columns[0]
-    items = df.select(F.col(name).cast("string").alias("item")).where(
+    c = F.col(col) if isinstance(col, str) else col
+    items = df.select(c.cast("string").alias("item")).where(
         F.col("item").isNotNull()
     )
     summaries = items.mapInPandas(_mg_map_fn("item", k), "item string, mg_count long")

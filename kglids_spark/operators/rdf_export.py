@@ -72,8 +72,13 @@ def float_literal(col: Column | str, scale: int = 3) -> Column:
 
 
 def triple_line(subject: Column, predicate: Column, obj: Column) -> Column:
-    """``S P O.`` — Triplet.__repr_helper(isRoot=True), utils.py:74-77."""
-    return F.concat_ws(" ", subject, predicate, F.concat(obj, F.lit(".")))
+    """``S P O.`` — Triplet.__repr_helper(isRoot=True), utils.py:74-77.
+
+    Built with null-PROPAGATING concat (not concat_ws, which silently
+    skips nulls and would emit a malformed 2-token line): a triple with
+    any null part serializes to null, and the callers' isNotNull
+    filters drop it instead of corrupting the .nt shard."""
+    return F.concat(subject, F.lit(" "), predicate, F.lit(" "), obj, F.lit("."))
 
 
 def rdf_star_lines(
@@ -91,7 +96,9 @@ def rdf_star_lines(
     utils.py:83-90 ``get_reversed_triple``)."""
 
     def star(s: Column, o: Column) -> Column:
-        quoted = F.concat(F.lit("<<"), F.concat_ws(" ", s, nested_predicate, o), F.lit(">>"))
+        quoted = F.concat(
+            F.lit("<<"), s, F.lit(" "), nested_predicate, F.lit(" "), o, F.lit(">>")
+        )
         return triple_line(quoted, annotation_predicate, annotation_object)
 
     return F.array(
@@ -144,7 +151,11 @@ def similarity_ntriples(
         F.lit("<" + ONTOLOGY["kglidsData"] + "withCertainty>"),
         float_literal(F.col(score)),
     )
-    return edges.select(F.explode(lines).alias("line"))
+    # a null id/score nulls the whole line (triple_line propagates);
+    # drop it rather than shipping a malformed shard line
+    return edges.select(
+        F.explode(F.filter(lines, lambda x: x.isNotNull())).alias("line")
+    )
 
 
 def profile_ntriples(profiles: DataFrame) -> DataFrame:

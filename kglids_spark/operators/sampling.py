@@ -127,6 +127,28 @@ def temperature_quotas(
     return {s: min(int(counts[s]), int(budget * w[s] / tot)) for s in counts}
 
 
+def _hash_key(key_cols: list[str], seed: int, domain: str) -> F.Column:
+    """md5 over (domain:seed, keys) — the engine's cross-engine random
+    stand-in. ``domain`` separates operators: without it, composing two
+    hash-fraction operators with the same seed makes their selections
+    NESTED instead of independent (e.g. a ×1.5 partial epoch drawn
+    entirely from inside the 'train' split, biasing its fraction)."""
+    return F.md5(
+        F.concat_ws(
+            "\x1f",
+            F.lit(f"{domain}:{seed}"),
+            *[F.col(c).cast("string") for c in key_cols],
+        )
+    )
+
+
+def _hash_u(key_cols: list[str], seed: int, domain: str) -> F.Column:
+    """Uniform [0, 1) fraction from the first 8 md5 hex chars."""
+    return F.conv(
+        F.substring(_hash_key(key_cols, seed, domain), 1, 8), 16, 10
+    ).cast("double") / F.lit(float(1 << 32))
+
+
 def split_assignment(
     df: DataFrame,
     key_cols: list[str],
@@ -144,12 +166,7 @@ def split_assignment(
     into one CASE chain inside codegen.
     """
     splits = splits or {"train": 0.9, "val": 0.05, "test": 0.05}
-    key = F.md5(
-        F.concat_ws(
-            "\x1f", F.lit(str(seed)), *[F.col(c).cast("string") for c in key_cols]
-        )
-    )
-    u = F.conv(F.substring(key, 1, 8), 16, 10).cast("double") / F.lit(float(1 << 32))
+    u = _hash_u(key_cols, seed, "split")
     expr = None
     edge = 0.0
     for name, frac in splits.items():
@@ -184,11 +201,7 @@ def global_positions(
     """
     hexdigits = max(1, (n_buckets - 1).bit_length() + 3 >> 2)
     n_buckets = 16**hexdigits
-    key = F.md5(
-        F.concat_ws(
-            "\x1f", F.lit(str(seed)), *[F.col(c).cast("string") for c in key_cols]
-        )
-    )
+    key = _hash_key(key_cols, seed, "shuffle")
     work = df.withColumn("_h", key).withColumn(
         "_b", F.conv(F.substring("_h", 1, hexdigits), 16, 10).cast("int")
     )
@@ -240,21 +253,7 @@ def epoch_upsample(
     fac_df = F.broadcast(
         spark.createDataFrame(fac, f"{strata_col} string, _full int, _frac double")
     )
-    u = F.conv(
-        F.substring(
-            F.md5(
-                F.concat_ws(
-                    "\x1f",
-                    F.lit(str(seed)),
-                    *[F.col(c).cast("string") for c in key_cols],
-                )
-            ),
-            1,
-            8,
-        ),
-        16,
-        10,
-    ).cast("double") / F.lit(float(1 << 32))
+    u = _hash_u(key_cols, seed, "epoch")
     n_copies = F.col("_full") + (u < F.col("_frac")).cast("int")
     return (
         df.join(fac_df, strata_col)

@@ -102,8 +102,13 @@ def _stats_pass(
     # merge (driver side, n_buckets rows) reconstructs the EXACT global
     # stat, so metric verdicts share resume semantics with the sketches
     for m in metric_cols:
-        c = F.col(m).cast("double")
+        # try_cast: ANSI mode is on, a plain cast THROWS on non-numeric
+        # strings instead of nulling
+        c = F.col(m).try_cast("double")
         aggs += [
+            # null_rate counts RAW nulls — the double cast would turn a
+            # non-numeric column into 100% "missing" (cast-null ≠ null)
+            F.count(F.col(m)).alias(f"_m_nn_{m}"),
             F.count(c).alias(f"_m_n_{m}"),
             F.sum(c).alias(f"_m_s_{m}"),
             F.sum(c * c).alias(f"_m_q_{m}"),
@@ -454,10 +459,11 @@ def _validate_impl(
             }
 
     metric_values: dict = {}
-    if metric_cs and merged_rows:
+    if metric_cs:
         import math as _math
 
         for m in metric_cols:
+            nn = sum(getattr(r, f"_m_nn_{m}", 0) or 0 for r in merged_rows)
             n = sum(getattr(r, f"_m_n_{m}", 0) or 0 for r in merged_rows)
             s = sum(getattr(r, f"_m_s_{m}", 0.0) or 0.0 for r in merged_rows)
             q = sum(getattr(r, f"_m_q_{m}", 0.0) or 0.0 for r in merged_rows)
@@ -468,12 +474,15 @@ def _validate_impl(
             mean = s / n if n else None
             var = max(q / n - mean * mean, 0.0) if n else None
             metric_values[m] = {
-                "null_rate": 1.0 - (n / n_rows_total) if n_rows_total else None,
+                "null_rate": 1.0 - (nn / n_rows_total) if n_rows_total else None,
                 "mean": mean,
                 "stddev": _math.sqrt(var) if var is not None else None,
                 "min": min(lows) if lows else None,
                 "max": max(highs) if highs else None,
             }
+        # empty input / all-null column -> stat is None -> verdict FAILS
+        # (metric_range's documented contract); a verdict row is always
+        # emitted, like schema constraints below
         for c in metric_cs:
             val = metric_values[c.column][c.params["stat"]]
             ok = val is not None and c.params["lo"] <= val <= c.params["hi"]

@@ -196,6 +196,10 @@ def drift_monitor_stream(
         verdict = D.evaluate_drift(
             list(row.hist), baseline_hist, ks_threshold, psi_threshold
         )
+        # idempotent under foreachBatch's at-least-once replay: the
+        # write overwrites only THIS epoch's partition, so a batch
+        # re-run after a crash-before-checkpoint replaces its verdict
+        # row instead of appending a duplicate
         sess.createDataFrame(
             [
                 (
@@ -208,7 +212,9 @@ def drift_monitor_stream(
                 )
             ],
             "epoch long, n_rows long, ks double, psi double, ks_pass boolean, psi_pass boolean",
-        ).write.mode("append").parquet(out_dir)
+        ).write.mode("overwrite").option(
+            "partitionOverwriteMode", "dynamic"
+        ).partitionBy("epoch").parquet(out_dir)
 
     writer = (
         stream.writeStream.foreachBatch(process)

@@ -48,3 +48,8 @@ def test_heavy_hitters_nulls_dropped(spark):
     got = {(r.item, r.n) for r in heavy_hitters(df, "item", k=1).collect()}
     # n=3 non-null; threshold 3/2 → only 'a' (2 > 1.5)
     assert got == {("a", 2)}
+
+
+def test_heavy_hitters_accepts_column_expression(spark, skewed):
+    got = {r.item for r in heavy_hitters(skewed, F.upper(F.col("item")), k=9).collect()}
+    assert "HOT" in got

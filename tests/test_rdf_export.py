@@ -145,3 +145,29 @@ def test_write_turtle_every_part_is_standalone(spark, tmp_path):
 def test_iri_helper(spark):
     row = spark.range(1).select(iri(F.lit("x y"), ONTOLOGY["kglids"]).alias("i")).collect()[0]
     assert row.i == "<http://kglids.org/ontology/x y>"
+
+
+def test_null_parts_drop_the_triple_not_the_token(spark):
+    """A null score/stat must drop the whole line — concat_ws would
+    emit a malformed 2-token statement instead."""
+    from kglids_spark.operators.rdf_export import profile_ntriples, similarity_ntriples
+
+    edges = spark.createDataFrame(
+        [("a", "b", "content", None), ("a", "c", "content", 0.9)],
+        "col1_id string, col2_id string, kind string, score double",
+    )
+    lines = [r.line for r in similarity_ntriples(edges).collect()]
+    assert len(lines) == 2  # only the non-null edge's fwd+rev pair
+    assert all(ln.endswith(".") and ln.count(" ") >= 2 for ln in lines)
+
+    from kglids_spark.operators.profiler import PROFILE_SCHEMA
+
+    prof = spark.createDataFrame(
+        [("t/c", "", "t", "c", "int", 3, 3, 0, None, None, None, None, None, None)],
+        PROFILE_SCHEMA,
+    )
+    plines = [r.line for r in profile_ntriples(prof).collect()]
+    # the 3 numeric-stat lines vanish (null median/min/max); the 8
+    # metadata lines survive intact
+    assert len(plines) == 8
+    assert not any("hasMedianValue" in ln for ln in plines)

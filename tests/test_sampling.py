@@ -214,7 +214,7 @@ def test_split_assignment_seed_changes_assignment(spark, corpus):
 def _positions_single_window(df, seed):
     from pyspark.sql.window import Window as W
 
-    h = F.md5(F.concat_ws("\x1f", F.lit(str(seed)), F.col("doc_id").cast("string")))
+    h = F.md5(F.concat_ws("\x1f", F.lit(f"shuffle:{seed}"), F.col("doc_id").cast("string")))
     w = W.orderBy(h, "doc_id")
     return df.withColumn("position", F.row_number().over(w) - 1)
 
@@ -286,3 +286,17 @@ def test_epoch_upsample_no_shuffle_plan(spark, corpus):
     import re
     exchanges = [l for l in plan.splitlines() if "Exchange" in l and "Broadcast" not in l]
     assert exchanges == [], exchanges
+
+
+def test_split_and_epoch_hashes_are_domain_separated(spark, corpus):
+    """Composing split_assignment and epoch_upsample with the same seed
+    must not nest their selections: the ×1.5 partial epoch draws from
+    every split, not just from inside 'train'."""
+    from kglids_spark.operators.sampling import epoch_upsample, split_assignment
+
+    a = split_assignment(corpus, ["doc_id"], seed=0)
+    up = epoch_upsample(a, "source", {"web": 1.5}, ["doc_id"], seed=0)
+    extra_splits = {
+        r.split for r in up.filter(F.col("epoch") == 2).select("split").distinct().collect()
+    }
+    assert "val" in extra_splits or "test" in extra_splits

@@ -338,3 +338,22 @@ def test_metric_constraint_resume_merge_exact(spark, tokens_df, tmp_path, duck):
     res2 = validate(tokens_df, suite, n_buckets=N_BUCKETS, ledger=store, extract_violation_rows=False)
     want = duck.execute("SELECT avg(n_tok) FROM tokens").fetchone()[0]
     assert abs(res2.metrics["mean(n_tok)"] - want) < 1e-6
+
+
+def test_metric_null_rate_on_string_column(spark, tokens_df):
+    """null_rate must count RAW nulls — a non-numeric column with no
+    nulls passes, even though every value casts to null as double."""
+    suite = [C.metric_range("source", "null_rate", 0, 0.01, cid="src_nr")]
+    clean = tokens_df.filter(F.col("source").isNotNull())
+    res = validate(clean, suite, n_buckets=4, extract_violation_rows=False, kll_col=None)
+    verd = {r.constraint_id: bool(r.passed) for r in res.verdicts.collect()}
+    assert verd["src_nr"] is True
+    assert res.metrics["null_rate(source)"] == 0.0
+
+
+def test_metric_constraint_fails_on_empty_input(spark, tokens_df):
+    suite = [C.metric_range("n_tok", "mean", 1, 10, cid="mean_empty")]
+    empty = tokens_df.filter(F.lit(False))
+    res = validate(empty, suite, n_buckets=4, extract_violation_rows=False, kll_col=None)
+    verd = {r.constraint_id: bool(r.passed) for r in res.verdicts.collect()}
+    assert verd["mean_empty"] is False
