@@ -683,6 +683,35 @@ def _crc32_values_sql() -> str:
     """
 
 
+@register(
+    "correlation_profile_lineitem",
+    """
+    SELECT 'lineitem' AS table_id, p.col1, p.col2,
+           round(CASE p.col1 || '|' || p.col2
+             WHEN 'l_quantity|l_extendedprice' THEN corr(l_quantity, l_extendedprice)
+             WHEN 'l_quantity|l_discount' THEN corr(l_quantity, l_discount)
+             WHEN 'l_extendedprice|l_discount' THEN corr(l_extendedprice, l_discount)
+           END, 6) AS corr
+    FROM lineitem
+    CROSS JOIN (VALUES ('l_quantity','l_extendedprice'),
+                       ('l_quantity','l_discount'),
+                       ('l_extendedprice','l_discount')) p(col1, col2)
+    GROUP BY p.col1, p.col2
+    """,
+)
+def correlation_profile_lineitem(spark, sf_dir):
+    """Single-pass cross-column Pearson correlations
+    (profiler.correlation_profile) — the profiler feature the reference
+    leaves to its learned EDA layer; oracle is DuckDB's corr."""
+    from kglids_spark.operators.profiler import correlation_profile
+
+    li = _t(spark, sf_dir, "lineitem")
+    prof = correlation_profile(
+        li, ["l_quantity", "l_extendedprice", "l_discount"], table_id="lineitem"
+    )
+    return prof.select("table_id", "col1", "col2", F.round("corr", 6).alias("corr"))
+
+
 @register("crc32_column_ids", _crc32_values_sql())
 def crc32_column_ids(spark, sf_dir):
     """F4 crc32 ids (reference storage_utils/postgres_utils.py uses

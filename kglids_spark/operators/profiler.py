@@ -468,3 +468,39 @@ def load_reference_profiles(spark: SparkSession, base_dir: str) -> DataFrame:
             )
         )
     return spark.createDataFrame(rows, PROFILE_SCHEMA)
+
+
+def correlation_profile(
+    df: DataFrame, columns: list[str] | None = None, table_id: str = ""
+) -> DataFrame:
+    """Pearson correlation of every numeric column pair in ONE
+    aggregation pass (n·(n-1)/2 ``corr`` aggregates over a single
+    scan — profile column counts are small, so the expression fan-out
+    is bounded; the scan is the cost and it happens once).
+
+    A standard profiler output the reference lacks (its profiles are
+    per-column only; cross-column structure is left to the learned
+    EDA layer) — included because correlation screens are the first
+    thing a feature-engineering pass asks of a training table.
+    Returns (table_id, col1, col2, corr) for col1 < col2."""
+    fields = [
+        f.name
+        for f in df.schema.fields
+        if isinstance(f.dataType, _NUMERIC_TYPES)
+        and (columns is None or f.name in columns)
+    ]
+    pairs = [(a, b) for i, a in enumerate(fields) for b in fields[i + 1 :]]
+    if not pairs:
+        return df.sparkSession.createDataFrame(
+            [], "table_id string, col1 string, col2 string, corr double"
+        )
+    row = df.agg(
+        *[F.corr(F.col(a), F.col(b)).alias(f"{a}\x1f{b}") for a, b in pairs]
+    ).collect()[0]
+    out = [
+        (table_id, a, b, float(row[f"{a}\x1f{b}"]) if row[f"{a}\x1f{b}"] is not None else None)
+        for a, b in pairs
+    ]
+    return df.sparkSession.createDataFrame(
+        out, "table_id string, col1 string, col2 string, corr double"
+    )
