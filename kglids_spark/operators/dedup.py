@@ -165,7 +165,18 @@ def ngram_jaccard_pairs(
     # then emitted MAP-SIDE from each ≤cap-sized posting list as array
     # combinations — the shuffle after that carries only candidate
     # pairs (bounded by real near-dup mass + cap² per shingle).
-    if max_shingle_df < 2**31:
+    persisted = max_shingle_df < 2**31
+    if persisted:
+        # the capped path reads `ex` three times (df-count pre-pass,
+        # postings anti-join, hot-per-doc join); without a persist each
+        # read re-normalizes, re-splits and re-hashes the full corpus —
+        # the dominant cost this operator's rewrites fight. MEMORY_AND_
+        # DISK evicts gracefully at scale; the handle is unpersisted
+        # below once the (small) result is eagerly materialized.
+        from pyspark import StorageLevel
+
+        ex = ex.persist(StorageLevel.MEMORY_AND_DISK)
+    if persisted:
         hot = (
             ex.groupBy("sh")
             .agg(F.count(F.lit(1)).alias("df_count"))
@@ -213,13 +224,21 @@ def ngram_jaccard_pairs(
     )
     jac = F.col("common") / (F.col("n1") + F.col("n2") - F.col("common"))
     # AQE broadcasts `counts` when small; at web scale it stays a shuffle join
-    return (
+    result = (
         inter.join(counts.select(F.col("id").alias("id1"), F.col("ns").alias("n1")), "id1")
         .join(counts.select(F.col("id").alias("id2"), F.col("ns").alias("n2")), "id2")
         .withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= threshold)
         .select("id1", "id2", "jaccard")
     )
+    if persisted:
+        # materialize the pairs (≪ corpus: bounded by near-dup mass +
+        # cap² per shingle) so the shingle cache can be released NOW
+        # rather than leaking for the session (the k_hop_paths lesson,
+        # VERDICT r2); same eager-output discipline as dup_clusters
+        result = result.localCheckpoint(eager=True)
+        ex.unpersist()
+    return result
 
 
 def minhash_signatures(
@@ -243,9 +262,17 @@ def minhash_signatures(
     reference an attribute, not num_perm copies of the builder.
     Duplicate structure (same doc sets bucketed together) is pinned to
     the md5 string twin by test_minhash_twin_lockstep."""
-    docs = df.select(
-        F.col(id_col).alias("id"), split_words(text_col).alias("_ws")
-    ).select("id", hashed_words_shingles(F.col("_ws"), shingle_n).alias("_sh"))
+    # null/too-short text yields a null or empty shingle array -> a
+    # NULL signature; xxhash64 SKIPS null inputs, so in the banding
+    # stage every all-null signature would share one constant band
+    # hash and a corpus with many null docs degenerates to a single
+    # quadratic LSH bucket. Such docs carry nothing to dedup: drop them
+    # here (the old explode-based path dropped them implicitly).
+    docs = (
+        df.select(F.col(id_col).alias("id"), split_words(text_col).alias("_ws"))
+        .select("id", hashed_words_shingles(F.col("_ws"), shingle_n).alias("_sh"))
+        .where(F.col("_sh").isNotNull() & (F.size("_sh") > 0))
+    )
     sig = F.array(
         *[
             F.array_min(

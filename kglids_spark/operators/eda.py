@@ -201,4 +201,11 @@ def _match_iterative(others: DataFrame, qcols, dist) -> DataFrame:
         .filter(F.col("_n") >= 2)
         .select("eda_id")
     )
-    return out.join(enough, "eda_id", "left_semi")
+    result = out.join(enough, "eda_id", "left_semi").localCheckpoint(eager=True)
+    # release the per-round checkpoint blocks once the final frame is
+    # materialized — otherwise every iterative call pins max_ord frames
+    # for the session (the k_hop_paths leak class, VERDICT r2)
+    from kglids_spark.operators.dedup import _release_local_checkpoints
+
+    _release_local_checkpoints(rounds)
+    return result

@@ -115,7 +115,11 @@ def pack_sequences(
     out = (
         df_b.join(off_df, "_pack_bucket")
         .withColumn("pack_offset", (F.col("_bucket_offset") + within).cast("long"))
-        .withColumn("bin_id", (F.col("pack_offset") / seq_len).cast("long"))
+        # integral `div`, NOT `/`: long / int is double-valued in Spark
+        # and loses exactness past ~2^53 — at which point bin_id stops
+        # matching floor(pack_offset / seq_len) and the row lands in
+        # the wrong bin
+        .withColumn("bin_id", F.expr(f"pack_offset div {int(seq_len)}"))
         .withColumn("bin_pos", F.pmod(F.col("pack_offset"), F.lit(seq_len)).cast("int"))
         .drop("_pack_bucket", "_okey", "_bucket_offset")
     )

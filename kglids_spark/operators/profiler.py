@@ -369,11 +369,20 @@ def profile_tables(
     spark: SparkSession, tables: dict[str, DataFrame], dataset_id: str = "", exact: bool = False
 ) -> DataFrame:
     """Profile several tables into one profiles DataFrame (the engine's
-    analog of the reference's profile-JSON directory)."""
+    analog of the reference's profile-JSON directory).
+
+    Runs under the wide-array reader-batch profile: profile_table's
+    aggregations are eager (they collect), and profiling scans every
+    column including wide token arrays — the regime the 1024-row
+    reader batch was measured 3-5x faster in (session.py, BENCH.md
+    "The GC fix")."""
+    from kglids_spark.session import WIDE_ARRAY_SCAN_CONF, scoped_sql_conf
+
     out = None
-    for name, df in tables.items():
-        p = profile_table(df, name, dataset_id=dataset_id, exact=exact)
-        out = p if out is None else out.unionByName(p)
+    with scoped_sql_conf(spark, WIDE_ARRAY_SCAN_CONF):
+        for name, df in tables.items():
+            p = profile_table(df, name, dataset_id=dataset_id, exact=exact)
+            out = p if out is None else out.unionByName(p)
     return out
 
 

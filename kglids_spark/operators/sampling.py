@@ -77,9 +77,13 @@ def stratified_sample_exact(
             if per.get(s):  # quota >= stratum size -> keep everything
                 cut_b, residual = max(per[s]) + 1, 0
         cuts.append((s, cut_b, residual))
+    # derive the stratum dtype from the frame: quotas may key a
+    # non-string stratum column (int source ids), and a hardcoded
+    # string schema would reject the Python values at createDataFrame
+    strata_type = df.schema[strata_col].dataType.simpleString()
     cuts_df = F.broadcast(
         spark.createDataFrame(
-            cuts, f"{strata_col} string, _cut_b int, _residual long"
+            cuts, f"{strata_col} {strata_type}, _cut_b int, _residual long"
         )
     )
 

@@ -83,7 +83,13 @@ def with_bucket(
                 f"pre-existing {BUCKET_COL} range [{lo}, {hi}] is incompatible "
                 f"with n_buckets={n_buckets}; re-bucket or fix the request"
             )
-        return df.withMetadata(BUCKET_COL, {META_N_BUCKETS: n_buckets})
+        # do NOT stamp the requested count as metadata here: the range
+        # guard cannot rule out a coarser foreign bucketing (e.g. a
+        # 16-bucket column passing an n_buckets=64 request), and a
+        # stamp would convert that open uncertainty into persisted
+        # false certainty that every later read then "validates"
+        # against. Only a bucketing this function computed is stamped.
+        return df
     return df.withColumn(BUCKET_COL, bucket_expr(key, n_buckets)).withMetadata(
         BUCKET_COL, {META_N_BUCKETS: n_buckets}
     )

@@ -67,11 +67,16 @@ def _mem_mb() -> int:
         "g": n * 1024,
         "t": n * 1024 * 1024,
     }[unit]
-    return max(mb, 512)
+    # NO floor above the parsed value: -Xmx comes from the same string,
+    # and -Xms greater than -Xmx aborts JVM startup. Tiny (even zero
+    # after k->MiB floor-div) values only forfeit the pre-sized heap.
+    return max(mb, 1)
 
 
 def _gc_opts(heap_mb: int) -> str:
-    young = max(heap_mb * 3 // 4, 256)
+    # young gen must stay strictly inside the heap: a 256m floor would
+    # make -Xmn == -Xms at small heaps (zero old gen -> JVM abort)
+    young = max(heap_mb * 3 // 4, 1)
     return f"-XX:+UseParallelGC -Xms{heap_mb}m -Xmn{young}m"
 
 

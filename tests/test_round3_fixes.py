@@ -31,7 +31,8 @@ N_BUCKETS = 16
         ("2048", 2048),  # bare number = MiB (Spark's default unit)
         ("1t", 1024 * 1024),
         ("oops", 16 * 1024),  # parse failure -> 16g default
-        ("64k", 512),  # sub-512MiB clamps to the floor
+        ("64k", 1),  # tiny values floor at 1 MiB, never ABOVE the -Xmx
+        ("256m", 256),  # sub-512 passes through: -Xms must stay <= -Xmx
     ],
 )
 def test_mem_mb_parsing(monkeypatch, env_val, expect_mb):
@@ -49,6 +50,11 @@ def test_gc_opts_never_exceed_heap(monkeypatch):
     monkeypatch.setenv("SPARK_GRAFT_DRIVER_MEM", "512m")
     opts = session._gc_opts(session._mem_mb())
     assert "-Xms512m" in opts and "-Xmn384m" in opts
+    # a sub-512 setting must not produce -Xms above its own -Xmx, and
+    # the young gen must stay strictly inside the heap
+    monkeypatch.setenv("SPARK_GRAFT_DRIVER_MEM", "256m")
+    opts = session._gc_opts(session._mem_mb())
+    assert "-Xms256m" in opts and "-Xmn192m" in opts
 
 
 # ---------------------------------------------------------------------------
@@ -83,7 +89,14 @@ def test_with_bucket_foreign_column_in_range_accepted(spark):
         (F.col("id") % 16).cast("int").alias(BUCKET_COL),
     )
     out = with_bucket(df, n_buckets=16)
-    assert out.schema[BUCKET_COL].metadata[META_N_BUCKETS] == 16
+    # accepted but NOT stamped: the range guard cannot prove the
+    # foreign bucketing's true N (a 16-bucket column also passes an
+    # n_buckets=64 request), so no metadata certainty is fabricated
+    assert META_N_BUCKETS not in (out.schema[BUCKET_COL].metadata or {})
+    # a coarser foreign column under a wider request still passes the
+    # guard — and must likewise remain unstamped
+    wider = with_bucket(df, n_buckets=64)
+    assert META_N_BUCKETS not in (wider.schema[BUCKET_COL].metadata or {})
 
 
 def test_tablestore_roundtrips_bucket_count(spark, tokens_df, tmp_path):
