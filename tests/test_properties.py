@@ -127,3 +127,66 @@ def test_abstraction_literal_params_roundtrip(pkg, fn, val):
     src = f"import {pkg}\n{pkg}.{fn}(x={val}, y='{val}')\n"
     rows = abstract_pipeline("t", src)
     assert rows[0].params == {"x": repr(val), "y": repr(str(val))}
+
+
+# ---------------------------------------------------------------------------
+# Misra-Gries candidate superset (operators/frequency.py): any item with
+# global frequency > n/(k+1) MUST appear in the union of per-partition
+# summaries — the guarantee heavy_hitters' exact second pass relies on.
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.integers(min_value=0, max_value=30), min_size=0, max_size=400),
+        min_size=1,
+        max_size=6,
+    ),
+    st.integers(min_value=1, max_value=20),
+)
+def test_misra_gries_candidates_are_a_superset(partitions, k):
+    import pandas as pd
+
+    from kglids_spark.operators.frequency import _mg_map_fn
+
+    fn = _mg_map_fn("item", k)
+    candidates: set = set()
+    total = 0
+    for part in partitions:
+        total += len(part)
+        # feed each partition as two pandas batches to exercise the
+        # cross-batch counter merge + decrement path
+        half = len(part) // 2
+        batches = [pd.DataFrame({"item": part[:half]}), pd.DataFrame({"item": part[half:]})]
+        for out in fn(iter(batches)):
+            candidates |= {i for i in out["item"] if i is not None}
+    from collections import Counter
+
+    counts = Counter(i for part in partitions for i in part)
+    threshold = total / (k + 1)
+    missed = {i for i, c in counts.items() if c > threshold} - candidates
+    assert not missed, (missed, threshold, dict(counts))
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.integers(min_value=0, max_value=30), min_size=0, max_size=400),
+        min_size=1,
+        max_size=6,
+    ),
+    st.integers(min_value=1, max_value=20),
+)
+def test_misra_gries_sentinel_totals_are_exact(partitions, k):
+    import pandas as pd
+
+    from kglids_spark.operators.frequency import _mg_map_fn
+
+    fn = _mg_map_fn("item", k)
+    total_from_sentinels = 0
+    for part in partitions:
+        out = list(fn(iter([pd.DataFrame({"item": part})])))[0]
+        total_from_sentinels += int(
+            out.loc[out["item"].isna(), "mg_count"].sum()
+        )
+    assert total_from_sentinels == sum(len(p) for p in partitions)
