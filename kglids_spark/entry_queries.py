@@ -1766,6 +1766,50 @@ def ann_ivf_topk(spark, sf_dir):
 
 
 @register(
+    "ivf_train_iteration",
+    """
+    WITH ranked AS (
+      SELECT embedding,
+             row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cid
+      FROM embeddings),
+    init AS (SELECT cid, embedding FROM ranked WHERE cid < 4),
+    scored AS (
+      SELECT e.vec_id, e.embedding AS v, i.cid,
+             list_dot_product(e.embedding::DOUBLE[], i.embedding::DOUBLE[])
+               - 0.5 * list_dot_product(i.embedding::DOUBLE[], i.embedding::DOUBLE[]) AS score
+      FROM embeddings e CROSS JOIN init i),
+    a AS (
+      SELECT vec_id, v, cid FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cid) AS rn
+        FROM scored) WHERE rn = 1),
+    u AS (
+      SELECT cid, CAST(generate_subscripts(v, 1) - 1 AS INT) AS pos, unnest(v) AS x
+      FROM a)
+    SELECT cid, pos, round(avg(x), 5) AS m
+    FROM u GROUP BY cid, pos
+    """,
+)
+def ivf_train_iteration(spark, sf_dir):
+    """One Lloyd's iteration of the IVF codebook trainer (ann.ivf_train,
+    k=4, hash-deterministic init): the oracle replays init, the
+    bit-comparable adjusted-dot assignment (sequential sums on both
+    engines), and the per-dimension mean update from first principles.
+    Output = the post-iteration codebook flattened to (cid, pos, m)."""
+    from kglids_spark.operators.ann import ivf_train
+
+    emb = _t(spark, sf_dir, "embeddings")
+    centroids = ivf_train(emb, k=4, iters=1, method="expr")
+    rows = [
+        (ci, pos, float(val))
+        for ci, c in enumerate(centroids)
+        for pos, val in enumerate(c)
+    ]
+    return spark.createDataFrame(rows, "cid int, pos int, m double").select(
+        "cid", "pos", F.round("m", 5).alias("m")
+    )
+
+
+@register(
     "embedding_norm_stats",
     """
     SELECT label, round(avg(sqrt(list_dot_product(embedding, embedding))), 5) AS avg_norm,
@@ -3145,12 +3189,12 @@ _DRIVER_PRIORITY = [
     "union_distinct_sources_langs", "intersect_except_keys",
     "label_generation", "md5_column_ids", "shipdate_year_counts",
     "json_extract_props", "per_source_stats", "rolling_avg_events",
-    "ann_lsh_topk",
-    # doc_fingerprint / dedup_minhash_lsh / dedup_simhash (rows-only)
-    # rotated out for value-exact queries; their md5 twins below + the
-    # lockstep tests still pin the prod paths
+    # doc_fingerprint / dedup_minhash_lsh / dedup_simhash / ann_lsh_topk
+    # (rows-only) rotated out for value-exact queries; their md5 twins
+    # below + the lockstep tests still pin the prod paths — the window
+    # is now 50/50 value-exact
     "sentence_embedding_labels", "epoch_upsample_sources",
-    "constraints_suite_extended",
+    "constraints_suite_extended", "ivf_train_iteration",
     # (b) new in round 3
     "similarity_scores_reference", "eda_operations_iterative",
     "dedup_clusters", "pack_sequences_bins",

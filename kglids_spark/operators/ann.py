@@ -423,3 +423,91 @@ def ivf_topk(
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.col("c_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def kmeans_assign(
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+    method: str = "auto",
+    out_col: str = "km_list",
+) -> DataFrame:
+    """Nearest centroid by EUCLIDEAN distance (Lloyd's assignment
+    step): argmin ‖v−c‖² = argmax (v·c − ‖c‖²/2), so the same two
+    implementations as ivf_assign apply with a per-centroid constant
+    folded in — expr (sequential sums, bit-comparable to a DuckDB
+    ``list_dot_product`` oracle) for small codebooks, Arrow numpy
+    matmul beyond. Ties break to the lowest centroid index."""
+    if method == "auto":
+        method = "expr" if len(centroids) <= 16 else "pandas"
+    halves = [0.5 * sum(float(x) * float(x) for x in c) for c in centroids]
+    if method == "expr":
+        v = F.col(vec_col)
+        scored = F.array(
+            *[
+                F.struct(
+                    (dot_literal(v, cvec) - F.lit(halves[ci])).alias("score"),
+                    F.lit(-ci).alias("nci"),
+                )
+                for ci, cvec in enumerate(centroids)
+            ]
+        )
+        best = F.array_max(scored)
+        return corpus.withColumn(out_col, (-best["nci"]).cast("int"))
+
+    ct = np.asarray(centroids, dtype=np.float64).T  # dim × k
+    hv = np.asarray(halves, dtype=np.float64)  # k
+
+    @F.pandas_udf("int")
+    def assign(vecs: pd.Series) -> pd.Series:
+        m = np.stack(vecs.to_numpy())
+        return pd.Series(np.argmax(m @ ct - hv, axis=1).astype("int32"))
+
+    return corpus.withColumn(out_col, assign(F.col(vec_col)))
+
+
+def ivf_train(
+    corpus: DataFrame,
+    k: int = 16,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    method: str = "auto",
+) -> list[list[float]]:
+    """Distributed Lloyd's k-means to BUILD the IVF codebook that
+    ivf_assign/ivf_topk consume (previously the fit was out of band).
+
+    - init: the k vectors with the smallest md5(id) — deterministic,
+      engine-portable, ingest-stable (the hash-order discipline of
+      operators/sampling.py).
+    - each iteration: one assignment pass (kmeans_assign) + one
+      centroid update. The update is posexplode → groupBy(list, pos)
+      mean — map-side partial aggregation means the shuffle carries
+      k × dim rows per task, never vectors, so an iteration is one
+      corpus scan regardless of scale. Empty lists keep their previous
+      centroid (the standard Lloyd's convention).
+    - the codebook (k × dim floats) is driver-side state by design:
+      it is broadcast back as literals/numpy exactly like the
+      user-supplied codebooks ivf_assign takes.
+    """
+    init = (
+        corpus.select(id_col, vec_col)
+        .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+        .limit(k)
+        .collect()
+    )
+    centroids = [[float(x) for x in r[vec_col]] for r in init]
+    dim = len(centroids[0])
+    for _ in range(iters):
+        assigned = kmeans_assign(corpus, centroids, vec_col=vec_col, method=method)
+        rows = (
+            assigned.select("km_list", F.posexplode(F.col(vec_col)).alias("pos", "x"))
+            .groupBy("km_list", "pos")
+            .agg(F.avg("x").alias("m"))
+            .collect()
+        )
+        means: dict = {}
+        for r in rows:
+            means.setdefault(r.km_list, [0.0] * dim)[r.pos] = float(r.m)
+        centroids = [means.get(ci, centroids[ci]) for ci in range(k)]
+    return centroids

@@ -241,3 +241,78 @@ def test_lsh_bucket_pandas_matches_expr(spark):
         ).collect()
     }
     assert a == b
+
+
+def test_kmeans_assign_pandas_matches_expr(spark):
+    from kglids_spark.operators.ann import kmeans_assign
+
+    vecs = spark.range(200).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(7)),
+            lambda j: (F.pmod(F.xxhash64("id", j), F.lit(1000)) - 500) / 250.0,
+        ).alias("embedding"),
+    )
+    cents = [[float((i * 7 + j) % 5 - 2) for j in range(8)] for i in range(6)]
+    a = {r.vec_id: r.km_list for r in kmeans_assign(vecs, cents, method="expr").collect()}
+    b = {r.vec_id: r.km_list for r in kmeans_assign(vecs, cents, method="pandas").collect()}
+    assert a == b and len(a) == 200
+
+
+def test_ivf_train_recovers_separated_clusters(spark):
+    """Lloyd's on four well-separated blobs must converge so each
+    trained centroid sits inside one blob and assignments are pure."""
+    import numpy as np
+
+    from kglids_spark.operators.ann import ivf_train, kmeans_assign
+
+    import hashlib
+
+    rng_centers = [[10.0, 0.0], [-10.0, 0.0], [0.0, 10.0], [0.0, -10.0]]
+    # blob membership follows the trainer's md5 init order, so the 4
+    # seeds land in 4 DISTINCT blobs — plain Lloyd's only guarantees a
+    # local optimum, and an arbitrary vid%4 layout can (and did) seed
+    # two centroids in one blob and merge two others
+    order = sorted(range(400), key=lambda v: hashlib.md5(str(v).encode()).hexdigest())
+    blob_of = {vid: i % 4 for i, vid in enumerate(order)}
+    rows = []
+    for vid in range(400):
+        c = rng_centers[blob_of[vid]]
+        # deterministic jitter in [-1, 1]
+        jx = ((vid * 2654435761) % 2000) / 1000.0 - 1.0
+        jy = ((vid * 40503) % 2000) / 1000.0 - 1.0
+        rows.append((vid, [c[0] + jx, c[1] + jy], blob_of[vid]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, blob int")
+    centroids = ivf_train(df, k=4, iters=8)
+    # each trained centroid must be within jitter range of one true center
+    matched = set()
+    for c in centroids:
+        best = min(
+            range(4),
+            key=lambda i: (c[0] - rng_centers[i][0]) ** 2 + (c[1] - rng_centers[i][1]) ** 2,
+        )
+        assert (c[0] - rng_centers[best][0]) ** 2 + (c[1] - rng_centers[best][1]) ** 2 < 2.0
+        matched.add(best)
+    assert matched == {0, 1, 2, 3}  # one centroid per blob
+    # assignment purity: every vector lands with its blob's centroid
+    assigned = kmeans_assign(df, centroids).collect()
+    by_blob = {}
+    for r in assigned:
+        by_blob.setdefault(r.blob, set()).add(r.km_list)
+    assert all(len(lists) == 1 for lists in by_blob.values())
+
+
+def test_ivf_train_keeps_centroid_for_empty_list(spark):
+    """A centroid that captures no points must survive unchanged (the
+    Lloyd's convention), not collapse to zeros."""
+    from kglids_spark.operators.ann import ivf_train
+
+    # 3 distinct points, k=3 -> init picks all three; then duplicate
+    # mass pulls everything to two of them, leaving one list empty at
+    # iteration 2
+    rows = [(0, [0.0, 0.0]), (1, [10.0, 10.0]), (2, [10.1, 10.1])]
+    rows += [(i, [0.05, 0.05]) for i in range(3, 40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    centroids = ivf_train(df, k=3, iters=4)
+    assert len(centroids) == 3
+    assert all(len(c) == 2 and all(v == v for v in c) for c in centroids)  # no NaNs
