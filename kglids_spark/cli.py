@@ -169,8 +169,22 @@ def main(argv: list[str] | None = None) -> int:
             cols = [c.strip() for c in colspec.split(",") if c.strip()]
             suite.append(C.expression(pred.strip(), columns=cols))
         for spec in args.metric:
-            col, stat, lo, hi = spec.split()
-            suite.append(C.metric_range(col, stat, float(lo), float(hi)))
+            # clean usage error (matching --check) instead of a raw
+            # ValueError traceback on a malformed spec
+            parts = spec.split()
+            if len(parts) != 4:
+                raise SystemExit(
+                    f"--metric {spec!r}: expected 'COL STAT LO HI' "
+                    "(e.g. 'n_tok mean 100 5000')"
+                )
+            col, stat, lo, hi = parts
+            try:
+                lo_f, hi_f = float(lo), float(hi)
+            except ValueError:
+                raise SystemExit(
+                    f"--metric {spec!r}: bounds must be numbers, got {lo!r} {hi!r}"
+                )
+            suite.append(C.metric_range(col, stat, lo_f, hi_f))
         baseline_hist = None
         if args.baseline:
             with open(args.baseline) as f:

@@ -437,10 +437,17 @@ def kmeans_assign(
     implementations as ivf_assign apply with a per-centroid constant
     folded in — expr (sequential sums, bit-comparable to a DuckDB
     ``list_dot_product`` oracle) for small codebooks, Arrow numpy
-    matmul beyond. Ties break to the lowest centroid index."""
+    matmul beyond. Ties break to the lowest centroid index.
+
+    Null or wrong-dimension vectors get a NULL assignment in BOTH
+    paths (mirroring lsh_bucket_pandas_udf): the expr path's struct
+    comparison would otherwise treat the null score as smallest and
+    silently assign such rows to centroid 0, and the pandas path's
+    np.stack would crash on a ragged batch."""
     if method == "auto":
         method = "expr" if len(centroids) <= 16 else "pandas"
     halves = [0.5 * sum(float(x) * float(x) for x in c) for c in centroids]
+    dim = len(centroids[0])
     if method == "expr":
         v = F.col(vec_col)
         scored = F.array(
@@ -453,15 +460,23 @@ def kmeans_assign(
             ]
         )
         best = F.array_max(scored)
-        return corpus.withColumn(out_col, (-best["nci"]).cast("int"))
+        valid = v.isNotNull() & (F.size(v) == dim)
+        return corpus.withColumn(
+            out_col, F.when(valid, (-best["nci"]).cast("int"))
+        )
 
     ct = np.asarray(centroids, dtype=np.float64).T  # dim × k
     hv = np.asarray(halves, dtype=np.float64)  # k
 
     @F.pandas_udf("int")
     def assign(vecs: pd.Series) -> pd.Series:
-        m = np.stack(vecs.to_numpy())
-        return pd.Series(np.argmax(m @ ct - hv, axis=1).astype("int32"))
+        raw = vecs.to_numpy()
+        ok = np.array([v is not None and len(v) == dim for v in raw], dtype=bool)
+        out = pd.array([pd.NA] * len(raw), dtype="Int32")
+        if ok.any():
+            m = np.stack(raw[ok]).astype(np.float64)
+            out[ok] = np.argmax(m @ ct - hv, axis=1).astype("int32")
+        return pd.Series(out)
 
     return corpus.withColumn(out_col, assign(F.col(vec_col)))
 
@@ -492,16 +507,28 @@ def ivf_train(
     """
     init = (
         corpus.select(id_col, vec_col)
+        .filter(F.col(vec_col).isNotNull() & (F.size(vec_col) > 0))
         .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
         .limit(k)
         .collect()
     )
+    if not init:
+        raise ValueError(
+            "ivf_train: corpus has no non-null, non-empty vectors to initialize from"
+        )
+    # fewer usable vectors than requested clusters: clamp (a k-means fit
+    # cannot have more clusters than points; raising would make small
+    # fixtures unusable)
+    k = min(k, len(init))
     centroids = [[float(x) for x in r[vec_col]] for r in init]
     dim = len(centroids[0])
     for _ in range(iters):
         assigned = kmeans_assign(corpus, centroids, vec_col=vec_col, method=method)
         rows = (
-            assigned.select("km_list", F.posexplode(F.col(vec_col)).alias("pos", "x"))
+            # null assignments (null / wrong-dimension vectors) carry
+            # positions outside [0, dim) — drop them from the update
+            assigned.filter(F.col("km_list").isNotNull())
+            .select("km_list", F.posexplode(F.col(vec_col)).alias("pos", "x"))
             .groupBy("km_list", "pos")
             .agg(F.avg("x").alias("m"))
             .collect()

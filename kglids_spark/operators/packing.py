@@ -91,16 +91,22 @@ def pack_sequences(
         .agg(F.sum(n_tok_col).alias("_bucket_tokens"))
         .collect()
     )
-    # phase 2: driver-side running offsets (n_buckets scalars)
-    offsets: dict[int, int] = {}
-    running = 0
-    for r in sorted(totals, key=lambda r: r._pack_bucket):
-        offsets[r._pack_bucket] = running
-        running += int(r._bucket_tokens or 0)
+    # phase 2: driver-side running offsets — sorted numpy exclusive
+    # cumsum over the observed buckets (no Python loop: at the 2^20
+    # buckets the 10^12-row sizing recommends this would be a
+    # million-iteration driver loop; see test_packing large-bucket
+    # property test)
+    import numpy as np
+
+    bs = np.array([r._pack_bucket for r in totals], dtype=np.int64)
+    ts = np.array([int(r._bucket_tokens or 0) for r in totals], dtype=np.int64)
+    order = np.argsort(bs)
+    bs, ts = bs[order], ts[order]
+    excl = np.concatenate(([0], np.cumsum(ts)[:-1]))
     spark = df.sparkSession
     off_df = F.broadcast(
         spark.createDataFrame(
-            [(b, o) for b, o in offsets.items()],
+            [(int(b), int(o)) for b, o in zip(bs, excl)],
             "_pack_bucket int, _bucket_offset long",
         )
     )

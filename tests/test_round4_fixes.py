@@ -1,0 +1,223 @@
+"""Round-4 fixes (VERDICT r3 "What's wrong" #3/#4, ADVICE r3):
+distributed heavy-hitter candidates, numpy prefix sums at large bucket
+counts, kmeans_assign null-safety, ivf_train small-corpus guard,
+epoch_upsample non-string strata, cli --metric usage errors."""
+
+import time
+
+import pyspark.sql.functions as F
+import pytest
+
+from kglids_spark.operators.frequency import heavy_hitters
+from kglids_spark.operators.packing import pack_sequences
+from kglids_spark.operators.sampling import epoch_upsample, global_positions
+
+
+# ---------------------------------------------------------------------
+# VERDICT #5: heavy hitters — candidates stay distributed
+# ---------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def skewed(spark):
+    df = spark.range(10000).select(
+        F.when(F.col("id") % 5 == 0, "hot")
+        .when(F.col("id") % 20 == 1, "warm")
+        .otherwise(F.concat(F.lit("tail"), F.col("id")))
+        .alias("item")
+    )
+    return df.cache()
+
+
+def _exact(df, k):
+    n = df.count()
+    return {
+        (r.item, r.n)
+        for r in df.groupBy("item")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > n / (k + 1))
+        .collect()
+    }
+
+
+def test_heavy_hitters_2k_partitions_no_candidate_collect(spark, skewed, monkeypatch):
+    """At ≥2k partitions the MG candidate union is ~(k+1)×2048 rows —
+    it must never round-trip through the driver. Every .collect() made
+    by the operator must be the 1-row scalar total."""
+    expected = _exact(skewed, 49)  # oracle computed BEFORE patching
+    wide = skewed.repartition(2048)
+
+    collected_sizes = []
+    # patch the CONCRETE class (pyspark.sql.DataFrame is an abstract
+    # base in Spark 4; instances are pyspark.sql.classic DataFrames)
+    cls = type(wide)
+    orig_collect = cls.collect
+
+    def spy_collect(self):
+        rows = orig_collect(self)
+        collected_sizes.append(len(rows))
+        return rows
+
+    monkeypatch.setattr(cls, "collect", spy_collect)
+    hh = heavy_hitters(wide, "item", k=49)
+    got = {(r.item, r.n) for r in orig_collect(hh)}
+    monkeypatch.undo()
+
+    assert got == expected
+    assert collected_sizes, "operator made no driver action at all?"
+    assert max(collected_sizes) <= 1, (
+        f"heavy_hitters collected {max(collected_sizes)} rows to the driver; "
+        "only the 1-row total aggregate is allowed"
+    )
+
+
+def test_heavy_hitters_empty_and_all_null(spark):
+    empty = spark.createDataFrame([], "item string")
+    assert heavy_hitters(empty, "item", k=9).count() == 0
+    nulls = spark.createDataFrame([(None,), (None,)], "item string")
+    assert heavy_hitters(nulls, "item", k=9).count() == 0
+
+
+# ---------------------------------------------------------------------
+# VERDICT #6: numpy prefix sums hold at the 10^12-row bucket knobs
+# ---------------------------------------------------------------------
+
+def test_global_positions_large_bucket_knob(spark):
+    """n_buckets=2^17 (rounds up to 16^5 range buckets): the offsets
+    phase must stay O(observed buckets), not O(n_buckets) — the old
+    range(n_buckets) loop took a million driver iterations here."""
+    df = spark.range(20000).select(F.concat(F.lit("k"), F.col("id")).alias("key"))
+    t0 = time.time()
+    pos = global_positions(df, ["key"], seed=7, n_buckets=1 << 17)
+    got = sorted(r.position for r in pos.select("position").collect())
+    elapsed = time.time() - t0
+    assert got == list(range(20000))  # exact permutation
+    # generous guard for host wobble; the old loop alone was ~1M python
+    # iterations + a 1M-row broadcast per call
+    assert elapsed < 120, f"global_positions at 2^17 buckets took {elapsed:.0f}s"
+
+
+def test_global_positions_matches_small_bucket_run(spark):
+    df = spark.range(3000).select(F.concat(F.lit("d"), F.col("id")).alias("key"))
+    a = {r.key: r.position for r in global_positions(df, ["key"], 3, 256).collect()}
+    b = {r.key: r.position for r in global_positions(df, ["key"], 3, 1 << 17).collect()}
+    assert a == b
+
+
+def test_pack_sequences_large_bucket_knob(spark):
+    docs = spark.range(5000).select(
+        F.concat(F.lit("doc"), F.col("id")).alias("doc_id"),
+        (F.pmod(F.xxhash64("id"), 900) + 100).cast("int").alias("n_tok"),
+    )
+    small = {
+        r.doc_id: (r.pack_offset, r.bin_id, r.bin_pos)
+        for r in pack_sequences(docs, 8192, n_buckets=64).collect()
+    }
+    big = {
+        r.doc_id: (r.pack_offset, r.bin_id, r.bin_pos)
+        for r in pack_sequences(docs, 8192, n_buckets=1 << 17).collect()
+    }
+    assert small == big
+
+
+# ---------------------------------------------------------------------
+# ADVICE: kmeans_assign null-safety (both paths), ivf_train guards
+# ---------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def ragged_vecs(spark):
+    return spark.createDataFrame(
+        [
+            ("a", [1.0, 0.0]),
+            ("b", [0.0, 1.0]),
+            ("c", None),
+            ("d", [1.0, 0.0, 0.0]),  # wrong dimension
+            ("e", [0.9, 0.1]),
+        ],
+        "vec_id string, embedding array<double>",
+    )
+
+
+@pytest.mark.parametrize("method", ["expr", "pandas"])
+def test_kmeans_assign_null_and_ragged(spark, ragged_vecs, method):
+    from kglids_spark.operators.ann import kmeans_assign
+
+    cents = [[1.0, 0.0], [0.0, 1.0]]
+    rows = {
+        r.vec_id: r.km_list
+        for r in kmeans_assign(ragged_vecs, cents, method=method).collect()
+    }
+    assert rows["a"] == 0 and rows["b"] == 1 and rows["e"] == 0
+    assert rows["c"] is None, f"{method}: null vector must get NULL assignment"
+    assert rows["d"] is None, f"{method}: wrong-dim vector must get NULL assignment"
+
+
+def test_kmeans_paths_agree_on_valid_rows(spark, ragged_vecs):
+    from kglids_spark.operators.ann import kmeans_assign
+
+    cents = [[1.0, 0.0], [0.0, 1.0], [0.5, 0.5]]
+    a = {r.vec_id: r.km_list for r in kmeans_assign(ragged_vecs, cents, method="expr").collect()}
+    b = {r.vec_id: r.km_list for r in kmeans_assign(ragged_vecs, cents, method="pandas").collect()}
+    assert a == b
+
+
+def test_ivf_train_fewer_vectors_than_k(spark):
+    from kglids_spark.operators.ann import ivf_train
+
+    tiny = spark.createDataFrame(
+        [("a", [1.0, 0.0]), ("b", [0.0, 1.0]), ("c", [0.5, 0.5])],
+        "vec_id string, embedding array<double>",
+    )
+    cents = ivf_train(tiny, k=16, iters=2)
+    assert len(cents) == 3  # clamped to the corpus size, no IndexError
+    assert all(len(c) == 2 for c in cents)
+
+
+def test_ivf_train_empty_corpus_clear_error(spark):
+    from kglids_spark.operators.ann import ivf_train
+
+    empty = spark.createDataFrame([], "vec_id string, embedding array<double>")
+    with pytest.raises(ValueError, match="no non-null"):
+        ivf_train(empty, k=4)
+
+
+def test_ivf_train_skips_invalid_vectors(spark):
+    from kglids_spark.operators.ann import ivf_train
+
+    mixed = spark.createDataFrame(
+        [
+            ("a", [2.0, 0.0]),
+            ("b", [0.0, 2.0]),
+            ("c", None),
+            ("d", [1.0]),  # ragged: must not crash the update pass
+        ],
+        "vec_id string, embedding array<double>",
+    )
+    cents = ivf_train(mixed, k=2, iters=2)
+    assert len(cents) == 2 and all(len(c) == 2 for c in cents)
+
+
+# ---------------------------------------------------------------------
+# ADVICE: epoch_upsample with a non-string stratum column
+# ---------------------------------------------------------------------
+
+def test_epoch_upsample_int_strata(spark):
+    df = spark.createDataFrame(
+        [(i, i % 2) for i in range(100)], "doc_id int, src int"
+    )
+    out = epoch_upsample(df, "src", {0: 2.0, 1: 1.0}, key_cols=["doc_id"])
+    counts = {r.src: r.n for r in out.groupBy("src").agg(F.count("*").alias("n")).collect()}
+    assert counts == {0: 100, 1: 50}
+
+
+# ---------------------------------------------------------------------
+# ADVICE: cli --metric malformed spec exits cleanly
+# ---------------------------------------------------------------------
+
+@pytest.mark.parametrize(
+    "spec", ["n_tok mean 1", "n_tok mean one two", "n_tok mean 1 2 3"]
+)
+def test_cli_metric_malformed_clean_exit(spark, tokens_path, spec):
+    from kglids_spark.cli import main
+
+    with pytest.raises(SystemExit, match="--metric"):
+        main(["validate", "--input", tokens_path, "--metric", spec])
