@@ -2943,7 +2943,19 @@ def sentence_embedding_labels(spark, sf_dir):
     n = _t(spark, sf_dir, "nation").select(
         F.col("n_name").alias("column_id"), F.col("n_name").alias("column_name")
     )
-    vocab = (
+    emb = sentence_embeddings(n, _nation_name_vocab(n))
+    return emb.select(
+        "column_id",
+        F.element_at("label_embedding", 1).alias("e0"),
+        F.element_at("label_embedding", 2).alias("e1"),
+    )
+
+
+def _nation_name_vocab(n):
+    """Shared fixture vocabulary for the sentence-embedding queries:
+    deterministic 2-d vectors for every nation-name token except the
+    'M…' words (withheld to create OOV tokens)."""
+    return (
         n.select(
             F.explode(
                 F.split(F.translate(F.col("column_name"), "_\n", "  "), r"\s+")
@@ -2959,7 +2971,92 @@ def sentence_embedding_labels(spark, sf_dir):
             ).alias("vector"),
         )
     )
-    emb = sentence_embeddings(n, vocab)
+
+
+@register(
+    "sentence_embedding_subword",
+    r"""
+    WITH names AS (SELECT n_name AS column_id, n_name AS column_name FROM nation),
+    toks AS (
+      SELECT column_id,
+             unnest(string_split(trim(regexp_replace(
+               replace(replace(column_name, chr(10), ' '), '_', ' '),
+               '\s+', ' ', 'g')), ' ')) AS word
+      FROM names),
+    toks_f AS (SELECT * FROM toks WHERE word != ''),
+    vv AS (
+      SELECT DISTINCT word,
+             CAST(length(word) AS DOUBLE) AS v0,
+             CAST((ascii(word) % 7) + 1 AS DOUBLE) AS v1
+      FROM toks_f WHERE word NOT LIKE 'M%'),
+    unitv AS (
+      SELECT word, v0 / sqrt(v0*v0 + v1*v1) AS u0, v1 / sqrt(v0*v0 + v1*v1) AS u1
+      FROM vv),
+    -- user-supplied subword bucket table: every 3rd bucket of 4096 has
+    -- a deterministic 2-d vector; the rest are (absent) zero rows
+    sub AS (
+      SELECT b AS bucket, CAST((b % 5) - 2 AS DOUBLE) AS s0,
+             CAST((b % 7) - 3 AS DOUBLE) AS s1
+      FROM generate_series(0, 4095, 3) t(b)),
+    oovw AS (SELECT DISTINCT word FROM toks_f
+             WHERE word NOT IN (SELECT word FROM unitv)),
+    -- fastText computeSubwords over '<word>' (minn=3, maxn=6) +
+    -- FNV-1a over the gram bytes, mod 4096 (ASCII fixture: ord = byte)
+    marked AS (SELECT word, '<' || word || '>' AS m FROM oovw),
+    grams AS (
+      SELECT word, unnest(flatten([
+          [substring(m, i, n) FOR i IN generate_series(1, greatest(length(m)-n+1, 0))]
+          FOR n IN generate_series(3, 6)])) AS g
+      FROM marked),
+    hg AS (
+      SELECT word,
+        list_reduce(
+          list_prepend(CAST(2166136261 AS BIGINT),
+                       [CAST(ord(substring(g, i, 1)) AS BIGINT)
+                        FOR i IN generate_series(1, length(g))]),
+          (h, b) -> (xor(h, b) * 16777619) % 4294967296) % 4096 AS bkt
+      FROM grams),
+    ng AS (SELECT word, count(*) AS n_grams FROM hg GROUP BY word),
+    wsum AS (
+      SELECT h.word, sum(s.s0) AS ss0, sum(s.s1) AS ss1
+      FROM hg h JOIN sub s ON s.bucket = h.bkt GROUP BY h.word),
+    wraw AS (
+      SELECT n.word, COALESCE(w.ss0, 0) / n.n_grams AS r0,
+             COALESCE(w.ss1, 0) / n.n_grams AS r1
+      FROM ng n LEFT JOIN wsum w USING (word)),
+    wunit AS (
+      SELECT word, r0 / sqrt(r0*r0 + r1*r1) AS u0, r1 / sqrt(r0*r0 + r1*r1) AS u1
+      FROM wraw WHERE sqrt(r0*r0 + r1*r1) > 0),
+    allv AS (SELECT * FROM unitv UNION ALL SELECT * FROM wunit),
+    j AS (SELECT t.column_id, u.u0, u.u1 FROM toks_f t JOIN allv u USING (word))
+    SELECT column_id, round(avg(u0), 5) AS e0, round(avg(u1), 5) AS e1
+    FROM j GROUP BY column_id
+    """,
+)
+def sentence_embedding_subword(spark, sf_dir):
+    """F12 with the fastText OOV subword backoff exercised (closes the
+    round-3 documented divergence, VERDICT r3 #7): the 'M…' nation-name
+    tokens are withheld from the word table and recovered through a
+    user-supplied subword BUCKET table via fastText's public char-ngram
+    + FNV-1a scheme (facebookresearch/fastText src/dictionary.cc;
+    reference consumption: kglids_server.py:53-54). The DuckDB oracle
+    recomputes the hashing and pooling independently in SQL."""
+    from kglids_spark.operators.ref_scores import sentence_embeddings
+
+    n = _t(spark, sf_dir, "nation").select(
+        F.col("n_name").alias("column_id"), F.col("n_name").alias("column_name")
+    )
+    vocab = _nation_name_vocab(n)
+    sub = spark.range(0, 4096, 3).select(
+        F.col("id").alias("bucket"),
+        F.array(
+            (F.col("id") % 5 - 2).cast("double"),
+            (F.col("id") % 7 - 3).cast("double"),
+        ).alias("vector"),
+    )
+    emb = sentence_embeddings(
+        n, vocab, subword_vectors=sub, minn=3, maxn=6, n_buckets=4096
+    )
     return emb.select(
         "column_id",
         F.element_at("label_embedding", 1).alias("e0"),

@@ -31,6 +31,7 @@ products stay in zip_with/aggregate over the vector arrays.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -186,11 +187,51 @@ def content_similarity_reference(profiles: DataFrame) -> DataFrame:
     ).filter(F.col("score").isNotNull())
 
 
+def fasttext_subword_buckets(minn: int = 3, maxn: int = 6, n_buckets: int = 2_000_000):
+    """Arrow-batched UDF: word → the fastText subword-bucket ids of
+    ``<word>`` — the PUBLIC scheme from fastText's dictionary
+    (facebookresearch/fastText src/dictionary.cc): char n-grams of the
+    boundary-marked word for n in [minn, maxn] (1-grams that are only
+    a boundary marker excluded), each hashed with sign-extended FNV-1a
+    over its UTF-8 bytes, modulo the bucket count. Deterministic and
+    engine-portable; the DuckDB oracle recomputes it in SQL."""
+
+    def _buckets_of(word: str) -> list[int]:
+        marked = "<" + word + ">"
+        ids = []
+        L = len(marked)
+        for i in range(L):
+            for n in range(1, maxn + 1):
+                if i + n > L:
+                    break
+                if n < minn or (n == 1 and (i == 0 or i + n == L)):
+                    continue
+                h = 2166136261
+                for b in marked[i : i + n].encode("utf-8"):
+                    h = (h ^ (b if b < 128 else b | 0xFFFFFF00)) & 0xFFFFFFFF
+                    h = (h * 16777619) & 0xFFFFFFFF
+                ids.append(h % n_buckets)
+        return ids
+
+    @F.pandas_udf("array<long>")
+    def _buckets(words: pd.Series) -> pd.Series:
+        return words.map(_buckets_of)
+
+    return _buckets
+
+
 def sentence_embeddings(
     names: DataFrame,
     word_vectors: DataFrame,
     id_col: str = "column_id",
     name_col: str = "column_name",
+    *,
+    subword_vectors: DataFrame | None = None,
+    minn: int = 3,
+    maxn: int = 6,
+    n_buckets: int = 2_000_000,
+    bucket_col: str = "bucket",
+    subword_vec_col: str = "vector",
 ) -> DataFrame:
     """F12: fastText ``get_sentence_vector`` parity over a
     user-supplied word→vector table — the label embedding the reference
@@ -200,14 +241,22 @@ def sentence_embeddings(
     whitespace tokens; the reference sanitizes the name first
     (``replace('\\n',' ').replace('_',' ').strip()``).
 
-    Divergence (documented): fastText backs OOV words off to its
-    subword-n-gram matrix, which a word-level table cannot carry —
-    here OOV tokens are skipped, and a name with no in-vocabulary
-    token produces no row.
+    OOV backoff (closes the round-3 documented divergence): with
+    ``subword_vectors`` supplied — a (bucket:long, vector) table in the
+    same user-supplied-table format, standing in for fastText's dense
+    input matrix rows — an out-of-vocabulary token gets fastText's OOV
+    word vector: the sum of its subword-bucket vectors divided by the
+    TOTAL n-gram count (buckets absent from the table contribute zero,
+    exactly a zero matrix row), unit-normalized like every other word
+    vector; zero-norm words are skipped from both numerator and
+    denominator (fastText getSentenceVector's norm>0 guard). Without
+    ``subword_vectors`` (default) OOV tokens are skipped as before.
 
-    Shape: names are metadata (≪ data), the vocab join broadcasts, and
-    the mean-pool folds each name's handful of token vectors gathered
-    by one groupBy — no posexplode of the vector dimension."""
+    Shape: names are metadata (≪ data), the vocab and bucket joins
+    broadcast, and every per-token/per-name fold is a grouped
+    collect_list + higher-order aggregate over a handful of rows — no
+    posexplode of the vector dimension, no per-row Python (the bucket
+    UDF is Arrow-batched)."""
     sanitized = F.trim(
         F.regexp_replace(
             F.replace(F.replace(F.col(name_col), F.lit("\n"), F.lit(" ")), F.lit("_"), F.lit(" ")),
@@ -216,15 +265,61 @@ def sentence_embeddings(
         )
     )
     toks = names.select(
-        F.col(id_col), F.explode(F.split(sanitized, " ")).alias("word")
+        F.col(id_col),
+        F.posexplode(F.split(sanitized, " ")).alias("pos", "word"),
     ).where(F.col("word") != "")
     vocab = F.broadcast(ingest_word_vectors(word_vectors))
-    joined = toks.join(vocab, "word")  # inner: OOV tokens skipped
+    token_vecs = toks.join(vocab, "word").select(id_col, "pos", "vec")
+
+    if subword_vectors is not None:
+        oov = toks.join(vocab.select("word"), "word", "left_anti")
+        grams = oov.withColumn(
+            "_grams", fasttext_subword_buckets(minn, maxn, n_buckets)(F.col("word"))
+        ).select(
+            id_col,
+            "pos",
+            F.size("_grams").alias("_n_grams"),
+            F.explode("_grams").alias("_bkt"),
+        )
+        sub = F.broadcast(
+            subword_vectors.select(
+                F.col(bucket_col).cast("long").alias("_bkt"),
+                F.col(subword_vec_col).alias("_bvec"),
+            )
+        )
+        bv = F.col("_bvs")
+        bzero = F.transform(F.element_at(bv, 1), lambda _: F.lit(0.0))
+        bsum = F.aggregate(
+            bv, bzero, lambda acc, v: F.zip_with(acc, v, lambda a, b: a + b)
+        )
+        raw = (
+            grams.join(sub, "_bkt")  # inner: missing buckets are zero rows
+            .groupBy(id_col, "pos")
+            .agg(
+                F.first("_n_grams").alias("_n"),
+                F.collect_list("_bvec").alias("_bvs"),
+            )
+            .select(
+                id_col,
+                "pos",
+                F.transform(
+                    bsum, lambda s: s.cast("double") / F.col("_n")
+                ).alias("_raw"),
+            )
+        )
+        norm = l2_norm(F.col("_raw"))
+        oov_vecs = raw.where(norm > 0).select(
+            id_col,
+            "pos",
+            F.transform(F.col("_raw"), lambda x: x / norm).alias("vec"),
+        )
+        token_vecs = token_vecs.unionByName(oov_vecs)
+
     vs = F.col("vs")
     zero = F.transform(F.element_at(vs, 1), lambda _: F.lit(0.0))
     summed = F.aggregate(vs, zero, lambda acc, v: F.zip_with(acc, v, lambda a, b: a + b))
     return (
-        joined.groupBy(id_col)
+        token_vecs.groupBy(id_col)
         .agg(F.collect_list("vec").alias("vs"))
         .select(
             id_col,

@@ -221,3 +221,124 @@ def test_cli_metric_malformed_clean_exit(spark, tokens_path, spec):
 
     with pytest.raises(SystemExit, match="--metric"):
         main(["validate", "--input", tokens_path, "--metric", spec])
+
+
+# ---------------------------------------------------------------------
+# VERDICT #7: fastText OOV subword backoff in sentence_embeddings
+# ---------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def sent_fixture(spark):
+    names = spark.createDataFrame(
+        [("c1", "order total_price"), ("c2", "zzqx order"),
+         ("c3", "zzqx"), ("c4", "order order zzqx")],
+        "column_id string, column_name string",
+    )
+    vocab = spark.createDataFrame(
+        [("order", [3.0, 4.0]), ("total", [1.0, 0.0]), ("price", [0.0, 2.0])],
+        "word string, vector array<double>",
+    )
+    nb = 64
+    sub = spark.createDataFrame(
+        [(b, [float((b % 5) - 2), float((b % 7) - 3)]) for b in range(0, nb, 3)],
+        "bucket long, vector array<double>",
+    )
+    return names, vocab, sub, nb
+
+
+def _py_sentence_oracle(name, subtab, nb):
+    """Independent reimplementation of the public fastText scheme."""
+    import math
+
+    vocab = {"order": [3.0, 4.0], "total": [1.0, 0.0], "price": [0.0, 2.0]}
+
+    def buckets_of(word, minn=3, maxn=6):
+        m = "<" + word + ">"
+        ids = []
+        for i in range(len(m)):
+            for n in range(1, maxn + 1):
+                if i + n > len(m):
+                    break
+                if n < minn or (n == 1 and (i == 0 or i + n == len(m))):
+                    continue
+                h = 2166136261
+                for byt in m[i : i + n].encode():
+                    h = (h ^ (byt if byt < 128 else byt | 0xFFFFFF00)) & 0xFFFFFFFF
+                    h = (h * 16777619) & 0xFFFFFFFF
+                ids.append(h % nb)
+        return ids
+
+    def word_vec(w):
+        if w in vocab:
+            v = vocab[w]
+        else:
+            ids = buckets_of(w)
+            s = [0.0, 0.0]
+            for b in ids:
+                bv = subtab.get(b, [0.0, 0.0])
+                s = [a + x for a, x in zip(s, bv)]
+            v = [x / len(ids) for x in s]
+        n = math.sqrt(sum(x * x for x in v))
+        return None if n == 0 else [x / n for x in v]
+
+    vs = [v for v in (word_vec(w) for w in name.replace("_", " ").split()) if v]
+    if not vs:
+        return None
+    return [round(sum(v[i] for v in vs) / len(vs), 5) for i in range(2)]
+
+
+def test_sentence_subword_matches_python_oracle(spark, sent_fixture):
+    from kglids_spark.operators.ref_scores import sentence_embeddings
+
+    names, vocab, sub, nb = sent_fixture
+    got = {
+        r.column_id: list(r.label_embedding)
+        for r in sentence_embeddings(
+            names, vocab, subword_vectors=sub, n_buckets=nb
+        ).collect()
+    }
+    subtab = {b: [float((b % 5) - 2), float((b % 7) - 3)] for b in range(0, nb, 3)}
+    for cid, nm in [
+        ("c1", "order total_price"),
+        ("c2", "zzqx order"),
+        ("c3", "zzqx"),
+        ("c4", "order order zzqx"),
+    ]:
+        assert got[cid] == _py_sentence_oracle(nm, subtab, nb), cid
+
+
+def test_sentence_subword_changes_oov_vector(spark, sent_fixture):
+    from kglids_spark.operators.ref_scores import sentence_embeddings
+
+    names, vocab, sub, nb = sent_fixture
+    base = {
+        r.column_id: list(r.label_embedding)
+        for r in sentence_embeddings(names, vocab).collect()
+    }
+    backed = {
+        r.column_id: list(r.label_embedding)
+        for r in sentence_embeddings(
+            names, vocab, subword_vectors=sub, n_buckets=nb
+        ).collect()
+    }
+    assert backed["c1"] == base["c1"]  # all-in-vocab name unchanged
+    assert backed["c2"] != base["c2"]  # OOV token now contributes
+    assert "c3" not in base and "c3" in backed  # fully-OOV name gains a row
+
+
+def test_sentence_subword_empty_table_equals_no_fallback(spark, sent_fixture):
+    from kglids_spark.operators.ref_scores import sentence_embeddings
+
+    names, vocab, _, nb = sent_fixture
+    empty = spark.createDataFrame([], "bucket long, vector array<double>")
+    a = {
+        r.column_id: list(r.label_embedding)
+        for r in sentence_embeddings(
+            names, vocab, subword_vectors=empty, n_buckets=nb
+        ).collect()
+    }
+    b = {
+        r.column_id: list(r.label_embedding)
+        for r in sentence_embeddings(names, vocab).collect()
+    }
+    assert a == b  # zero-norm OOV vectors are skipped, like flag-off
