@@ -80,37 +80,20 @@ def _ensure(spark, path: str, n_rows: int, gen) -> None:
     gen(spark, n_rows).write.mode("overwrite").parquet(path)
 
 
-def main() -> None:
+def family_centroids(dim: int = DIM, k: int = 64) -> list[list[float]]:
+    import math
+
+    return [[math.sin(0.37 * (c + 1) * (j + 1)) for j in range(dim)] for c in range(k)]
+
+
+def family_ops(docs, vecs, queries, srcd, centroids):
+    """The benched operator family, importable so tests can re-derive
+    each op's plan and diff it against bench_plans/ (VERDICT r3 #8)."""
     from pyspark.sql import functions as F
 
     from kglids_spark.operators import ann, dedup, frequency, sampling, text
-    from kglids_spark.session import get_spark
 
-    spark = get_spark(app_name="bench_families", cpus=CPUS)
-    _ensure(spark, DOCS_PATH, DOCS, _gen_documents)
-    _ensure(spark, VECS_PATH, VECS, lambda s, n: _gen_embeddings(s, n, DIM))
-    docs = spark.read.parquet(DOCS_PATH)
-    vecs = spark.read.parquet(VECS_PATH)
-    queries = (
-        vecs.filter(F.col("vec_id") % (VECS // 100) == 0)
-        .select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
-        .cache()
-    )
-    queries.count()
-    srcd = docs.select(
-        "doc_id",
-        F.concat(F.lit("src"), F.pmod(F.col("doc_id"), F.lit(20)).cast("int")).alias(
-            "source"
-        ),
-    )
-
-    import math
-
-    centroids = [
-        [math.sin(0.37 * (c + 1) * (j + 1)) for j in range(DIM)] for c in range(64)
-    ]
-
-    ops = {
+    return {
         "dedup_exact": lambda: dedup.exact_duplicates(docs),
         "dedup_minhash_lsh": lambda: dedup.minhash_lsh_pairs(
             docs, num_perm=16, bands=8, threshold=0.5
@@ -154,6 +137,31 @@ def main() -> None:
             k=99,
         ),
     }
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    from kglids_spark.session import get_spark
+
+    spark = get_spark(app_name="bench_families", cpus=CPUS)
+    _ensure(spark, DOCS_PATH, DOCS, _gen_documents)
+    _ensure(spark, VECS_PATH, VECS, lambda s, n: _gen_embeddings(s, n, DIM))
+    docs = spark.read.parquet(DOCS_PATH)
+    vecs = spark.read.parquet(VECS_PATH)
+    queries = (
+        vecs.filter(F.col("vec_id") % (VECS // 100) == 0)
+        .select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+        .cache()
+    )
+    queries.count()
+    srcd = docs.select(
+        "doc_id",
+        F.concat(F.lit("src"), F.pmod(F.col("doc_id"), F.lit(20)).cast("int")).alias(
+            "source"
+        ),
+    )
+    ops = family_ops(docs, vecs, queries, srcd, family_centroids())
     only = os.environ.get("SPARK_GRAFT_FAM_ONLY")
     if only:
         keep = {k.strip() for k in only.split(",")}
