@@ -3278,50 +3278,45 @@ def multimodal_frame_sampling(spark, sf_dir):
 # cross-checks EVERY oracle query on every pytest run.
 
 _DRIVER_PRIORITY = [
-    # (a) last checked in round 1 — rotate forward (VERDICT r2 #1)
-    "true_ratio_returnflag", "group_count_customers_per_nation",
-    "group_max_rowcount", "histogram_n_chars", "join_multiway_region",
-    "anti_join_customers_no_orders", "semi_join_customers_with_orders",
-    "topk_orders_per_priority", "score_normalized_events",
-    "union_distinct_sources_langs", "intersect_except_keys",
-    "label_generation", "md5_column_ids", "shipdate_year_counts",
-    "json_extract_props", "per_source_stats", "rolling_avg_events",
-    # doc_fingerprint / dedup_minhash_lsh / dedup_simhash / ann_lsh_topk
-    # (rows-only) rotated out for value-exact queries; their md5 twins
-    # below + the lockstep tests still pin the prod paths — the window
-    # is now 50/50 value-exact
-    "sentence_embedding_labels", "epoch_upsample_sources",
-    "constraints_suite_extended", "ivf_train_iteration",
-    # (b) new in round 3
-    "similarity_scores_reference", "eda_operations_iterative",
-    "dedup_clusters", "pack_sequences_bins",
-    "benchmark_contamination", "stratified_sample_sources",
-    "text_repetition_signals", "pii_redaction",
-    "na_coercion_cast", "url_encoded_ids", "temperature_sample_sources",
-    # (c) operator code changed in round 3 + twin pins
-    # khop_nation_pairs_same_region / constraints_documents /
-    # profile_stats (all r2-green, and each a self-contained query that
-    # does NOT route through the r3-changed operators) rotated out so
-    # every round-3 query gets its first driver row; the changed
-    # operators are covered in-window by constraints_suite_extended,
-    # rdf_profile_export and the twins, and the rotated-out queries
-    # stay DuckDB-checked every pytest run
-    "correlation_profile_lineitem", "heavy_hitter_tokens",
-    "rdf_profile_export",
-    "eda_operations", "ann_lsh_topk_md5", "dedup_minhash_lsh_md5",
-    "dedup_simhash_md5", "doc_fingerprint_md5",
-    # (b2) new in round 3: RDF sinks (displacing two r2-green,
-    # unchanged-code queries — search_columns_regex, fine_grained_types
-    # — which stay covered by tests/test_entry.py oracles)
-    "rdf_ntriples_similarity", "rdf_turtle_source_types",
-    "float_bit_decomposition", "token_array_ops", "csv_na_scan",
-    "split_assignment_sources", "global_shuffle_positions", "vocab_top_tokens",
-    "c4_line_filtering",
-    # (d) core cross-section (q1/q3/q5/similarity_pairs/recommend/
-    # search/fine_grained/asof/range rotated out this round: all
-    # r2-green with unchanged code, still DuckDB-checked every pytest
-    # run)
-    "dedup_ngram_jaccard",
+    # Round-4 window (VERDICT r3 #3 + the two-round invariant): the
+    # demand is exactly 50 — (a) the 4 rows-only twins that have never
+    # had a driver row (their md5 twins are r3-green and lockstep tests
+    # pin the shared production paths; rows-only here is deliberate),
+    # (b) all 44 queries whose last driver row is round 2 (they must
+    # re-check this round or fall out of the r3 ∪ r4 union; includes
+    # sample_fraction, the one inherently no-oracle query), (c) the
+    # query new in round 4, and (d) the one round-4-changed-operator
+    # query. Everything outside the window is r3-green and re-oracled
+    # against DuckDB by tests/test_entry.py on every pytest run —
+    # including the round-4-changed global_shuffle_positions /
+    # pack_sequences_bins / epoch_upsample_sources / ivf_train_iteration
+    # / sentence_embedding_labels, whose operators are additionally
+    # pinned by the new test_round4_fixes suite.
+    # (a) rows-only twins — first driver rows ever
+    "ann_lsh_topk", "dedup_minhash_lsh", "dedup_simhash", "doc_fingerprint",
+    # (b) last checked in round 2
+    "ann_bruteforce_topk", "ann_ivf_topk", "ann_knn_join",
+    "asof_click_purchase", "constraints_documents", "crc32_column_ids",
+    "dedup_embedding_cosine", "dedup_exact_groups", "doc_digest",
+    "drift_ks_events", "drift_psi_events", "embedding_mean_pool",
+    "embedding_norm_stats", "fine_grained_types",
+    "khop_nation_pairs_same_region", "latest_event_per_user",
+    "multimodal_features", "multimodal_frame_sampling",
+    "pipeline_hyperparameters", "pipeline_library_usage",
+    "pipeline_popular_parameters", "pipeline_search_classifier",
+    "pipeline_top_used_libraries", "pipeline_transformations",
+    "pipelines_by_tags", "pipelines_for_deep_learning", "pipelines_info",
+    "profile_stats", "q1_pricing_summary", "q3_shipping_priority",
+    "q5_local_supplier_volume", "range_join_click_error",
+    "recommend_tables_content", "rollup_events_hypertable",
+    "sample_deterministic_hash", "sample_fraction",
+    "search_columns_regex", "sessionize_events",
+    "similarity_pairs_sources", "text_lang_id", "text_quality",
+    "token_counts", "topk_revenue_customers", "tumbling_window_events",
+    # (c) new in round 4: fastText subword OOV backoff
+    "sentence_embedding_subword",
+    # (d) operator code changed in round 4 (distributed MG candidates)
+    "heavy_hitter_tokens",
 ]
 
 _missing = [n for n in _DRIVER_PRIORITY if n not in QUERIES]
