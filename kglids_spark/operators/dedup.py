@@ -846,3 +846,55 @@ def _release_local_checkpoints(frames) -> None:
                 plan.rdd().unpersist(False)
         except Exception:  # pragma: no cover - best-effort release
             pass
+
+
+def semantic_dedup(
+    df: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): cluster the embedding space, then
+    prune near-duplicates WITHIN each cluster only — the clustering is
+    what makes semantic dedup tractable at corpus scale, shrinking the
+    pairwise search from O(n²) global to Σ O(|cluster|²).
+
+    Returns the SURVIVORS (id, cluster): within a cluster, any doc
+    whose cosine to a lower-id doc meets ``threshold`` is pruned, so
+    exactly the cluster-local minima of each near-dup relation remain
+    (the standard keep-lowest-id policy; same convention as
+    embedding_near_dup_pairs consumers). Null / wrong-dimension
+    vectors get a NULL cluster from kmeans_assign and are kept — they
+    carry no evidence of duplication.
+
+    Scale design: assignment is map-side (broadcast codebook — numpy
+    matmul beyond 16 centroids); the pair join is cluster-blocked, so
+    the shuffle key is the cluster id and no cross-cluster pair is ever
+    materialized. For clusters still too large, compose with an LSH
+    block (ann.lsh_bucket_expr) INSIDE the cluster — same join, key
+    (cluster, bucket) — exactly how embedding_near_dup_pairs's
+    block_col composes. The duplicate-id set is corpus-sized in the
+    worst case, so it stays a DataFrame (left_anti join), never a
+    driver collect."""
+    from kglids_spark.operators.ann import kmeans_assign
+
+    assigned = kmeans_assign(df, centroids, vec_col=vec_col, out_col="_sem_cluster")
+    in_cluster = assigned.filter(F.col("_sem_cluster").isNotNull())
+    pairs = embedding_near_dup_pairs(
+        in_cluster,
+        vec_col=vec_col,
+        id_col=id_col,
+        threshold=-2.0,  # threshold applied after rounding below
+        block_col="_sem_cluster",
+    )
+    # round before comparing so the decision is bit-stable across
+    # engines (the DuckDB oracle mirrors the same 5-dp rounding)
+    doomed = (
+        pairs.filter(F.round("cosine", 5) >= threshold)
+        .select(F.col("id2").alias(id_col))
+        .distinct()
+    )
+    return assigned.join(doomed, id_col, "left_anti").select(
+        F.col(id_col), F.col("_sem_cluster").alias("cluster")
+    )

@@ -1,0 +1,208 @@
+"""Distributed BPE tokenizer: learn merges, encode, decode.
+
+The reference counts tokens but never tokenizes (its profiler works on
+whitespace tokens — kg_governor/data_profiling/src/fine_grained_type
+detector usage); a training-data engine over a `tokens` payload needs
+the real thing, so this module adds classic byte-pair-encoding (the
+published Sennrich et al. 2016 algorithm, also the shape of the GPT-2
+tokenizer) re-expressed Spark-first:
+
+- ``learn_bpe``: merge learning runs over the DISTINCT-WORD FREQUENCY
+  table, never the corpus — the classic trick: a 100 TB corpus has a
+  word-frequency dict orders of magnitude smaller (heavy-tailed), and
+  BPE statistics are a pure function of it. One corpus scan builds the
+  dict (map-side-combined explode→groupBy, the same shape as
+  text.word_frequencies); each merge round then scans only the vocab
+  DataFrame: adjacent symbol pairs via zip_with over the symbol array
+  (map-side), a vocab-keyed partial-agg shuffle of pair counts, and a
+  1-row argmax collect. Lineage is truncated with localCheckpoint
+  every few rounds so round N's plan does not replay rounds 1..N-1.
+- ``bpe_encode_udf``: encoding is embarrassingly parallel — an
+  Arrow-batched pandas UDF with the learned merge ranks broadcast as a
+  plain dict and an in-batch word cache (Zipf's law makes the cache
+  hit rate very high: unique words per batch ≪ words per batch).
+- ``bpe_decode_expr``: pure column expression (concat + end-of-word
+  marker replacement) — the lossless-roundtrip invariant
+  ``decode(encode(text)) == whitespace-normalized text`` is what the
+  bpe_roundtrip driver query pins per-row.
+
+No RDDs, no per-row Python, no driver-side corpus loops: the only
+collects are the 1-row argmax per merge round and the final merges
+list (n_merges rows, the model itself).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# End-of-word marker, the Sennrich-style suffix form. Chosen outside
+# any plausible corpus alphabet; decode replaces it with a space.
+EOW = "▁"  # ▁ (same codepoint sentencepiece uses)
+
+
+def word_symbol_table(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(word, count, syms) over the corpus — the BPE training input.
+
+    One corpus scan; the groupBy shuffles the distinct-word dict, not
+    the corpus (map-side partial counts). ``syms`` is the word split
+    into single characters with the end-of-word marker appended to the
+    last one... appended as its own symbol: merging it into the final
+    character is BPE's job, not the initializer's."""
+    words = df.select(
+        F.explode(
+            F.split(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")), " ")
+        ).alias("word")
+    ).filter(F.col("word") != "")
+    freq = words.groupBy("word").agg(F.count("*").alias("count"))
+    # split('','') yields chars; filter the empty edge elements Spark 4
+    # emits for a leading/trailing split position
+    syms = F.filter(F.split(F.col("word"), ""), lambda c: c != "")
+    return freq.select(
+        "word", "count", F.concat(syms, F.array(F.lit(EOW))).alias("syms")
+    )
+
+
+def _pair_counts(vocab: DataFrame) -> DataFrame:
+    """Adjacent-symbol-pair counts weighted by word frequency.
+
+    zip_with(arr, slice) forms the adjacent pairs map-side; the only
+    shuffle is the pair-keyed partial aggregation (pairs ≤ alphabet²,
+    in practice a few 10⁵ rows)."""
+    pairs = F.zip_with(
+        F.slice(F.col("syms"), 1, F.size("syms") - 1),
+        F.slice(F.col("syms"), 2, F.size("syms") - 1),
+        lambda a, b: F.concat(a, F.lit("\x00"), b),
+    )
+    return (
+        vocab.filter(F.size("syms") >= 2)
+        .select(F.explode(pairs).alias("pair"), "count")
+        .groupBy("pair")
+        .agg(F.sum("count").alias("n"))
+    )
+
+
+def _merge_pair_udf(left: str, right: str):
+    """pandas UDF applying ONE merge (left,right)->left+right to a
+    symbol array. Vectorized over the vocab batch; each word is a short
+    list so the inner loop is tiny."""
+    merged = left + right
+
+    @F.pandas_udf(T.ArrayType(T.StringType()))
+    def _apply(syms: pd.Series) -> pd.Series:
+        def one(arr):
+            out, i, n = [], 0, len(arr)
+            while i < n:
+                if i + 1 < n and arr[i] == left and arr[i + 1] == right:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(arr[i])
+                    i += 1
+            return out
+
+        return syms.map(one)
+
+    return _apply
+
+
+def learn_bpe(
+    df: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 50,
+    checkpoint_every: int = 8,
+) -> list[tuple[str, str]]:
+    """Learn ``n_merges`` BPE merges from the corpus; returns them in
+    rank order. Deterministic: argmax ties break lexicographically on
+    the pair, so two cluster sizes learn identical merges."""
+    vocab = word_symbol_table(df, text_col).localCheckpoint()
+    merges: list[tuple[str, str]] = []
+    for r in range(n_merges):
+        top = (
+            _pair_counts(vocab)
+            .orderBy(F.desc("n"), F.asc("pair"))
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        left, right = top[0]["pair"].split("\x00", 1)
+        merges.append((left, right))
+        vocab = vocab.withColumn("syms", _merge_pair_udf(left, right)(F.col("syms")))
+        if (r + 1) % checkpoint_every == 0:
+            # truncate lineage: without this, round N's plan replays
+            # every previous merge UDF N times over
+            vocab = vocab.localCheckpoint()
+    return merges
+
+
+def encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
+    """Greedy lowest-rank-first BPE encode of one word (the published
+    algorithm; also the tests' independent reference)."""
+    syms = list(word) + [EOW]
+    while len(syms) >= 2:
+        best, best_rank = None, None
+        for i in range(len(syms) - 1):
+            r = ranks.get((syms[i], syms[i + 1]))
+            if r is not None and (best_rank is None or r < best_rank):
+                best, best_rank = i, r
+        if best is None:
+            break
+        syms[best : best + 2] = [syms[best] + syms[best + 1]]
+    return syms
+
+
+def bpe_encode_udf(merges: list[tuple[str, str]]):
+    """Arrow-batched text → array<string> BPE tokens. The merge ranks
+    ride into the executors as a captured dict (broadcast by closure
+    serialization — the model is n_merges entries, i.e. KBs to MBs);
+    an in-batch word cache exploits Zipf's law."""
+    ranks = {pair: i for i, pair in enumerate(merges)}
+
+    @F.pandas_udf(T.ArrayType(T.StringType()))
+    def _encode(texts: pd.Series) -> pd.Series:
+        cache: dict[str, list[str]] = {}
+
+        def one(t):
+            if t is None:
+                return None
+            out: list[str] = []
+            for w in t.split():
+                got = cache.get(w)
+                if got is None:
+                    got = cache[w] = encode_word(w, ranks)
+                out.extend(got)
+            return out
+
+        return texts.map(one)
+
+    return _encode
+
+
+def bpe_decode_expr(tokens_col) -> F.Column:
+    """array<string> BPE tokens → text. Pure column expression: join,
+    then each end-of-word marker becomes a space. Inverse of encode up
+    to whitespace normalization (all runs of whitespace become ' ')."""
+    c = F.col(tokens_col) if isinstance(tokens_col, str) else tokens_col
+    joined = F.array_join(c, "")
+    return F.trim(F.regexp_replace(joined, EOW, " "))
+
+
+def bpe_roundtrip(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, ok) per document: does decode(encode(text)) reproduce the
+    whitespace-normalized text byte-exactly? BPE is lossless by
+    construction, so ok must be TRUE for every row — which is exactly
+    what the DuckDB oracle asserts value-exactly."""
+    norm = F.trim(F.regexp_replace(F.col(text_col), r"\s+", " "))
+    enc = bpe_encode_udf(merges)
+    return df.select(
+        F.col(id_col),
+        (bpe_decode_expr(enc(F.col(text_col))) == norm).alias("ok"),
+    )

@@ -1,0 +1,172 @@
+"""BPE tokenizer (tokenizer.py) + SemDeDup (dedup.semantic_dedup).
+
+The tokenizer's lockstep reference is an independent pure-Python BPE
+(trainer + encoder) implemented here from the published algorithm —
+the distributed path must match it token-for-token.
+"""
+
+from collections import Counter
+
+import pyspark.sql.functions as F
+import pytest
+
+from kglids_spark.operators import tokenizer as TK
+from kglids_spark.operators.dedup import semantic_dedup
+
+TEXTS = [
+    "low lower lowest low low",
+    "new newer newest new",
+    "wide wider widest wide wide wide",
+    "low new wide bid bid bidder",
+    "abra abracadabra cadabra abra",
+    "",
+    "single",
+]
+
+
+# ---------------------------------------------------------------------
+# independent pure-Python reference
+# ---------------------------------------------------------------------
+
+def ref_learn(texts, n_merges):
+    freq = Counter(w for t in texts for w in t.split(" ") if w)
+    vocab = {w: list(w) + [TK.EOW] for w in freq}
+    merges = []
+    for _ in range(n_merges):
+        pc = Counter()
+        for w, syms in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                pc[(a, b)] += freq[w]
+        if not pc:
+            break
+        best = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append(best)
+        for w, syms in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and (syms[i], syms[i + 1]) == best:
+                    out.append(syms[i] + syms[i + 1])
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            vocab[w] = out
+    return merges
+
+
+def ref_encode(text, merges):
+    ranks = {m: i for i, m in enumerate(merges)}
+    out = []
+    for w in text.split(" "):
+        if not w:
+            continue
+        syms = list(w) + [TK.EOW]
+        while len(syms) >= 2:
+            cands = [
+                (ranks[(a, b)], i)
+                for i, (a, b) in enumerate(zip(syms, syms[1:]))
+                if (a, b) in ranks
+            ]
+            if not cands:
+                break
+            _, i = min(cands)
+            syms[i : i + 2] = [syms[i] + syms[i + 1]]
+        out.extend(syms)
+    return out
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(
+        [(f"d{i}", t) for i, t in enumerate(TEXTS)], "doc_id string, text string"
+    )
+
+
+def test_learn_bpe_matches_reference(docs):
+    got = TK.learn_bpe(docs, n_merges=12)
+    want = ref_learn(TEXTS, 12)
+    assert got == want
+
+
+def test_learn_bpe_exhausts_gracefully(spark):
+    # a corpus whose vocab collapses before n_merges: must stop early
+    tiny = spark.createDataFrame([("a", "ab ab")], "doc_id string, text string")
+    merges = TK.learn_bpe(tiny, n_merges=50)
+    # ab -> a+b, then (ab)+EOW: 2 merges and the single word is one symbol
+    assert merges == [("a", "b"), ("ab", TK.EOW)]
+
+
+def test_encode_udf_lockstep_with_reference(docs):
+    merges = ref_learn(TEXTS, 12)
+    enc = TK.bpe_encode_udf(merges)
+    rows = docs.select("doc_id", "text", enc(F.col("text")).alias("toks")).collect()
+    for r in rows:
+        assert list(r["toks"]) == ref_encode(r["text"], merges), r["doc_id"]
+
+
+def test_roundtrip_all_true(docs):
+    merges = TK.learn_bpe(docs, n_merges=8)
+    rows = TK.bpe_roundtrip(docs, merges).collect()
+    assert rows and all(r["ok"] for r in rows)
+
+
+def test_encode_handles_null_and_unseen_chars(spark):
+    merges = ref_learn(TEXTS, 12)
+    df = spark.createDataFrame(
+        [("x", None), ("y", "zzz qqq"), ("z", "low")],
+        "doc_id string, text string",
+    )
+    enc = TK.bpe_encode_udf(merges)
+    got = {r["doc_id"]: r["toks"] for r in df.select("doc_id", enc(F.col("text")).alias("toks")).collect()}
+    assert got["x"] is None
+    # unseen chars survive as single symbols (lossless)
+    assert list(got["y"]) == ["z", "z", "z", TK.EOW, "q", "q", "q", TK.EOW]
+    assert TK.encode_word("low", {m: i for i, m in enumerate(merges)}) == list(got["z"])
+
+
+def test_pair_counts_weighted_by_frequency(spark):
+    df = spark.createDataFrame(
+        [("a", "ab ab ab"), ("b", "ab cd")], "doc_id string, text string"
+    )
+    vocab = TK.word_symbol_table(df)
+    counts = {
+        tuple(r["pair"].split("\x00")): r["n"]
+        for r in TK._pair_counts(vocab).collect()
+    }
+    assert counts[("a", "b")] == 4  # 'ab' occurs 4 times corpus-wide
+    assert counts[("b", TK.EOW)] == 4
+    assert counts[("c", "d")] == 1
+
+
+# ---------------------------------------------------------------------
+# SemDeDup
+# ---------------------------------------------------------------------
+
+def test_semantic_dedup_prunes_within_cluster_only(spark):
+    # two well-separated clusters on axes 0 and 1; duplicates inside
+    # each; a cross-cluster near-parallel pair that must NOT be pruned
+    rows = [
+        (0, [1.0, 0.0, 0.0]),   # cluster 0
+        (1, [0.99, 0.01, 0.0]),  # dup of 0 -> pruned
+        (2, [0.0, 1.0, 0.0]),   # cluster 1
+        (3, [0.01, 0.99, 0.0]),  # dup of 2 -> pruned
+        (4, [0.0, 0.98, 0.2]),   # cluster 1, below threshold vs 2/3
+    ]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    cents = [[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]]
+    got = {
+        r["vec_id"]: r["cluster"]
+        for r in semantic_dedup(df, cents, threshold=0.995).collect()
+    }
+    assert got == {0: 0, 2: 1, 4: 1}
+
+
+def test_semantic_dedup_keeps_null_vectors(spark):
+    rows = [(0, [1.0, 0.0]), (1, None), (2, [1.0, 0.1])]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    got = {
+        r["vec_id"]: r["cluster"]
+        for r in semantic_dedup(df, [[1.0, 0.0], [0.0, 1.0]], threshold=0.9).collect()
+    }
+    assert 1 in got and got[1] is None  # null vector kept, NULL cluster
+    assert 0 in got and 2 not in got  # 2 pruned as dup of 0
