@@ -345,45 +345,57 @@ def test_sentence_subword_empty_table_equals_no_fallback(spark, sent_fixture):
 
 
 # ---------------------------------------------------------------------
-# VERDICT r3 #1: bench scaling estimator discards warm-up pairs
+# VERDICT r3 #1: bench scaling estimator keeps only steady-state pairs
+# (per-pair, symmetric — warm-up prefix AND mid-series spikes excluded)
 # ---------------------------------------------------------------------
 
-def test_converged_start_discards_warmup_prefix():
+def test_steady_pairs_discard_warmup_prefix():
     import bench
 
     # the driver's r3 shape: both sides monotonically descending into a
-    # floor — everything before the first pair where BOTH sides are
-    # within 15% of their minimum is warm-up
+    # floor — every pair before BOTH sides are within 15% of their
+    # minimum is warm-up
     low = [169.0, 150.0, 130.0, 110.0, 106.0, 104.0]
     high = [102.0, 80.0, 60.0, 45.0, 38.0, 37.0]
-    s = bench._converged_start(low, high)
     # low converges at index 3 (110 <= 1.15*104) but high only at 4
-    assert s == 4
+    assert bench._steady_pair_indices(low, high) == [4, 5]
 
 
-def test_converged_start_flat_series_keeps_everything():
+def test_steady_pairs_flat_series_keep_everything():
     import bench
 
     low = [100.0, 101.0, 99.0, 100.5]
     high = [25.0, 26.0, 25.5, 25.2]
-    assert bench._converged_start(low, high) == 0
+    assert bench._steady_pair_indices(low, high) == [0, 1, 2, 3]
 
 
-def test_converged_start_never_empty():
+def test_steady_pairs_never_empty():
     import bench
 
     # pathological: strictly descending with >15% steps everywhere —
     # the last pair is still returned so the window is never empty
     low = [100.0, 80.0, 60.0, 40.0]
     high = [100.0, 80.0, 60.0, 40.0]
-    assert bench._converged_start(low, high) == 3
+    assert bench._steady_pair_indices(low, high) == [3]
 
 
-def test_converged_start_late_weather_spike_tolerated():
+def test_steady_pairs_drop_mid_series_spike_high_side():
     import bench
 
-    # converged early, then a weather spike late: the spike must not
-    # push the start forward (it is after the first converged pair)
-    low = [140.0, 100.0, 102.0, 135.0, 101.0]
-    high = [60.0, 36.0, 37.0, 36.5, 38.0]
-    assert bench._converged_start(low, high) == 1
+    # the observed failure of the prefix-only gate: warmed by pair 1,
+    # then one high-side weather spike (55 s vs 30 s steady) mid-series.
+    # The spiked pair would read a ~1.8 ratio and drag a 3-pair median;
+    # per-pair filtering excludes exactly it.
+    low = [140.0, 100.0, 102.0, 101.0, 100.5]
+    high = [60.0, 30.0, 31.0, 55.0, 30.5]
+    assert bench._steady_pair_indices(low, high) == [1, 2, 4]
+
+
+def test_steady_pairs_drop_mid_series_spike_low_side_symmetric():
+    import bench
+
+    # symmetry: a spiked LOW side (which would INFLATE the ratio) is
+    # dropped by the same predicate — the filter cannot bias upward
+    low = [100.0, 100.0, 140.0, 100.0]
+    high = [30.0, 30.0, 30.0, 30.0]
+    assert bench._steady_pair_indices(low, high) == [0, 1, 3]
