@@ -80,6 +80,21 @@ def main(argv: list[str] | None = None) -> int:
         help="extra metric-threshold constraint, e.g. 'n_tok mean 1 1e6' "
         "(stat: null_rate|mean|stddev|min|max; repeatable)",
     )
+    v.add_argument(
+        "--fd",
+        action="append",
+        default=[],
+        metavar="SPEC",
+        help="extra functional-dependency constraint, e.g. 'doc_id -> source' "
+        "or 'a,b -> c' (determinants -> dependent); repeatable",
+    )
+    v.add_argument(
+        "--volume",
+        default=None,
+        metavar="LO[:HI]",
+        help="table-level row-count bound, e.g. '--volume 1000' (at least) "
+        "or '--volume 1000:2000000'",
+    )
     v.add_argument("--no-violation-rows", action="store_true")
     v.add_argument("--cpus", type=int, default=None)
 
@@ -185,6 +200,25 @@ def main(argv: list[str] | None = None) -> int:
                     f"--metric {spec!r}: bounds must be numbers, got {lo!r} {hi!r}"
                 )
             suite.append(C.metric_range(col, stat, lo_f, hi_f))
+        for spec in args.fd:
+            dets_s, sep, dep = spec.partition("->")
+            dets = [c.strip() for c in dets_s.split(",") if c.strip()]
+            dep = dep.strip()
+            if not sep or not dets or not dep:
+                raise SystemExit(
+                    f"--fd {spec!r}: expected 'det1,det2 -> dependent'"
+                )
+            suite.append(C.functional_dependency(dets, dep))
+        if args.volume is not None:
+            lo_s, _, hi_s = args.volume.partition(":")
+            try:
+                lo_v = int(lo_s)
+                hi_v = float(hi_s) if hi_s else float("inf")
+            except ValueError:
+                raise SystemExit(
+                    f"--volume {args.volume!r}: expected 'LO' or 'LO:HI' integers"
+                )
+            suite.append(C.volume(lo_v, hi_v))
         baseline_hist = None
         if args.baseline:
             with open(args.baseline) as f:

@@ -3260,6 +3260,82 @@ def multimodal_frame_sampling(spark, sf_dir):
 
 
 # =====================================================================
+# Round 4: FD + volume constraint kinds through the real validate()
+# =====================================================================
+
+_FD_VOLUME_SQL = """
+    WITH sl AS (
+      SELECT source,
+             CASE WHEN MIN(lang) != MAX(lang) THEN 1 ELSE 0 END AS bad
+      FROM documents WHERE lang IS NOT NULL GROUP BY source),
+    ds AS (
+      SELECT doc_id,
+             CASE WHEN MIN(source) != MAX(source) THEN 1 ELSE 0 END AS bad
+      FROM documents WHERE source IS NOT NULL GROUP BY doc_id)
+    SELECT 'fd(source -> lang)' AS constraint_id,
+           COALESCE(SUM(bad), 0)::BIGINT AS n_violations,
+           CASE WHEN COALESCE(SUM(bad), 0) = 0 THEN 1 ELSE 0 END AS passed
+    FROM sl
+    UNION ALL
+    SELECT 'fd(doc_id -> source)',
+           COALESCE(SUM(bad), 0)::BIGINT,
+           CASE WHEN COALESCE(SUM(bad), 0) = 0 THEN 1 ELSE 0 END
+    FROM ds
+    UNION ALL
+    SELECT 'volume(rows in [10,1e+15])',
+           (CASE WHEN COUNT(*) BETWEEN 10 AND 1e15 THEN 0 ELSE 1 END)::BIGINT,
+           CASE WHEN COUNT(*) BETWEEN 10 AND 1e15 THEN 1 ELSE 0 END
+    FROM documents
+"""
+
+
+@register("constraints_fd_volume", _FD_VOLUME_SQL)
+def constraints_fd_volume(spark, sf_dir):
+    """The round-4 constraint kinds — functional dependencies (one
+    violated: source -> lang; one satisfied: doc_id -> source) and a
+    table-level volume bound — evaluated by the REAL validate() engine
+    (global FD groupBy + merged bucket totals), with the oracle
+    recomputing every verdict from first principles."""
+    from kglids_spark.operators import constraints as C
+    from kglids_spark.operators.validate import validate
+
+    d = _t(spark, sf_dir, "documents")
+    suite = [
+        C.functional_dependency(["source"], "lang"),
+        C.functional_dependency(["doc_id"], "source"),
+        C.volume(10, 1e15),
+    ]
+    res = validate(
+        d, suite, n_buckets=8, extract_violation_rows=False, kll_col=None
+    )
+    return res.verdicts.groupBy("constraint_id").agg(
+        F.sum("n_violations").alias("n_violations"),
+        F.min(F.col("passed").cast("int")).alias("passed"),
+    )
+
+
+@register(
+    "fd_violating_groups",
+    """
+    SELECT source, COUNT(*)::BIGINT AS n_rows_in_group
+    FROM documents WHERE lang IS NOT NULL
+    GROUP BY source HAVING MIN(lang) != MAX(lang)
+    """,
+)
+def fd_violating_groups(spark, sf_dir):
+    """The FD evaluator's group-level output, value-exact: every
+    determinant group of fd(source -> lang) with >=2 distinct non-null
+    dependent values, plus its row count (constraints.
+    fd_violating_groups — the frame validate() semi-joins violation
+    rows against)."""
+    from kglids_spark.operators import constraints as C
+
+    d = _t(spark, sf_dir, "documents")
+    c = C.functional_dependency(["source"], "lang")
+    return C.fd_violating_groups(d, c)
+
+
+# =====================================================================
 # Round 4: semantic dedup (SemDeDup) + BPE tokenizer family
 # =====================================================================
 
@@ -3410,13 +3486,14 @@ _DRIVER_PRIORITY = [
     # demand is exactly 50 — (a) the 4 rows-only twins that have never
     # had a driver row (their md5 twins are r3-green and lockstep tests
     # pin the shared production paths; rows-only here is deliberate),
-    # (b) 41 of the 44 queries whose last driver row is round 2 (the
-    # other 3 — sample_fraction, the one inherently no-oracle query;
-    # ann_bruteforce_topk and pipeline_top_used_libraries, whose
-    # families each keep 3+ other rows in this window — yield their
-    # slots to the round-4 SemDeDup/BPE value-exact queries: a brand-new
+    # (b) 39 of the 44 queries whose last driver row is round 2 (the
+    # other 5 — sample_fraction, the one inherently no-oracle query;
+    # ann_bruteforce_topk, pipeline_top_used_libraries,
+    # pipelines_by_tags, pipelines_for_deep_learning, whose families
+    # each keep 3+ other rows in this window — yield their slots to the
+    # round-4 SemDeDup/BPE/FD/volume value-exact queries: a brand-new
     # operator's first hard driver row outranks a third re-check of an
-    # r2-green query that pytest re-oracles every run; the displaced 3
+    # r2-green query that pytest re-oracles every run; the displaced 5
     # and rows-only bpe_token_counts rotate into the r5 window), (c) the
     # queries new in round 4, and (d) the one round-4-changed-operator
     # query. Everything outside the window is r2/r3-green and re-oracled
@@ -3438,7 +3515,7 @@ _DRIVER_PRIORITY = [
     "pipeline_hyperparameters", "pipeline_library_usage",
     "pipeline_popular_parameters", "pipeline_search_classifier",
     "pipeline_transformations",
-    "pipelines_by_tags", "pipelines_for_deep_learning", "pipelines_info",
+    "pipelines_info",
     "profile_stats", "q1_pricing_summary", "q3_shipping_priority",
     "q5_local_supplier_volume", "range_join_click_error",
     "recommend_tables_content", "rollup_events_hypertable",
@@ -3447,9 +3524,11 @@ _DRIVER_PRIORITY = [
     "similarity_pairs_sources", "text_lang_id", "text_quality",
     "token_counts", "topk_revenue_customers", "tumbling_window_events",
     # (c) new in round 4: fastText subword OOV backoff; SemDeDup; BPE
-    # trainer statistics + lossless roundtrip (all value-exact)
+    # trainer statistics + lossless roundtrip; FD + volume constraint
+    # kinds (all value-exact)
     "sentence_embedding_subword", "semantic_dedup_survivors",
     "bpe_pair_counts", "bpe_roundtrip",
+    "constraints_fd_volume", "fd_violating_groups",
     # (d) operator code changed in round 4 (distributed MG candidates)
     "heavy_hitter_tokens",
 ]

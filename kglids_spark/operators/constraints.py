@@ -155,6 +155,56 @@ def metric_range(
     )
 
 
+def functional_dependency(
+    determinants: list[str], dependent: str, cid: str | None = None
+) -> Constraint:
+    """Functional dependency ``determinants -> dependent`` (Deequ has
+    no direct analog; closest published shape is the FD checks in data
+    -cleaning systems like HoloClean): the suite passes iff no
+    determinant-value combination maps to two distinct non-null
+    dependent values.
+
+    Semantics: rows with a NULL dependent carry no FD evidence and are
+    ignored; a violation is a determinant GROUP (min(dep) != max(dep)
+    over its non-null dependents — exact for the >=2-distinct test on
+    any orderable type, no hashing, no countDistinct expansion).
+
+    FD is a GLOBAL property — a new row can contradict a row validated
+    in a prior run — so validate() re-evaluates it over the full input
+    each run rather than incrementally (like drift, unlike row-level
+    kinds). The check reads only the determinant + dependent columns
+    (column-pruned scan) and costs one map-side-combined groupBy
+    shuffle keyed on the determinants."""
+    dets = tuple(determinants)
+    if not dets:
+        raise ValueError("functional_dependency needs >=1 determinant column")
+    return Constraint(
+        cid or f"fd({','.join(dets)} -> {dependent})",
+        "fd",
+        dependent,
+        {"determinants": dets},
+    )
+
+
+def volume(lo: int, hi: float = float("inf"), cid: str | None = None) -> Constraint:
+    """Table-level row-count bound (Deequ's hasSize analog): the suite
+    passes iff ``lo <= total rows validated <= hi``. Evaluated from the
+    merged per-bucket totals — zero extra scans, and resume-correct
+    (the bound applies to ALL buckets ever validated under this
+    constraint hash, not just this run's increment). Catches silent
+    upstream truncation / duplication that no per-row predicate can."""
+    lo_i, hi_f = int(lo), float(hi)
+    # cid built from the NORMALIZED bounds so volume(8, 8) and
+    # volume(8, 8.0) share a cid (and thus a constraint hash — resume
+    # lineage must not fork on an int-vs-float spelling)
+    return Constraint(
+        cid or f"volume(rows in [{lo_i},{hi_f:g}])",
+        "volume",
+        None,
+        {"lo": lo_i, "hi": hi_f},
+    )
+
+
 def default_suite(valid_source_values: list[str]) -> list[Constraint]:
     """The fixture constraint suite (FIXTURES.md F5.2)."""
     return [
@@ -251,6 +301,33 @@ def violation_expr(c: Constraint, df: DataFrame) -> Column:
 
 def row_constraints(constraints: list[Constraint]) -> list[Constraint]:
     return [c for c in constraints if c.kind in ROW_LEVEL_KINDS]
+
+
+def fd_violating_groups(df: DataFrame, c: Constraint) -> DataFrame:
+    """Determinant groups violating FD constraint ``c``: one row per
+    determinant-value combination with >=2 distinct non-null dependent
+    values, plus the group's row count.
+
+    min(dep) != max(dep) is an EXACT >=2-distinct test on any orderable
+    type and keeps the aggregation buffer O(1) per group (countDistinct
+    would materialize the distinct set per group); the groupBy partial-
+    aggregates map-side, so the shuffle carries one row per distinct
+    determinant per partition, never the corpus. NULL determinants form
+    their own group (SQL GROUP BY semantics); NULL dependents are
+    ignored (they carry no FD evidence)."""
+    dets = list(c.params["determinants"])
+    dep = c.column
+    return (
+        df.filter(F.col(dep).isNotNull())
+        .groupBy(*[F.col(d) for d in dets])
+        .agg(
+            F.min(dep).alias("_fd_lo"),
+            F.max(dep).alias("_fd_hi"),
+            F.count(F.lit(1)).alias("n_rows_in_group"),
+        )
+        .filter(F.col("_fd_lo") != F.col("_fd_hi"))
+        .drop("_fd_lo", "_fd_hi")
+    )
 
 
 def extract_violations(

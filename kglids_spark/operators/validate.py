@@ -278,6 +278,8 @@ def _validate_impl(
     drift_cs = [c for c in constraints if c.kind in ("drift_ks", "drift_psi")]
     schema_cs = [c for c in constraints if c.kind == "schema_type"]
     metric_cs = [c for c in constraints if c.kind == "metric"]
+    fd_cs = [c for c in constraints if c.kind == "fd"]
+    volume_cs = [c for c in constraints if c.kind == "volume"]
     metric_cols = sorted({c.column for c in metric_cs})
     if drift_cs and drift_spec is None:
         drift_spec = D.HistSpec(column=drift_cs[0].column)
@@ -490,6 +492,59 @@ def _validate_impl(
                 (GLOBAL_BUCKET, c.cid, n_rows_total, int(not ok), bool(ok))
             )
 
+    # functional dependencies: GLOBAL properties (a new row can
+    # contradict a row validated in a prior run), so they re-evaluate
+    # over the FULL input each run — like drift, unlike row-level kinds.
+    # The scan reads only determinant + dependent columns (pruned); one
+    # map-side-combined groupBy shuffle per constraint; verdict counts
+    # come from a single 1-row action over the grouped frame.
+    fd_metrics: dict = {}
+    fd_viol_frames: list[DataFrame] = []
+    fd_grouped_persisted: list[DataFrame] = []
+    for c in fd_cs:
+        dets = list(c.params["determinants"])
+        grouped = (
+            df.filter(F.col(c.column).isNotNull())
+            .groupBy(*[F.col(d) for d in dets])
+            .agg((F.min(c.column) != F.max(c.column)).alias("_fd_bad"))
+        )
+        if extract_violation_rows:
+            grouped = grouped.persist()
+            fd_grouped_persisted.append(grouped)
+        row = grouped.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("_fd_bad").cast("long")).alias("bad"),
+        ).collect()[0]
+        n_groups = int(row["n"] or 0)
+        n_bad = int(row["bad"] or 0)
+        verdict_rows.append((GLOBAL_BUCKET, c.cid, n_groups, n_bad, n_bad == 0))
+        fd_metrics[c.cid] = n_bad
+        if extract_violation_rows:
+            bad_groups = grouped.filter(F.col("_fd_bad")).select(
+                *[F.col(d).alias(f"_fd_det_{j}") for j, d in enumerate(dets)]
+            )
+            # null-safe equality: a NULL determinant forms its own group
+            # (GROUP BY semantics), so its rows must match it in the
+            # semi-join too — plain equi-join would drop them
+            cond = None
+            for j, d in enumerate(dets):
+                term = df[d].eqNullSafe(bad_groups[f"_fd_det_{j}"])
+                cond = term if cond is None else (cond & term)
+            fd_viol_frames.append(
+                df.join(bad_groups, cond, "left_semi").select(
+                    F.col(key), F.lit(c.cid).alias("constraint_id")
+                )
+            )
+
+    # volume: table-level row-count bound over the MERGED totals, so a
+    # resumed run checks the bound against all buckets ever validated
+    # under this constraint hash — zero extra scans
+    for c in volume_cs:
+        ok = c.params["lo"] <= n_rows_total <= c.params["hi"]
+        verdict_rows.append(
+            (GLOBAL_BUCKET, c.cid, int(n_rows_total), int(not ok), bool(ok))
+        )
+
     drift_metrics = {}
     if drift_cs and merged_hist:
         if baseline is None:
@@ -553,6 +608,16 @@ def _validate_impl(
             # input after slim_df is unpersisted below
             viols = viols_new.persist()
             viols.count()
+        # FD violation rows are recomputed per run (global property) and
+        # unioned into the RESULT only — never appended to the ledger,
+        # which would duplicate them across resumed runs. Materialized
+        # eagerly so the persisted grouped frames can be released.
+        for fv in fd_viol_frames:
+            fv = fv.persist()
+            fv.count()
+            viols = viols.unionByName(fv)
+        for g in fd_grouped_persisted:
+            g.unpersist()
     else:
         viols = spark.createDataFrame([], f"{key} string, constraint_id string")
 
@@ -589,6 +654,7 @@ def _validate_impl(
         **({"executors": exec_metrics} if exec_metrics else {}),
         **sketch_metrics,
         **drift_metrics,
+        **fd_metrics,
         **{
             f"{stat}({m})": v
             for m, stats_ in metric_values.items()

@@ -357,3 +357,116 @@ def test_metric_constraint_fails_on_empty_input(spark, tokens_df):
     res = validate(empty, suite, n_buckets=4, extract_violation_rows=False, kll_col=None)
     verd = {r.constraint_id: bool(r.passed) for r in res.verdicts.collect()}
     assert verd["mean_empty"] is False
+
+
+# ---------------------------------------------------------------------
+# round 4: functional-dependency + volume constraint kinds
+# ---------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def fd_df(spark):
+    rows = [
+        # det 'a' -> dep consistent ('x'), det 'b' -> violated (y/z),
+        # det 'c' -> only null deps (no FD evidence), null det group
+        # violated (p/q)
+        ("d1", "a", "x"), ("d2", "a", "x"), ("d3", "a", None),
+        ("d4", "b", "y"), ("d5", "b", "z"),
+        ("d6", "c", None),
+        ("d7", None, "p"), ("d8", None, "q"),
+    ]
+    return spark.createDataFrame(rows, "doc_id string, det string, dep string")
+
+
+def test_fd_violating_groups_exact(fd_df):
+    c = C.functional_dependency(["det"], "dep")
+    got = {
+        (r["det"], r["n_rows_in_group"])
+        for r in C.fd_violating_groups(fd_df, c).collect()
+    }
+    # 'b' violated with 2 rows; the NULL determinant group violated too
+    # (GROUP BY semantics); 'a' consistent; 'c' has no non-null deps
+    assert got == {("b", 2), (None, 2)}
+
+
+def test_fd_verdict_and_violation_rows(fd_df):
+    suite = [C.functional_dependency(["det"], "dep", cid="fd_dd")]
+    res = validate(fd_df, suite, key="doc_id", n_buckets=4, kll_col=None)
+    verd = {r.constraint_id: (r.n_violations, bool(r.passed)) for r in res.verdicts.collect()}
+    # 2 violating groups out of 4 groups with FD evidence (a, b, NULL
+    # det, and... c is excluded: all-null deps)
+    assert verd["fd_dd"] == (2, False)
+    viols = {
+        r.doc_id for r in res.violations.filter(F.col("constraint_id") == "fd_dd").collect()
+    }
+    # every row of every violating group, including null-dep members of
+    # those groups? No: the semi-join is over ALL rows of the violating
+    # determinant (d4,d5 for 'b'; d7,d8 for NULL det)
+    assert viols == {"d4", "d5", "d7", "d8"}
+
+
+def test_fd_passes_when_dependency_holds(fd_df):
+    clean = fd_df.filter(F.col("det") == "a")
+    suite = [C.functional_dependency(["det"], "dep", cid="fd_ok")]
+    res = validate(clean, suite, key="doc_id", n_buckets=4, kll_col=None)
+    verd = {r.constraint_id: bool(r.passed) for r in res.verdicts.collect()}
+    assert verd["fd_ok"] is True
+
+
+def test_fd_multi_determinant(spark):
+    rows = [
+        ("d1", "a", 1, "x"), ("d2", "a", 1, "x"),
+        ("d3", "a", 2, "y"),  # (a,2) != (a,1): separate group, no viol
+        ("d4", "b", 1, "u"), ("d5", "b", 1, "v"),  # violated
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, c1 string, c2 int, dep string")
+    c = C.functional_dependency(["c1", "c2"], "dep")
+    got = {(r["c1"], r["c2"]) for r in C.fd_violating_groups(df, c).collect()}
+    assert got == {("b", 1)}
+
+
+def test_fd_reevaluates_globally_on_resume(fd_df, tmp_path):
+    """FD is a global property: after a resumed run over the SAME input
+    the verdict must still reflect all rows (not just the zero
+    remaining buckets)."""
+    store = TableStore(fd_df.sparkSession, str(tmp_path / "fd_ledger"))
+    suite = [C.functional_dependency(["det"], "dep", cid="fd_g")]
+    r1 = validate(fd_df, suite, key="doc_id", n_buckets=4, ledger=store, kll_col=None)
+    r2 = validate(fd_df, suite, key="doc_id", n_buckets=4, ledger=store, kll_col=None)
+    assert r2.metrics["buckets_completed_prior"] == 4
+    v2 = {r.constraint_id: (r.n_violations, bool(r.passed)) for r in r2.verdicts.collect()}
+    assert v2["fd_g"] == (2, False)
+    viols2 = {
+        r.doc_id for r in r2.violations.filter(F.col("constraint_id") == "fd_g").collect()
+    }
+    # recomputed fresh, not duplicated via the ledger
+    assert viols2 == {"d4", "d5", "d7", "d8"}
+    rows2 = r2.violations.filter(F.col("constraint_id") == "fd_g").count()
+    assert rows2 == 4
+
+
+def test_volume_bounds(fd_df):
+    ok = validate(fd_df, [C.volume(1, 100)], key="doc_id", n_buckets=4,
+                  extract_violation_rows=False, kll_col=None)
+    low = validate(fd_df, [C.volume(100)], key="doc_id", n_buckets=4,
+                   extract_violation_rows=False, kll_col=None)
+    high = validate(fd_df, [C.volume(1, 3)], key="doc_id", n_buckets=4,
+                    extract_violation_rows=False, kll_col=None)
+    for res, want in ((ok, True), (low, False), (high, False)):
+        verd = {r.constraint_id: bool(r.passed) for r in res.verdicts.collect()}
+        assert list(verd.values()) == [want]
+
+
+def test_volume_counts_merged_total_across_resume(fd_df, tmp_path):
+    """The bound applies to ALL buckets ever validated under the
+    constraint hash: a resumed run with zero remaining rows still
+    passes a lower bound the first run satisfied."""
+    store = TableStore(fd_df.sparkSession, str(tmp_path / "vol_ledger"))
+    suite = [C.volume(8, 8)]
+    r1 = validate(fd_df, suite, key="doc_id", n_buckets=4, ledger=store,
+                  extract_violation_rows=False, kll_col=None)
+    r2 = validate(fd_df, suite, key="doc_id", n_buckets=4, ledger=store,
+                  extract_violation_rows=False, kll_col=None)
+    for res in (r1, r2):
+        verd = {r.constraint_id: bool(r.passed) for r in res.verdicts.collect()}
+        assert verd["volume(rows in [8,8])"] is True
+    assert r2.metrics["rows_validated"] == 8
