@@ -3335,6 +3335,34 @@ def fd_violating_groups(spark, sf_dir):
     return C.fd_violating_groups(d, c)
 
 
+_DUP_SPANS_SQL = """
+    WITH toks AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS arr
+      FROM documents),
+    grams AS (
+      SELECT doc_id, i - 1 AS pos, array_to_string(arr[i:i+4], ' ') AS span
+      FROM toks, unnest(range(1, len(arr) - 5 + 2)) u(i)
+      WHERE len(arr) >= 5),
+    dup AS (
+      SELECT span, COUNT(*)::BIGINT AS n_occurrences
+      FROM grams GROUP BY span HAVING COUNT(*) >= 2)
+    SELECT g.doc_id, CAST(g.pos AS INT) AS pos, g.span, d.n_occurrences
+    FROM grams g JOIN dup d USING (span)
+"""
+
+
+@register("duplicate_spans_docs", _DUP_SPANS_SQL)
+def duplicate_spans_docs(spark, sf_dir):
+    """Exact duplicate-span detection (Lee et al. 2022 substring
+    dedup), value-exact: every 5-word span occurring at >=2 positions
+    corpus-wide, with each 0-based occurrence position. Runs the
+    string-span twin (bit-portable to SQL); the int64-hash production
+    path is pinned to it by the lockstep test."""
+    d = _t(spark, sf_dir, "documents")
+    return dedup.duplicate_spans(d, window=5, hash_spans=False)
+
+
 # =====================================================================
 # Round 4: semantic dedup (SemDeDup) + BPE tokenizer family
 # =====================================================================
@@ -3494,7 +3522,8 @@ _DRIVER_PRIORITY = [
     # round-4 SemDeDup/BPE/FD/volume value-exact queries: a brand-new
     # operator's first hard driver row outranks a third re-check of an
     # r2-green query that pytest re-oracles every run; the displaced 5
-    # and rows-only bpe_token_counts rotate into the r5 window), (c) the
+    # rows-only bpe_token_counts, and duplicate_spans_docs rotate into
+    # the r5 window), (c) the
     # queries new in round 4, and (d) the one round-4-changed-operator
     # query. Everything outside the window is r2/r3-green and re-oracled
     # against DuckDB by tests/test_entry.py on every pytest run —

@@ -848,6 +848,58 @@ def _release_local_checkpoints(frames) -> None:
             pass
 
 
+def duplicate_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 5,
+    min_count: int = 2,
+    hash_spans: bool = True,
+) -> DataFrame:
+    """Exact duplicate-SPAN detection — the substring-level dedup of
+    Lee et al. 2022 ("Deduplicating Training Data Makes Language
+    Models Better"), hash-based distributed variant: every
+    ``window``-word span occurring at >= ``min_count`` positions
+    corpus-wide, with every position it occurs at. Doc-level dedup
+    (exact_dup_groups) misses these; span hits are what drive
+    train-set memorization of boilerplate and license headers.
+
+    Returns (id, pos, span, n_occurrences): one row per occurrence of
+    a duplicated span; ``pos`` is the 0-based word offset. Docs
+    shorter than ``window`` words have no full span and are excluded.
+
+    Scale: spans ride as int64 xxhash64 of the window's words (8-byte
+    shuffle keys, no span-string allocation; ``hash_spans=False``
+    switches to the exact strings for bit-portable oracles — results
+    differ only on 64-bit collisions, pinned equal on the test corpus
+    by test_duplicate_spans_hashed_twin_lockstep). Occurrence counts
+    come from a map-side-combined groupBy — NOT a count-over-window,
+    which has no partial aggregation and would funnel a boilerplate
+    span's 10^8 occurrences through one task — and join back onto the
+    span stream keyed on the same column, so AQE can plan/reuse the
+    exchange. The reference has no substring dedup; nearest analog is
+    its column-content hashing (SURVEY.md §2.6 F3/F4)."""
+    base = df.select(
+        F.col(id_col).alias("id"), split_words(text_col).alias("_ws")
+    ).filter(F.size("_ws") >= window)
+    grams = base.select(
+        "id", F.posexplode(_zip_ngrams(F.col("_ws"), window)).alias("pos", "_g")
+    )
+    if hash_spans:
+        key = F.xxhash64(*[F.col("_g")[str(k)] for k in range(window)])
+    else:
+        key = F.concat_ws(" ", *[F.col("_g")[str(k)] for k in range(window)])
+    spans = grams.select("id", "pos", key.alias("span"))
+    dup = (
+        spans.groupBy("span")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .filter(F.col("n_occurrences") >= min_count)
+    )
+    return spans.join(dup, "span").select(
+        F.col("id").alias(id_col), "pos", "span", "n_occurrences"
+    )
+
+
 def semantic_dedup(
     df: DataFrame,
     centroids: list[list[float]],

@@ -138,3 +138,63 @@ def test_ngram_hot_shingle_cap_still_prunes(spark):
     # pruned; docs 0-7 share nothing else, so no pair among them
     assert all(not (a < 8 and b < 8) for a, b in pairs)
     assert (100, 101) in pairs
+
+
+# ---------------------------------------------------------------------
+# round 4: exact duplicate spans (substring-level dedup)
+# ---------------------------------------------------------------------
+
+SPAN_TEXTS = [
+    ("a", "the quick brown fox jumps over the lazy dog"),
+    ("b", "a different opening but the quick brown fox jumps too"),
+    ("c", "short doc"),
+    ("d", "the quick brown fox jumps again and the quick brown fox jumps"),
+]
+
+
+def _ref_spans(texts, w=5, min_count=2):
+    import re
+    from collections import Counter
+
+    grams = []
+    for did, t in texts:
+        ws = re.sub(r"\s+", " ", t.lower()).strip().split(" ")
+        if len(ws) < w:
+            continue
+        for i in range(len(ws) - w + 1):
+            grams.append((did, i, " ".join(ws[i : i + w])))
+    counts = Counter(g for _, _, g in grams)
+    return {
+        (did, i, g, counts[g]) for did, i, g in grams if counts[g] >= min_count
+    }
+
+
+def test_duplicate_spans_matches_reference(spark):
+    df = spark.createDataFrame(SPAN_TEXTS, "doc_id string, text string")
+    got = {
+        (r.doc_id, r.pos, r.span, r.n_occurrences)
+        for r in dedup.duplicate_spans(df, window=5, hash_spans=False).collect()
+    }
+    want = _ref_spans(SPAN_TEXTS)
+    assert got == want
+    # sanity: 'the quick brown fox jumps' occurs at a:0, b:5, d:0, d:7
+    assert ("d", 7, "the quick brown fox jumps", 4) in got
+
+
+def test_duplicate_spans_hashed_twin_lockstep(spark):
+    df = spark.createDataFrame(SPAN_TEXTS, "doc_id string, text string")
+    s = dedup.duplicate_spans(df, window=5, hash_spans=False)
+    h = dedup.duplicate_spans(df, window=5, hash_spans=True)
+    a = {(r.doc_id, r.pos, r.n_occurrences) for r in s.collect()}
+    b = {(r.doc_id, r.pos, r.n_occurrences) for r in h.collect()}
+    assert a == b
+
+
+def test_duplicate_spans_short_docs_and_min_count(spark):
+    df = spark.createDataFrame(SPAN_TEXTS, "doc_id string, text string")
+    # window longer than every doc -> nothing
+    assert dedup.duplicate_spans(df, window=50).count() == 0
+    # min_count=1 returns EVERY span occurrence
+    all_spans = dedup.duplicate_spans(df, window=5, min_count=1, hash_spans=False)
+    n_words = [len(t.split()) for _, t in SPAN_TEXTS if len(t.split()) >= 5]
+    assert all_spans.count() == sum(n - 4 for n in n_words)
