@@ -136,7 +136,48 @@ def family_ops(docs, vecs, queries, srcd, centroids):
             "token",
             k=99,
         ),
+        # round-4 family — substring-level dedup: ~40M posexploded span
+        # rows shuffle as int64 hashes into a map-side-combined groupBy
+        # + join back; THE explode-heaviest op in the engine, which is
+        # why it gets a 100×-scale reading and a plan snapshot
+        "dedup_duplicate_spans": lambda: dedup.duplicate_spans(docs, window=5),
+        # SemDeDup on a 50k-vec subset with a DATA-SAMPLED codebook
+        # (first 64 vectors — balanced Voronoi cells, the realistic
+        # SemDeDup flow; the sin-grid family_centroids put 99.9% of the
+        # uniform-random corpus into ONE cell, turning the per-cluster
+        # GEMM into a single 160-GFLOP task — a great skew probe, the
+        # wrong default benchmark). Per-cluster quadratic cost is the
+        # operator's real profile (~800 rows/cluster here).
+        "dedup_semantic": lambda: dedup.semantic_dedup(
+            vecs.filter(F.col("vec_id") % 4 == 0),
+            [
+                list(r["embedding"])
+                for r in vecs.orderBy("vec_id").limit(64).collect()
+            ],
+            threshold=0.95,
+        ),
+        # BPE encode throughput (the model is learned once, offline —
+        # learn_bpe's per-round cost is vocab-sized, not corpus-sized;
+        # what runs at corpus scale is the Arrow-batched encoder)
+        "tokenize_bpe_encode": lambda: _bpe_encode_op(docs),
     }
+
+
+def _bpe_encode_op(docs):
+    """BPE-encode the corpus under a fixed 40-merge table (the merge
+    list is a model input at encode time; a learned one has the same
+    encode cost profile). Output: (doc_id, n_bpe) so the noop sink
+    materializes every token array."""
+    from pyspark.sql import functions as F
+
+    from kglids_spark.operators import tokenizer as TK
+
+    # plausible merges over the hash-soup alphabet 'w' + digits
+    merges = [("w", str(d)) for d in range(10)] + [
+        (f"w{a}", str(b)) for a in range(10) for b in range(3)
+    ]
+    enc = TK.bpe_encode_udf(merges)
+    return docs.select("doc_id", F.size(enc(F.col("text"))).alias("n_bpe"))
 
 
 def main() -> None:
@@ -200,7 +241,12 @@ def main() -> None:
             build().write.mode("overwrite").format("noop").save()
             passes.append(round(time.time() - t0, 2))
         best = min(passes[1:])  # pass 0 pays codegen/JIT
-        unit_rows = VECS if name.startswith("ann") else DOCS
+        if name.startswith("ann"):
+            unit_rows = VECS
+        elif name == "dedup_semantic":
+            unit_rows = VECS // 4  # the 50k-vec subset it processes
+        else:
+            unit_rows = DOCS
         results[name] = {
             "sec_all": passes,
             "sec_best": best,

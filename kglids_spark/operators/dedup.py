@@ -921,31 +921,69 @@ def semantic_dedup(
     carry no evidence of duplication.
 
     Scale design: assignment is map-side (broadcast codebook — numpy
-    matmul beyond 16 centroids); the pair join is cluster-blocked, so
-    the shuffle key is the cluster id and no cross-cluster pair is ever
-    materialized. For clusters still too large, compose with an LSH
-    block (ann.lsh_bucket_expr) INSIDE the cluster — same join, key
-    (cluster, bucket) — exactly how embedding_near_dup_pairs's
-    block_col composes. The duplicate-id set is corpus-sized in the
-    worst case, so it stays a DataFrame (left_anti join), never a
-    driver collect."""
+    matmul beyond 16 centroids). The pruning stage shuffles each
+    cluster to ONE applyInPandas group and does the pairwise search as
+    a numpy normalize + GEMM (U @ U.T) on the cluster matrix — the
+    published algorithm's actual kernel. The first version expressed
+    the pair stage as a cluster-blocked self-join with a higher-order
+    cosine expression; at 50k vectors / 64 clusters (~19M pairs) that
+    ran >9 min because higher-order lambdas evaluate interpreted,
+    while the GEMM form finishes in seconds (the same lesson as round
+    3's per-gram re-split, measured by bench_families.py — this is
+    why the family bench exists). Only the DOOMED ids leave the
+    worker, so shuffle output is bounded by the duplicate mass. Each
+    cluster must fit one task's memory (m×m float32 scores): choose k
+    so m = n/k is ~10³-10⁴, and for stragglers compose an LSH block
+    (ann.lsh_bucket_expr) into the grouping key. The doomed-id set
+    stays a DataFrame (left_anti join), never a driver collect."""
+    import pandas as pd
+
     from kglids_spark.operators.ann import kmeans_assign
 
     assigned = kmeans_assign(df, centroids, vec_col=vec_col, out_col="_sem_cluster")
     in_cluster = assigned.filter(F.col("_sem_cluster").isNotNull())
-    pairs = embedding_near_dup_pairs(
-        in_cluster,
-        vec_col=vec_col,
-        id_col=id_col,
-        threshold=-2.0,  # threshold applied after rounding below
-        block_col="_sem_cluster",
-    )
-    # round before comparing so the decision is bit-stable across
-    # engines (the DuckDB oracle mirrors the same 5-dp rounding)
+
+    id_type = df.schema[id_col].dataType.simpleString()
+
+    def _doomed(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        if len(pdf) < 2:
+            return pd.DataFrame({"_doomed_id": pdf["_sid"][:0]})
+        order = np.argsort(pdf["_sid"].to_numpy(), kind="stable")
+        ids = pdf["_sid"].to_numpy()[order]
+        V = np.stack(pdf["_sv"].to_numpy()[order]).astype(np.float64)
+        norms = np.linalg.norm(V, axis=1, keepdims=True)
+        norms[norms == 0.0] = 1.0
+        U = V / norms
+        m = len(ids)
+        doomed = np.zeros(m, dtype=bool)
+        # blocked GEMM: score block memory capped at ~256 MB so a
+        # skewed giant cluster degrades to more block passes instead
+        # of an m×m allocation (m=50k would be a 20 GB matrix)
+        block = max(1, int(32_000_000 // m))
+        col_idx = np.arange(m)[None, :]
+        for s in range(0, m, block):
+            e = min(s + block, m)
+            S = U[s:e] @ U.T
+            # round before comparing so the decision is bit-stable
+            # across engines (the DuckDB oracle mirrors the same 5-dp
+            # rounding; GEMM vs per-pair summation differ only in the
+            # last ulps)
+            np.round(S, 5, out=S)
+            hit = (S >= threshold) & (col_idx > np.arange(s, e)[:, None])
+            doomed |= hit.any(axis=0)
+        return pd.DataFrame({"_doomed_id": ids[doomed]})
+
     doomed = (
-        pairs.filter(F.round("cosine", 5) >= threshold)
-        .select(F.col("id2").alias(id_col))
-        .distinct()
+        in_cluster.select(
+            F.col(id_col).alias("_sid"),
+            F.col(vec_col).alias("_sv"),
+            "_sem_cluster",
+        )
+        .groupBy("_sem_cluster")
+        .applyInPandas(_doomed, f"_doomed_id {id_type}")
+        .withColumnRenamed("_doomed_id", id_col)
     )
     return assigned.join(doomed, id_col, "left_anti").select(
         F.col(id_col), F.col("_sem_cluster").alias("cluster")
