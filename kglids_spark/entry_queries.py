@@ -3476,6 +3476,23 @@ def bpe_roundtrip(spark, sf_dir):
     )
 
 
+@register("documents_to_tokens")
+def documents_to_tokens(spark, sf_dir):
+    """The text -> tokens-table producer: raw documents through the
+    learned 30-merge tokenizer into EXACTLY the validation engine's
+    input shape (doc_id:string, tokens:array<int>, n_tok:int,
+    source:string). Token-id arrays are not SQL-expressible (greedy
+    iterative merges), so rows-only here; the ids are lockstep-pinned
+    by tests/test_tokenizer.py and the shape + n_tok consistency by
+    test_text_to_tokens_table_shape_and_consistency."""
+    from kglids_spark.operators import tokenizer as TK
+
+    d = _t(spark, sf_dir, "documents")
+    merges = _bpe_merges(spark, sf_dir)
+    vocab = TK.bpe_vocab(merges, TK.corpus_alphabet(d))
+    return TK.text_to_tokens_table(d, merges, vocab)
+
+
 @register("bpe_token_counts")
 def bpe_token_counts(spark, sf_dir):
     """(doc_id, n_bpe) under the 30-merge learned tokenizer. The token

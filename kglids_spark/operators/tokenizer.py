@@ -181,6 +181,99 @@ def bpe_encode_udf(merges: list[tuple[str, str]]):
     return _encode
 
 
+def corpus_alphabet(df: DataFrame, text_col: str = "text") -> list[str]:
+    """Sorted distinct characters of the corpus (excluding whitespace —
+    words are split before symbolization). One map-side-combined
+    explode→distinct; the result is alphabet-sized, not corpus-sized."""
+    rows = (
+        df.select(
+            F.explode(
+                F.filter(F.split(F.col(text_col), ""), lambda c: c != "")
+            ).alias("ch")
+        )
+        .filter(~F.col("ch").rlike(r"\s"))
+        .distinct()
+        .collect()
+    )
+    return sorted(r["ch"] for r in rows)
+
+
+UNK = "<unk>"
+
+
+def bpe_vocab(merges: list[tuple[str, str]], alphabet: list[str]) -> dict[str, int]:
+    """Token string → int32 id. GPT-2-style construction: <unk> at 0,
+    then the sorted alphabet (plus the end-of-word marker), then merge
+    products in rank order. Distinct merges can produce the same
+    surface string (("a","bc") and ("ab","c") both yield "abc"), so
+    first occurrence wins — encode always resolves one id per symbol."""
+    vocab: dict[str, int] = {UNK: 0}
+    for t in sorted(set(alphabet) | {EOW}):
+        if t not in vocab:
+            vocab[t] = len(vocab)
+    for a, b in merges:
+        t = a + b
+        if t not in vocab:
+            vocab[t] = len(vocab)
+    return vocab
+
+
+def bpe_encode_ids_udf(merges: list[tuple[str, str]], vocab: dict[str, int]):
+    """Arrow-batched text → array<int> token ids under ``vocab``
+    (bpe_vocab). Symbols outside the vocab (characters unseen at
+    vocab-construction time) map to <unk> = 0 — lossy only for those,
+    exactly like any fixed-vocab tokenizer."""
+    ranks = {pair: i for i, pair in enumerate(merges)}
+    unk = vocab[UNK]
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def _encode(texts: pd.Series) -> pd.Series:
+        cache: dict[str, list[int]] = {}
+
+        def one(t):
+            if t is None:
+                return None
+            out: list[int] = []
+            for w in t.split():
+                got = cache.get(w)
+                if got is None:
+                    got = cache[w] = [
+                        vocab.get(s, unk) for s in encode_word(w, ranks)
+                    ]
+                out.extend(got)
+            return out
+
+        return texts.map(one)
+
+    return _encode
+
+
+def text_to_tokens_table(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    vocab: dict[str, int],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str | None = "source",
+) -> DataFrame:
+    """Produce the validation engine's input shape — (doc_id:string,
+    tokens:array<int>, n_tok:int, source:string) — from a raw document
+    table: the engine both CONSUMES pre-tokenized sequences (validate)
+    and can now produce them (learn_bpe → bpe_vocab → this). Pure
+    map-side: one Arrow-batched encode pass, no shuffle."""
+    enc = bpe_encode_ids_udf(merges, vocab)
+    # n_tok derives from the materialized array in a SECOND projection
+    # step — inlining size(enc(text)) alongside enc(text) would invoke
+    # the encode UDF twice per row
+    out = df.select(
+        F.col(id_col).cast("string").alias("doc_id"),
+        enc(F.col(text_col)).alias("tokens"),
+        *([F.col(source_col).cast("string").alias("source")] if source_col else []),
+    ).withColumn("n_tok", F.size("tokens").cast("int"))
+    order = ["doc_id", "tokens", "n_tok"] + (["source"] if source_col else [])
+    return out.select(*order)
+
+
 def bpe_decode_expr(tokens_col) -> F.Column:
     """array<string> BPE tokens → text. Pure column expression: join,
     then each end-of-word marker becomes a space. Inverse of encode up

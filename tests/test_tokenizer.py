@@ -170,3 +170,73 @@ def test_semantic_dedup_keeps_null_vectors(spark):
     }
     assert 1 in got and got[1] is None  # null vector kept, NULL cluster
     assert 0 in got and 2 not in got  # 2 pruned as dup of 0
+
+
+# ---------------------------------------------------------------------
+# round 4: token-id encoding + the text -> tokens-table producer
+# ---------------------------------------------------------------------
+
+def test_bpe_vocab_construction_and_collisions():
+    merges = [("a", "b"), ("ab", "c"), ("b", "c"), ("a", "bc")]  # 'abc' twice
+    vocab = TK.bpe_vocab(merges, alphabet=["b", "a", "c"])
+    assert vocab[TK.UNK] == 0
+    # sorted alphabet next (EOW sorts among them), then merge products
+    assert set(vocab) == {TK.UNK, "a", "b", "c", TK.EOW, "ab", "abc", "bc"}
+    assert len(set(vocab.values())) == len(vocab)  # ids unique
+    assert vocab["ab"] < vocab["abc"] < vocab["bc"]  # rank order kept
+
+
+def test_encode_ids_lockstep_with_reference(docs):
+    merges = ref_learn(TEXTS, 12)
+    alphabet = TK.corpus_alphabet(docs)
+    vocab = TK.bpe_vocab(merges, alphabet)
+    enc = TK.bpe_encode_ids_udf(merges, vocab)
+    rows = docs.select("doc_id", "text", enc(F.col("text")).alias("ids")).collect()
+    for r in rows:
+        want = [vocab.get(s, 0) for s in ref_encode(r["text"], merges)]
+        assert list(r["ids"]) == want, r["doc_id"]
+
+
+def test_encode_ids_unseen_chars_map_to_unk(spark):
+    merges = ref_learn(TEXTS, 8)
+    vocab = TK.bpe_vocab(merges, alphabet=list("lownew"))
+    enc = TK.bpe_encode_ids_udf(merges, vocab)
+    df = spark.createDataFrame([("x", "low zq")], "doc_id string, text string")
+    ids = df.select(enc(F.col("text")).alias("ids")).collect()[0]["ids"]
+    # 'z' and 'q' are outside the alphabet -> unk(0); 'low'+EOW resolve
+    assert ids.count(0) == 2
+    assert all(i < len(vocab) for i in ids)
+
+
+def test_text_to_tokens_table_shape_and_consistency(docs):
+    merges = TK.learn_bpe(docs, n_merges=10)
+    vocab = TK.bpe_vocab(merges, TK.corpus_alphabet(docs))
+    tt = TK.text_to_tokens_table(docs, merges, vocab, source_col=None)
+    assert [f.name for f in tt.schema.fields] == ["doc_id", "tokens", "n_tok"]
+    assert tt.schema["tokens"].dataType.simpleString() == "array<int>"
+    rows = tt.collect()
+    assert all(r["n_tok"] == len(r["tokens"]) for r in rows if r["tokens"] is not None)
+    # the plan must invoke the encode UDF once, not once per reference
+    plan = tt._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("ArrowEvalPython") == 1
+
+
+def test_tokens_table_feeds_validate(spark, docs):
+    """Full circle: raw documents -> learned tokenizer -> the
+    input_hint tokens shape -> the constraint suite, green."""
+    from kglids_spark.operators import constraints as C
+    from kglids_spark.operators.validate import validate
+
+    merges = TK.learn_bpe(docs, n_merges=10)
+    vocab = TK.bpe_vocab(merges, TK.corpus_alphabet(docs))
+    src = docs.withColumn("source", F.lit("web"))
+    tt = TK.text_to_tokens_table(src, merges, vocab)
+    suite = [
+        C.not_null("doc_id"),
+        C.unique("doc_id"),
+        C.tok_len_consistency(),
+        C.referential("source", ["web"]),
+    ]
+    res = validate(tt, suite, n_buckets=4, kll_col=None)
+    verd = {r.constraint_id: bool(r.passed) for r in res.verdicts.collect()}
+    assert all(verd.values()), verd
