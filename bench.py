@@ -249,17 +249,23 @@ def _steady_pair_indices(
     would deflate it) — so it cannot bias the median's direction; it
     only removes pairs that do not measure the steady-state engine.
 
-    Falls back to the last pair when nothing qualifies (cannot happen
-    in practice: the pair containing both minima may straddle indices,
-    but each side's own minimum is within tol of itself, so the filter
-    is empty only on an empty series)."""
-    lo_min, hi_min = min(low_ts), min(high_ts)
-    idx = [
-        i
-        for i in range(len(low_ts))
-        if low_ts[i] <= lo_min * (1 + tol) and high_ts[i] <= hi_min * (1 + tol)
-    ]
-    return idx or [len(low_ts) - 1]
+    The predicate needs a COMMON index near both minima; when the two
+    sides' minima land on different passes and no pair is near both
+    (e.g. low=[10,20], high=[20,10]), the window would be empty — the
+    filter then WIDENS the tolerance (2×, then 4×, then everything)
+    until pairs qualify, and reports the tolerance actually used so a
+    degenerate series is visible in the artifact instead of silently
+    collapsing to one arbitrary pair. Returns (indices, tol_used)."""
+    for t in (tol, tol * 2, tol * 4):
+        lo_min, hi_min = min(low_ts), min(high_ts)
+        idx = [
+            i
+            for i in range(len(low_ts))
+            if low_ts[i] <= lo_min * (1 + t) and high_ts[i] <= hi_min * (1 + t)
+        ]
+        if idx:
+            return idx, t
+    return list(range(len(low_ts))), float("inf")
 
 
 def _scaling_measurement(
@@ -317,7 +323,7 @@ def _scaling_measurement(
                 break
             lo = [r["t"] for r in runs_low]
             hi = [r["t"] for r in runs_high]
-            n_converged = len(_steady_pair_indices(lo, hi))
+            n_converged = len(_steady_pair_indices(lo, hi)[0])
             still_descending = any(
                 ts[-1] <= min(ts) and (len(ts) < 2 or min(ts[:-1]) > ts[-1] * 1.05)
                 for ts in (lo, hi)
@@ -334,11 +340,12 @@ def _scaling_measurement(
         w_low.quit()
         w_high.quit()
 
-    steady = _steady_pair_indices(
+    steady, steady_tol = _steady_pair_indices(
         [r["t"] for r in runs_low], [r["t"] for r in runs_high]
     )
     convergence = {
         "steady_pair_indices": steady,
+        "steady_tol": steady_tol,
         "warmup_pairs_discarded": steady[0] if steady else 0,
         "mid_series_pairs_discarded": len(runs_low) - len(steady) - (steady[0] if steady else 0),
         "pairs_total": len(runs_low),

@@ -204,9 +204,12 @@ def main(argv: list[str] | None = None) -> int:
             dets_s, sep, dep = spec.partition("->")
             dets = [c.strip() for c in dets_s.split(",") if c.strip()]
             dep = dep.strip()
-            if not sep or not dets or not dep:
+            # '->' in dep means a second arrow ('a -> b -> c') — reject
+            # at parse time instead of a raw AnalysisException later
+            if not sep or not dets or not dep or "->" in dep:
                 raise SystemExit(
-                    f"--fd {spec!r}: expected 'det1,det2 -> dependent'"
+                    f"--fd {spec!r}: expected 'det1,det2 -> dependent' "
+                    "(exactly one '->')"
                 )
             suite.append(C.functional_dependency(dets, dep))
         if args.volume is not None:

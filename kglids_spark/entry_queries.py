@@ -3449,8 +3449,10 @@ def bpe_pair_counts(spark, sf_dir):
 
     d = _t(spark, sf_dir, "documents")
     vocab = TK.word_symbol_table(d)
-    counts = TK._pair_counts(vocab).withColumn(
-        "pair", F.regexp_replace("pair", "\x00", "\x01")
+    # display-only concat: the trainer itself carries (l, r) as two
+    # columns; \x01 ambiguity here affects only this projection
+    counts = TK._pair_counts(vocab).select(
+        F.concat_ws("\x01", "l", "r").alias("pair"), "n"
     )
     return counts.orderBy(F.desc("n"), F.asc("pair")).limit(20)
 

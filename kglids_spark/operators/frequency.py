@@ -84,6 +84,9 @@ def heavy_hitters(df: DataFrame, col: Column | str, k: int = 199) -> DataFrame:
         .collect()[0]["t"]
     ) or 0
     if total == 0:
+        from kglids_spark.operators.dedup import _release_local_checkpoints
+
+        _release_local_checkpoints([summaries])
         return items.sparkSession.createDataFrame([], "item string, n long")
     candidates = summaries.filter(F.col("item").isNotNull()).select("item").distinct()
     counted = (
@@ -91,4 +94,15 @@ def heavy_hitters(df: DataFrame, col: Column | str, k: int = 199) -> DataFrame:
         .groupBy("item")
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    return counted.filter(F.col("n") > F.lit(total) / F.lit(k + 1))
+    out = counted.filter(F.col("n") > F.lit(total) / F.lit(k + 1))
+    # the RESULT is ≤ k items by the n/(k+1) threshold (only the
+    # distributed candidate set is unbounded), so it materializes here
+    # — which lets the eager checkpoint above release instead of
+    # pinning executor storage for the session lifetime (one leaked
+    # summary RDD per profiled column, in the per-column driver
+    # pattern)
+    rows = [(r["item"], r["n"]) for r in out.collect()]
+    from kglids_spark.operators.dedup import _release_local_checkpoints
+
+    _release_local_checkpoints([summaries])
+    return items.sparkSession.createDataFrame(rows, "item string, n long")

@@ -91,24 +91,17 @@ def pack_sequences(
         .agg(F.sum(n_tok_col).alias("_bucket_tokens"))
         .collect()
     )
-    # phase 2: driver-side running offsets — sorted numpy exclusive
-    # cumsum over the observed buckets (no Python loop: at the 2^20
-    # buckets the 10^12-row sizing recommends this would be a
-    # million-iteration driver loop; see test_packing large-bucket
-    # property test)
-    import numpy as np
+    # phase 2: driver-side running offsets over the observed buckets
+    # (plans/offsets.py — sorted numpy exclusive cumsum, no Python
+    # loop; see test_packing large-bucket property test)
+    from kglids_spark.plans.offsets import exclusive_offsets
 
-    bs = np.array([r._pack_bucket for r in totals], dtype=np.int64)
-    ts = np.array([int(r._bucket_tokens or 0) for r in totals], dtype=np.int64)
-    order = np.argsort(bs)
-    bs, ts = bs[order], ts[order]
-    excl = np.concatenate(([0], np.cumsum(ts)[:-1]))
+    offs = exclusive_offsets(
+        [(r._pack_bucket, int(r._bucket_tokens or 0)) for r in totals]
+    )
     spark = df.sparkSession
     off_df = F.broadcast(
-        spark.createDataFrame(
-            [(int(b), int(o)) for b, o in zip(bs, excl)],
-            "_pack_bucket int, _bucket_offset long",
-        )
+        spark.createDataFrame(offs, "_pack_bucket int, _bucket_offset long")
     )
 
     # phase 3: intra-bucket exclusive running sum (parallel windows)

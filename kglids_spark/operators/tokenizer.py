@@ -33,6 +33,8 @@ list (n_merges rows, the model itself).
 
 from __future__ import annotations
 
+import re
+
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -41,6 +43,18 @@ from pyspark.sql import types as T
 # End-of-word marker, the Sennrich-style suffix form. Chosen outside
 # any plausible corpus alphabet; decode replaces it with a space.
 EOW = "▁"  # ▁ (same codepoint sentencepiece uses)
+
+# Java/Spark `\s` is the ASCII class [ \t\n\x0B\f\r]; Python's
+# str.split() splits on UNICODE whitespace (U+00A0, U+2007, ...),
+# which would make the Arrow-side encoders segment words differently
+# from the Spark-side trainer/normalizer (a doc containing a
+# non-breaking space would violate the roundtrip invariant). Both
+# sides use this one class.
+_WS_RE = re.compile("[ \t\n\x0b\f\r]+")
+
+
+def _py_words(t: str) -> list[str]:
+    return [w for w in _WS_RE.split(t) if w]
 
 
 def word_symbol_table(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -66,7 +80,12 @@ def word_symbol_table(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def _pair_counts(vocab: DataFrame) -> DataFrame:
-    """Adjacent-symbol-pair counts weighted by word frequency.
+    """(l, r, n): adjacent-symbol-pair counts weighted by word
+    frequency. The pair rides as TWO columns, never a
+    separator-concatenated string — a corpus symbol containing the
+    separator would otherwise parse back into a merge that was never
+    counted (display layers that need one column concat with their own
+    separator and own that ambiguity).
 
     zip_with(arr, slice) forms the adjacent pairs map-side; the only
     shuffle is the pair-keyed partial aggregation (pairs ≤ alphabet²,
@@ -74,12 +93,12 @@ def _pair_counts(vocab: DataFrame) -> DataFrame:
     pairs = F.zip_with(
         F.slice(F.col("syms"), 1, F.size("syms") - 1),
         F.slice(F.col("syms"), 2, F.size("syms") - 1),
-        lambda a, b: F.concat(a, F.lit("\x00"), b),
+        lambda a, b: F.struct(a.alias("l"), b.alias("r")),
     )
     return (
         vocab.filter(F.size("syms") >= 2)
-        .select(F.explode(pairs).alias("pair"), "count")
-        .groupBy("pair")
+        .select(F.explode(pairs).alias("p"), "count")
+        .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
         .agg(F.sum("count").alias("n"))
     )
 
@@ -116,25 +135,39 @@ def learn_bpe(
 ) -> list[tuple[str, str]]:
     """Learn ``n_merges`` BPE merges from the corpus; returns them in
     rank order. Deterministic: argmax ties break lexicographically on
-    the pair, so two cluster sizes learn identical merges."""
+    the (l, r) pair — the pure-Python tuple order — so two cluster
+    sizes learn identical merges."""
+    from kglids_spark.operators.dedup import _release_local_checkpoints
+
     vocab = word_symbol_table(df, text_col).localCheckpoint()
+    checkpoints = [vocab]
     merges: list[tuple[str, str]] = []
-    for r in range(n_merges):
-        top = (
-            _pair_counts(vocab)
-            .orderBy(F.desc("n"), F.asc("pair"))
-            .limit(1)
-            .collect()
-        )
-        if not top:
-            break
-        left, right = top[0]["pair"].split("\x00", 1)
-        merges.append((left, right))
-        vocab = vocab.withColumn("syms", _merge_pair_udf(left, right)(F.col("syms")))
-        if (r + 1) % checkpoint_every == 0:
-            # truncate lineage: without this, round N's plan replays
-            # every previous merge UDF N times over
-            vocab = vocab.localCheckpoint()
+    try:
+        for r in range(n_merges):
+            top = (
+                _pair_counts(vocab)
+                .orderBy(F.desc("n"), F.asc("l"), F.asc("r"))
+                .limit(1)
+                .collect()
+            )
+            if not top:
+                break
+            left, right = top[0]["l"], top[0]["r"]
+            merges.append((left, right))
+            vocab = vocab.withColumn(
+                "syms", _merge_pair_udf(left, right)(F.col("syms"))
+            )
+            if (r + 1) % checkpoint_every == 0:
+                # truncate lineage: without this, round N's plan replays
+                # every previous merge UDF N times over. The new
+                # checkpoint materializes here, so the superseded one
+                # releases immediately instead of pinning executor
+                # storage for the session lifetime
+                vocab = vocab.localCheckpoint()
+                _release_local_checkpoints(checkpoints)
+                checkpoints = [vocab]
+    finally:
+        _release_local_checkpoints(checkpoints)
     return merges
 
 
@@ -169,7 +202,7 @@ def bpe_encode_udf(merges: list[tuple[str, str]]):
             if t is None:
                 return None
             out: list[str] = []
-            for w in t.split():
+            for w in _py_words(t):
                 got = cache.get(w)
                 if got is None:
                     got = cache[w] = encode_word(w, ranks)
@@ -234,7 +267,7 @@ def bpe_encode_ids_udf(merges: list[tuple[str, str]], vocab: dict[str, int]):
             if t is None:
                 return None
             out: list[int] = []
-            for w in t.split():
+            for w in _py_words(t):
                 got = cache.get(w)
                 if got is None:
                     got = cache[w] = [

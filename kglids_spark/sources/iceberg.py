@@ -108,11 +108,25 @@ class IcebergTableStore:
         ).collect()
         return str(rows[0][0]) if rows else None
 
-    def _writer(self, df: DataFrame, table: str, bucket_by: tuple[int, str] | None):
+    def _writer(
+        self,
+        df: DataFrame,
+        table: str,
+        bucket_by: tuple[int, str] | None,
+        partition_by: list[str] | None = None,
+    ):
+        """All partition transforms go through ONE partitionedBy call:
+        DataFrameWriterV2.partitionedBy REPLACES the writer's
+        partitioning on each call, so a second call for identity
+        columns would silently drop a previously-set bucket transform."""
         w = df.writeTo(self._fq(table))
+        transforms = []
         if bucket_by is not None:
             n, col = bucket_by
-            w = w.partitionedBy(F.bucket(n, F.col(col)))
+            transforms.append(F.bucket(n, F.col(col)))
+        transforms.extend(F.col(c) for c in (partition_by or []))
+        if transforms:
+            w = w.partitionedBy(*transforms)
         return w
 
     def append(
@@ -129,10 +143,7 @@ class IcebergTableStore:
         column; plain ``partition_by`` columns map to identity
         transforms."""
         if not self.exists(table):
-            w = self._writer(df, table, bucket_by)
-            if partition_by:
-                w = w.partitionedBy(*[F.col(c) for c in partition_by])
-            w.create()
+            self._writer(df, table, bucket_by, partition_by).create()
         else:
             df.writeTo(self._fq(table)).append()
         return self.snapshot_id(table)

@@ -41,8 +41,10 @@ def _exact(df, k):
 
 def test_heavy_hitters_2k_partitions_no_candidate_collect(spark, skewed, monkeypatch):
     """At ≥2k partitions the MG candidate union is ~(k+1)×2048 rows —
-    it must never round-trip through the driver. Every .collect() made
-    by the operator must be the 1-row scalar total."""
+    it must never round-trip through the driver. The operator may
+    collect only the 1-row scalar total and the FINAL result (≤ k
+    items by the n/(k+1) threshold — materialized so the eager
+    summary checkpoint can release)."""
     expected = _exact(skewed, 49)  # oracle computed BEFORE patching
     wide = skewed.repartition(2048)
 
@@ -64,9 +66,10 @@ def test_heavy_hitters_2k_partitions_no_candidate_collect(spark, skewed, monkeyp
 
     assert got == expected
     assert collected_sizes, "operator made no driver action at all?"
-    assert max(collected_sizes) <= 1, (
+    assert max(collected_sizes) <= 49, (
         f"heavy_hitters collected {max(collected_sizes)} rows to the driver; "
-        "only the 1-row total aggregate is allowed"
+        "only the 1-row total and the ≤k-row result are allowed — a "
+        "candidate-union collect would be ~(k+1)×2048 rows here"
     )
 
 
@@ -358,7 +361,7 @@ def test_steady_pairs_discard_warmup_prefix():
     low = [169.0, 150.0, 130.0, 110.0, 106.0, 104.0]
     high = [102.0, 80.0, 60.0, 45.0, 38.0, 37.0]
     # low converges at index 3 (110 <= 1.15*104) but high only at 4
-    assert bench._steady_pair_indices(low, high) == [4, 5]
+    assert bench._steady_pair_indices(low, high) == ([4, 5], 0.15)
 
 
 def test_steady_pairs_flat_series_keep_everything():
@@ -366,7 +369,7 @@ def test_steady_pairs_flat_series_keep_everything():
 
     low = [100.0, 101.0, 99.0, 100.5]
     high = [25.0, 26.0, 25.5, 25.2]
-    assert bench._steady_pair_indices(low, high) == [0, 1, 2, 3]
+    assert bench._steady_pair_indices(low, high) == ([0, 1, 2, 3], 0.15)
 
 
 def test_steady_pairs_never_empty():
@@ -376,7 +379,7 @@ def test_steady_pairs_never_empty():
     # the last pair is still returned so the window is never empty
     low = [100.0, 80.0, 60.0, 40.0]
     high = [100.0, 80.0, 60.0, 40.0]
-    assert bench._steady_pair_indices(low, high) == [3]
+    assert bench._steady_pair_indices(low, high) == ([3], 0.15)
 
 
 def test_steady_pairs_drop_mid_series_spike_high_side():
@@ -388,7 +391,7 @@ def test_steady_pairs_drop_mid_series_spike_high_side():
     # per-pair filtering excludes exactly it.
     low = [140.0, 100.0, 102.0, 101.0, 100.5]
     high = [60.0, 30.0, 31.0, 55.0, 30.5]
-    assert bench._steady_pair_indices(low, high) == [1, 2, 4]
+    assert bench._steady_pair_indices(low, high) == ([1, 2, 4], 0.15)
 
 
 def test_steady_pairs_drop_mid_series_spike_low_side_symmetric():
@@ -398,4 +401,22 @@ def test_steady_pairs_drop_mid_series_spike_low_side_symmetric():
     # dropped by the same predicate — the filter cannot bias upward
     low = [100.0, 100.0, 140.0, 100.0]
     high = [30.0, 30.0, 30.0, 30.0]
-    assert bench._steady_pair_indices(low, high) == [0, 1, 3]
+    assert bench._steady_pair_indices(low, high) == ([0, 1, 3], 0.15)
+
+
+def test_steady_pairs_disjoint_minima_widen_tolerance():
+    import bench
+
+    # each side's minimum on a different pass with nothing near both:
+    # the filter widens tol (and reports it) instead of returning one
+    # arbitrary pair mislabeled as converged
+    low = [10.0, 20.0]
+    high = [20.0, 10.0]
+    idx, tol = bench._steady_pair_indices(low, high)
+    assert idx  # never empty
+    assert tol > 0.15 or idx == [0, 1]
+    # fully pathological: widening saturates to every pair + inf marker
+    low2 = [10.0, 100.0]
+    high2 = [100.0, 10.0]
+    idx2, tol2 = bench._steady_pair_indices(low2, high2)
+    assert idx2 == [0, 1] and tol2 == float("inf")

@@ -130,8 +130,7 @@ def test_pair_counts_weighted_by_frequency(spark):
     )
     vocab = TK.word_symbol_table(df)
     counts = {
-        tuple(r["pair"].split("\x00")): r["n"]
-        for r in TK._pair_counts(vocab).collect()
+        (r["l"], r["r"]): r["n"] for r in TK._pair_counts(vocab).collect()
     }
     assert counts[("a", "b")] == 4  # 'ab' occurs 4 times corpus-wide
     assert counts[("b", TK.EOW)] == 4
@@ -240,3 +239,21 @@ def test_tokens_table_feeds_validate(spark, docs):
     res = validate(tt, suite, n_buckets=4, kll_col=None)
     verd = {r.constraint_id: bool(r.passed) for r in res.verdicts.collect()}
     assert all(verd.values()), verd
+
+
+def test_unicode_whitespace_word_segmentation_consistent(spark):
+    """Java \\s (trainer/normalizer) is ASCII-only; the Arrow encoders
+    must segment identically, so a non-breaking space is WORD CONTENT
+    on both sides and the roundtrip invariant survives it."""
+    nbsp_doc = "lo w low"
+    df = spark.createDataFrame([("n1", nbsp_doc)], "doc_id string, text string")
+    merges = TK.learn_bpe(df, n_merges=6)
+    # the NBSP 'word' enters the trainer vocabulary intact
+    words = {r["word"] for r in TK.word_symbol_table(df).collect()}
+    assert "lo w" in words
+    rows = TK.bpe_roundtrip(df, merges).collect()
+    assert rows and all(r["ok"] for r in rows)
+    # and the encoder emits NBSP inside symbols, not as a split point
+    enc = TK.bpe_encode_udf(merges)
+    toks = df.select(enc(F.col("text")).alias("t")).collect()[0]["t"]
+    assert "".join(toks).count(TK.EOW) == 2  # exactly two words
