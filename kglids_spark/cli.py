@@ -102,6 +102,27 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--input", required=True)
     p.add_argument("--exact", action="store_true")
 
+    tk = sub.add_parser(
+        "tokenize",
+        help="learn a BPE tokenizer on a document table and write the "
+        "validation engine's tokens input shape "
+        "(doc_id, tokens:array<int>, n_tok, source)",
+    )
+    tk.add_argument("--input", required=True, help="parquet of documents")
+    tk.add_argument("--out", required=True, help="tokens parquet output")
+    tk.add_argument("--text-col", default="text")
+    tk.add_argument("--id-col", default="doc_id")
+    tk.add_argument(
+        "--source-col",
+        default=None,
+        help="column copied through as 'source' (omitted if absent)",
+    )
+    tk.add_argument("--merges", type=int, default=200)
+    tk.add_argument(
+        "--vocab-out", default=None, help="optional JSON file for the vocab + merges"
+    )
+    tk.add_argument("--cpus", type=int, default=None)
+
     q = sub.add_parser(
         "sql",
         help="ad-hoc Spark SQL over a directory of parquet tables "
@@ -246,6 +267,39 @@ def main(argv: list[str] | None = None) -> int:
             .collect()
         }
         print(json.dumps({"metrics": res.metrics, "verdict_summary": summary}, default=str))
+        return 0
+
+    if args.cmd == "tokenize":
+        from kglids_spark.operators import tokenizer as TK
+
+        df = spark.read.parquet(args.input)
+        merges = TK.learn_bpe(df, text_col=args.text_col, n_merges=args.merges)
+        vocab = TK.bpe_vocab(merges, TK.corpus_alphabet(df, args.text_col))
+        tt = TK.text_to_tokens_table(
+            df,
+            merges,
+            vocab,
+            text_col=args.text_col,
+            id_col=args.id_col,
+            source_col=args.source_col,
+        )
+        tt.write.mode("overwrite").parquet(args.out)
+        if args.vocab_out:
+            with open(args.vocab_out, "w") as f:
+                json.dump(
+                    {"merges": [list(m) for m in merges], "vocab": vocab}, f
+                )
+        n = spark.read.parquet(args.out).count()
+        print(
+            json.dumps(
+                {
+                    "written": args.out,
+                    "rows": n,
+                    "n_merges": len(merges),
+                    "vocab_size": len(vocab),
+                }
+            )
+        )
         return 0
 
     if args.cmd == "profile":

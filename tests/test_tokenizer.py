@@ -257,3 +257,59 @@ def test_unicode_whitespace_word_segmentation_consistent(spark):
     enc = TK.bpe_encode_udf(merges)
     toks = df.select(enc(F.col("text")).alias("t")).collect()[0]["t"]
     assert "".join(toks).count(TK.EOW) == 2  # exactly two words
+
+
+def test_full_training_data_pipeline_composes(spark):
+    """The LLM-data story end-to-end in ONE lazy-where-possible chain:
+    raw documents -> C4 line cleaning -> exact dedup -> learned BPE ->
+    the tokens input shape -> constraint validation -> sequence
+    packing -> train/val/test split. Every stage is an operator this
+    engine ships; this pins that they COMPOSE (schemas line up, no
+    stage breaks another's columns)."""
+    from kglids_spark.operators import constraints as C
+    from kglids_spark.operators import dedup as D
+    from kglids_spark.operators import text as TX
+    from kglids_spark.operators.packing import pack_sequences
+    from kglids_spark.operators.sampling import split_assignment
+    from kglids_spark.operators.validate import validate
+
+    raw = [
+        ("d0", "the quick brown fox jumps over the lazy dog.\nok", "web"),
+        ("d1", "the quick brown fox jumps over the lazy dog.\nok", "web"),  # dup of d0
+        ("d2", "a solid sentence with enough words to keep here.\nnoise", "web"),
+        ("d3", "short", "books"),  # no line survives C4
+        ("d4", "packing needs documents of several words to fill bins.", "books"),
+    ]
+    docs = spark.createDataFrame(raw, "doc_id string, text string, source string")
+
+    # 1. C4 clean; drop docs with no surviving lines
+    clean = TX.c4_line_filter(docs).filter(F.col("n_kept") > 0)
+    # 2. exact dedup on the CLEANED text: keep lowest doc_id per group
+    groups = D.exact_duplicates(clean, text_col="text_clean")
+    doomed = groups.select(
+        F.explode(F.expr("slice(doc_ids, 2, size(doc_ids) - 1)")).alias("doc_id")
+    )
+    deduped = clean.join(doomed, "doc_id", "left_anti")
+    # 3. learn BPE on the surviving corpus, emit the tokens shape
+    merges = TK.learn_bpe(deduped, text_col="text_clean", n_merges=20)
+    vocab = TK.bpe_vocab(merges, TK.corpus_alphabet(deduped, "text_clean"))
+    tokens = TK.text_to_tokens_table(
+        deduped, merges, vocab, text_col="text_clean"
+    )
+    # 4. validate the produced table
+    res = validate(
+        tokens,
+        [C.not_null("doc_id"), C.unique("doc_id"), C.tok_len_consistency(),
+         C.volume(1, 10)],
+        n_buckets=4,
+        kll_col=None,
+    )
+    verd = {r.constraint_id: bool(r.passed) for r in res.verdicts.collect()}
+    assert all(verd.values()), verd
+    # 5. pack into 64-token bins and split
+    packed = pack_sequences(tokens, 64)
+    final = split_assignment(packed, ["doc_id"])
+    rows = final.collect()
+    assert {r["doc_id"] for r in rows} == {"d0", "d2", "d4"}
+    assert all(r["split"] in ("train", "val", "test") for r in rows)
+    assert all(r["bin_id"] >= 0 for r in rows)
