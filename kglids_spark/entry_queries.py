@@ -3352,6 +3352,42 @@ _DUP_SPANS_SQL = """
 """
 
 
+_DUP_SPAN_FRACTION_SQL = """
+    WITH toks AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS arr
+      FROM documents),
+    tot AS (
+      SELECT doc_id, GREATEST(len(arr) - 4, 0) AS n_spans FROM toks),
+    grams AS (
+      SELECT doc_id, array_to_string(arr[i:i+4], ' ') AS span
+      FROM toks, unnest(range(1, len(arr) - 5 + 2)) u(i)
+      WHERE len(arr) >= 5),
+    dup AS (SELECT span FROM grams GROUP BY span HAVING COUNT(*) >= 2),
+    per AS (
+      SELECT doc_id, COUNT(*)::BIGINT AS n_dup
+      FROM grams JOIN dup USING (span) GROUP BY doc_id)
+    SELECT t.doc_id,
+           t.n_spans::INT AS n_spans,
+           COALESCE(p.n_dup, 0)::BIGINT AS n_dup_spans,
+           CASE WHEN t.n_spans > 0
+                THEN COALESCE(p.n_dup, 0)::DOUBLE / t.n_spans
+                ELSE 0.0 END AS dup_fraction
+    FROM tot t LEFT JOIN per p USING (doc_id)
+"""
+
+
+@register("dup_span_fraction_docs", _DUP_SPAN_FRACTION_SQL)
+def dup_span_fraction_docs(spark, sf_dir):
+    """Per-document duplicated-span share (the Gopher/Dolma-style
+    'duplicate n-gram fraction' filter signal), value-exact including
+    the raw IEEE fraction — string spans for bit-portability; the
+    hashed production path shares the lockstep-pinned duplicate_spans
+    core."""
+    d = _t(spark, sf_dir, "documents")
+    return dedup.dup_span_fraction(d, window=5, hash_spans=False)
+
+
 @register("duplicate_spans_docs", _DUP_SPANS_SQL)
 def duplicate_spans_docs(spark, sf_dir):
     """Exact duplicate-span detection (Lee et al. 2022 substring

@@ -900,6 +900,62 @@ def duplicate_spans(
     )
 
 
+def dup_span_fraction(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 5,
+    min_count: int = 2,
+    hash_spans: bool = True,
+) -> DataFrame:
+    """(id, n_spans, n_dup_spans, dup_fraction) per document — the
+    filter signal pipelines actually threshold on ("drop docs whose
+    duplicated-span share exceeds X", the document-level form of Lee
+    et al.'s substring dedup; Gopher/Dolma use the same shape as
+    'duplicate n-gram fraction').
+
+    Same two-scan plan as duplicate_spans plus one per-doc aggregation
+    of the (small) duplicated-occurrence stream; docs shorter than
+    ``window`` words have no spans and report fraction 0.0 over 0
+    spans. Left join keeps duplicate-free docs with n_dup_spans = 0."""
+    base = df.select(
+        F.col(id_col).alias("id"), split_words(text_col).alias("_ws")
+    )
+    totals = base.select(
+        "id",
+        F.greatest(F.size("_ws") - (window - 1), F.lit(0)).alias("n_spans"),
+    )
+    per_doc = (
+        duplicate_spans(
+            df,
+            text_col=text_col,
+            id_col=id_col,
+            window=window,
+            min_count=min_count,
+            hash_spans=hash_spans,
+        )
+        .groupBy(F.col(id_col).alias("id"))
+        .agg(F.count(F.lit(1)).alias("n_dup_spans"))
+    )
+    return (
+        totals.join(per_doc, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            "n_spans",
+            F.coalesce("n_dup_spans", F.lit(0)).alias("n_dup_spans"),
+            # raw IEEE division, no rounding: int/int under 2^53 is
+            # correctly-rounded float64, bit-identical across engines
+            F.when(
+                F.col("n_spans") > 0,
+                F.coalesce("n_dup_spans", F.lit(0)).cast("double")
+                / F.col("n_spans"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("dup_fraction"),
+        )
+    )
+
+
 def semantic_dedup(
     df: DataFrame,
     centroids: list[list[float]],

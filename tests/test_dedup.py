@@ -198,3 +198,21 @@ def test_duplicate_spans_short_docs_and_min_count(spark):
     all_spans = dedup.duplicate_spans(df, window=5, min_count=1, hash_spans=False)
     n_words = [len(t.split()) for _, t in SPAN_TEXTS if len(t.split()) >= 5]
     assert all_spans.count() == sum(n - 4 for n in n_words)
+
+
+def test_dup_span_fraction(spark):
+    df = spark.createDataFrame(SPAN_TEXTS, "doc_id string, text string")
+    got = {
+        r.doc_id: (r.n_spans, r.n_dup_spans, r.dup_fraction)
+        for r in dedup.dup_span_fraction(df, window=5, hash_spans=False).collect()
+    }
+    ref = _ref_spans(SPAN_TEXTS)
+    from collections import Counter
+    per = Counter(d for d, _, _, _ in ref)
+    for did, t in SPAN_TEXTS:
+        n = max(len(t.split()) - 4, 0)
+        nd = per.get(did, 0)
+        want = (n, nd, (nd / n) if n else 0.0)
+        assert got[did] == want, (did, got[did], want)
+    # doc 'c' is shorter than the window: zero spans, fraction 0.0
+    assert got["c"] == (0, 0, 0.0)
