@@ -160,6 +160,61 @@ def windowed_event_counts(
     )
 
 
+def fd_monitor_stream(
+    rows_stream: DataFrame,
+    determinant: str,
+    dependent: str,
+) -> DataFrame:
+    """Incremental functional-dependency monitor: per determinant key,
+    stateful (lo, hi) bounds over the non-null dependent values seen so
+    far (applyInPandasWithState) — a violation surfaces the moment any
+    batch makes lo != hi, INCLUDING cross-batch contradictions the
+    per-batch twin (constraints.fd_violating_groups on the batch) cannot
+    see. Emits (determinant, violated, n_rows) updates per key per
+    batch; state per key is two strings, so memory is
+    O(distinct determinants), the same bound the batch evaluator's
+    groupBy carries.
+
+    This is the streaming face of the batch ``fd`` constraint kind
+    (validate.py) — the batch path re-evaluates globally per run; this
+    localizes WHICH ingestion batch first broke the dependency. NULL
+    determinants: Spark's groupBy-with-state keys NULL like GROUP BY,
+    matching the batch semantics; NULL dependents carry no evidence and
+    are filtered before grouping."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def fn(key, pdfs, state):
+        lo, hi, n = state.get if state.exists else (None, None, 0)
+        for pdf in pdfs:
+            vals = pdf[dependent].dropna()
+            n += len(pdf)
+            if len(vals):
+                bmin, bmax = str(vals.min()), str(vals.max())
+                lo = bmin if lo is None or bmin < lo else lo
+                hi = bmax if hi is None or bmax > hi else hi
+        state.update((lo, hi, n))
+        yield pd.DataFrame(
+            {
+                determinant: [key[0]],
+                "violated": [lo is not None and lo != hi],
+                "n_rows": [n],
+            }
+        )
+
+    src = rows_stream.filter(F.col(dependent).isNotNull()).select(
+        F.col(determinant), F.col(dependent).cast("string").alias(dependent)
+    )
+    det_type = rows_stream.schema[determinant].dataType.simpleString()
+    return src.groupBy(determinant).applyInPandasWithState(
+        fn,
+        outputStructType=f"{determinant} {det_type}, violated boolean, n_rows long",
+        stateStructType="lo string, hi string, n long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def drift_monitor_stream(
     spark: SparkSession,
     input_dir: str,

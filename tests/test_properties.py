@@ -190,3 +190,60 @@ def test_misra_gries_sentinel_totals_are_exact(partitions, k):
             out.loc[out["item"].isna(), "mg_count"].sum()
         )
     assert total_from_sentinels == sum(len(p) for p in partitions)
+
+
+# ---------------------------------------------------------------------
+# round 4: BPE greedy-encode losslessness + vocab law; offset law
+# ---------------------------------------------------------------------
+
+from kglids_spark.operators.tokenizer import EOW, UNK, bpe_vocab, encode_word
+from kglids_spark.plans.offsets import exclusive_offsets
+
+_sym = st.text(alphabet="abcd", min_size=1, max_size=3)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.text(alphabet="abcd", min_size=1, max_size=12),
+    st.lists(st.tuples(_sym, _sym), max_size=20),
+)
+def test_encode_word_lossless_under_any_merge_table(word, merges):
+    """Greedy BPE must be lossless for EVERY merge table, not just
+    learned ones: the concatenated symbols reproduce word+EOW."""
+    ranks = {m: i for i, m in enumerate(dict.fromkeys(merges))}
+    syms = encode_word(word, ranks)
+    assert "".join(syms) == word + EOW
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(st.tuples(_sym, _sym), max_size=25))
+def test_bpe_vocab_laws(merges):
+    vocab = bpe_vocab(merges, alphabet=list("abcd"))
+    assert vocab[UNK] == 0
+    # ids are dense 0..len-1 and unique
+    assert sorted(vocab.values()) == list(range(len(vocab)))
+    # every alphabet symbol + EOW resolvable
+    for s in list("abcd") + [EOW]:
+        assert s in vocab
+    # every merge product resolvable (encode never hits unk for
+    # alphabet-only words under this vocab)
+    for a, b in merges:
+        assert a + b in vocab
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.dictionaries(
+        st.integers(min_value=0, max_value=10**6),
+        st.integers(min_value=0, max_value=10**9),
+        max_size=200,
+    )
+)
+def test_exclusive_offsets_law(counts):
+    pairs = list(counts.items())
+    out = exclusive_offsets(pairs)
+    assert [b for b, _ in out] == sorted(counts)
+    running = 0
+    for b, off in out:
+        assert off == running
+        running += counts[b]

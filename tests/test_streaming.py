@@ -187,3 +187,53 @@ def test_drift_monitor_stream_flags_shifted_batch(spark, tmp_path):
     # spot-check one epoch's stats against the batch computation
     r0 = sorted(rows, key=lambda r: r.epoch)[0]
     assert 0.0 <= r0.ks <= 1.0 and r0.psi >= 0.0
+
+
+def test_fd_monitor_stream_matches_batch_and_crosses_batches(spark, tmp_path):
+    """The stateful FD monitor must (a) agree with the batch evaluator
+    on the final violated set, and (b) catch a dependency broken ONLY
+    across micro-batches (batch 1 says a->x, batch 2 says a->y)."""
+    from kglids_spark.operators import constraints as C
+    from kglids_spark.streaming.incremental import fd_monitor_stream
+
+    b1 = spark.createDataFrame(
+        [("a", "x"), ("b", "u"), ("c", None)], "det string, dep string"
+    )
+    b2 = spark.createDataFrame(
+        [("a", "y"), ("b", "u"), ("d", "w")], "det string, dep string"
+    )
+    src = str(tmp_path / "fd_in")
+    # two files -> two (or one) micro-batches; availableNow drains all
+    b1.coalesce(1).write.mode("overwrite").parquet(src)
+    b2.coalesce(1).write.mode("append").parquet(src)
+    stream = spark.readStream.schema(b1.schema).parquet(src)
+    q = (
+        fd_monitor_stream(stream, "det", "dep")
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("fd_state")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {
+        r["det"]: r["violated"]
+        for r in spark.sql(
+            "SELECT det, violated FROM ("
+            "  SELECT det, violated,"
+            "         row_number() OVER (PARTITION BY det ORDER BY n_rows DESC) rn"
+            "  FROM fd_state) WHERE rn = 1"
+        ).collect()
+    }
+    # batch twin over the union
+    both = b1.unionByName(b2)
+    want_bad = {
+        r["det"]
+        for r in C.fd_violating_groups(
+            both, C.functional_dependency(["det"], "dep")
+        ).collect()
+    }
+    assert want_bad == {"a"}  # broken only across batches
+    assert {d for d, v in got.items() if v} == want_bad
+    assert got.get("b") is False and got.get("d") is False
+    assert "c" not in got  # all-null dependent: no FD evidence
