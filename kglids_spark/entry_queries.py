@@ -3352,6 +3352,43 @@ _DUP_SPANS_SQL = """
 """
 
 
+_CORPUS_LINE_DEDUP_SQL = """
+    WITH arrs AS (
+      SELECT doc_id, string_split(text, chr(10)) AS arr FROM documents),
+    lines AS (
+      SELECT doc_id, i - 1 AS pos, arr[i] AS line
+      FROM arrs, unnest(range(1, len(arr) + 1)) u(i)),
+    surv AS (
+      SELECT doc_id, pos, line,
+             row_number() OVER (PARTITION BY line ORDER BY doc_id, pos) AS rn
+      FROM lines),
+    rebuilt AS (
+      SELECT doc_id,
+             string_agg(line, chr(10) ORDER BY pos) AS text_clean,
+             COUNT(*) AS n_kept
+      FROM surv WHERE rn = 1 GROUP BY doc_id),
+    base AS (
+      SELECT doc_id, len(string_split(text, chr(10))) AS n_lines FROM documents)
+    SELECT b.doc_id,
+           COALESCE(r.text_clean, '') AS text_clean,
+           b.n_lines::INT AS n_lines,
+           (b.n_lines - COALESCE(r.n_kept, 0))::BIGINT AS n_removed
+    FROM base b LEFT JOIN rebuilt r USING (doc_id)
+"""
+
+
+@register("corpus_line_dedup_docs", _CORPUS_LINE_DEDUP_SQL)
+def corpus_line_dedup_docs(spark, sf_dir):
+    """Corpus-wide line dedup (C4 §2.2's cross-document half): every
+    line occurring more than once keeps exactly its first (doc_id,
+    pos) occurrence; rebuilt text byte-exact against the oracle's
+    window-function replay. String-keyed twin for bit-portability; the
+    int64-digest production path is lockstep-pinned in
+    tests/test_text_ops.py."""
+    d = _t(spark, sf_dir, "documents")
+    return text.corpus_line_dedup(d, hash_lines=False)
+
+
 _DUP_SPAN_FRACTION_SQL = """
     WITH toks AS (
       SELECT doc_id,

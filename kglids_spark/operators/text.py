@@ -317,6 +317,79 @@ def c4_line_filter(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def corpus_line_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_count: int = 2,
+    hash_lines: bool = True,
+) -> DataFrame:
+    """Corpus-WIDE line deduplication (the other half of C4 §2.2,
+    Raffel et al. 2020: "we removed all but one of any three-sentence
+    span occurring more than once", applied here at line granularity
+    with a deterministic keeper): every line occurring at >=
+    ``min_count`` positions across the corpus keeps exactly its FIRST
+    occurrence — the minimum (doc_id, line_pos) — and loses the rest.
+    c4_line_filter cleans WITHIN a document; this removes the
+    boilerplate repeated BETWEEN documents (nav bars, license
+    footers).
+
+    Returns (id, text_clean, n_lines, n_removed). Plan: one
+    posexplode, lines shuffle as int64 xxhash64 digests, the keeper
+    per digest is a map-side-combined min(struct(id, pos)) — O(1)
+    aggregation buffer, same discipline as the fd evaluator — and the
+    keep/drop decision joins back on the digest (AQE broadcasts when
+    the duplicated-line set is small). The rebuild groups by doc with
+    the surviving (pos, line) pairs, sorts each doc's array map-side
+    (array_sort on the struct), and re-joins — doc order is restored
+    without a sort shuffle."""
+    lines = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    ).withColumn(
+        # int64 digests shuffle 8-byte keys (production); the string
+        # twin is bit-portable to the SQL oracle, differing only on
+        # 64-bit collisions — the duplicate_spans convention
+        "dig",
+        F.xxhash64("line") if hash_lines else F.col("line"),
+    )
+    stats = lines.groupBy("dig").agg(
+        F.count(F.lit(1)).alias("n_occ"),
+        F.min(F.struct("id", "pos")).alias("keeper"),
+    )
+    survivors = (
+        lines.join(stats, "dig")
+        .filter(
+            (F.col("n_occ") < min_count)
+            | ((F.col("keeper.id") == F.col("id")) & (F.col("keeper.pos") == F.col("pos")))
+        )
+        .select("id", "pos", "line")
+    )
+    rebuilt = survivors.groupBy("id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+            "\n",
+        ).alias("text_clean"),
+        F.count(F.lit(1)).alias("_n_kept"),
+    )
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.size(F.split(F.col(text_col), "\n")).alias("n_lines"),
+    )
+    return (
+        base.join(rebuilt, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("text_clean", F.lit("")).alias("text_clean"),
+            "n_lines",
+            (F.col("n_lines") - F.coalesce("_n_kept", F.lit(0))).alias("n_removed"),
+        )
+    )
+
+
 def analyze_documents(df: DataFrame, text_col: str = "text") -> DataFrame:
     """One-pass text-analysis projection: language, token counts,
     quality features, fingerprints."""

@@ -146,3 +146,48 @@ def test_c4_line_filter_rules(spark):
     r2 = out[2]
     assert r2.n_kept == 0 and r2.text_clean == ""
     assert r2.has_brace and r2.has_lorem
+
+
+# ---------------------------------------------------------------------
+# round 4: corpus-wide line dedup (C4 §2.2 cross-document half)
+# ---------------------------------------------------------------------
+
+LINE_DOCS = [
+    ("a", "nav bar\nreal content one.\nfooter"),
+    ("b", "nav bar\nreal content two.\nfooter"),
+    ("c", "unique only\nnav bar"),
+    ("d", ""),
+]
+
+
+def test_corpus_line_dedup_keeps_first_occurrence(spark):
+    df = spark.createDataFrame(LINE_DOCS, "doc_id string, text string")
+    got = {
+        r.doc_id: (r.text_clean, r.n_lines, r.n_removed)
+        for r in text.corpus_line_dedup(df, hash_lines=False).collect()
+    }
+    # 'nav bar' keeps (a,0); 'footer' keeps (a,2); doc b loses both
+    assert got["a"] == ("nav bar\nreal content one.\nfooter", 3, 0)
+    assert got["b"] == ("real content two.", 3, 2)
+    assert got["c"] == ("unique only", 2, 1)
+    # empty doc: one empty line, kept (it is that line's first and only
+    # occurrence), so nothing is removed
+    assert got["d"] == ("", 1, 0)
+
+
+def test_corpus_line_dedup_hashed_twin_lockstep(spark):
+    df = spark.createDataFrame(LINE_DOCS, "doc_id string, text string")
+    a = {tuple(r) for r in text.corpus_line_dedup(df, hash_lines=False).collect()}
+    b = {tuple(r) for r in text.corpus_line_dedup(df, hash_lines=True).collect()}
+    assert a == b
+
+
+def test_corpus_line_dedup_min_count(spark):
+    df = spark.createDataFrame(LINE_DOCS, "doc_id string, text string")
+    # min_count=3: 'nav bar' occurs 3x -> deduped; 'footer' (2x) survives
+    got = {
+        r.doc_id: r.text_clean
+        for r in text.corpus_line_dedup(df, min_count=3).collect()
+    }
+    assert got["b"] == "real content two.\nfooter"
+    assert got["c"] == "unique only"
