@@ -156,6 +156,11 @@ def family_ops(docs, vecs, queries, srcd, centroids):
             ],
             threshold=0.95,
         ),
+        # corpus-wide line dedup: same explode-heavy shape as the span
+        # op but with a min(struct) keeper agg + per-doc rebuild. The
+        # hash-soup docs are single-line, so the dedup mass is the 1%
+        # planted clones — representative of boilerplate share
+        "text_line_dedup": lambda: text.corpus_line_dedup(docs),
         # BPE encode throughput (the model is learned once, offline —
         # learn_bpe's per-round cost is vocab-sized, not corpus-sized;
         # what runs at corpus scale is the Arrow-batched encoder)
