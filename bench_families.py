@@ -80,6 +80,16 @@ def _ensure(spark, path: str, n_rows: int, gen) -> None:
     gen(spark, n_rows).write.mode("overwrite").parquet(path)
 
 
+def normalize_op(entry):
+    """(timed_build, plan_build) from a family_ops value: most ops are
+    a plain lambda (one plan serves both); ops that eagerly checkpoint
+    their result provide {'run', 'plan'} so the plan snapshot captures
+    the lazy join tree instead of Scan ExistingRDD."""
+    if isinstance(entry, dict):
+        return entry["run"], entry["plan"]
+    return entry, entry
+
+
 def family_centroids(dim: int = DIM, k: int = 64) -> list[list[float]]:
     import math
 
@@ -139,8 +149,17 @@ def family_ops(docs, vecs, queries, srcd, centroids):
         # round-4 family — substring-level dedup: ~40M posexploded span
         # rows shuffle as int64 hashes into a map-side-combined groupBy
         # + join back; THE explode-heaviest op in the engine, which is
-        # why it gets a 100×-scale reading and a plan snapshot
-        "dedup_duplicate_spans": lambda: dedup.duplicate_spans(docs, window=5),
+        # why it gets a 100×-scale reading and a plan snapshot. The op
+        # eagerly checkpoints its result (so its corpus-sized span
+        # persist can release), which would collapse the snapshot to
+        # Scan ExistingRDD — the "plan" variant builds the lazy form
+        # so the structure guard keeps seeing the real join tree.
+        "dedup_duplicate_spans": {
+            "run": lambda: dedup.duplicate_spans(docs, window=5),
+            "plan": lambda: dedup.duplicate_spans(
+                docs, window=5, materialize=False
+            ),
+        },
         # SemDeDup on a 50k-vec subset with a DATA-SAMPLED codebook
         # (first 64 vectors — balanced Voronoi cells, the realistic
         # SemDeDup flow; the sin-grid family_centroids put 99.9% of the
@@ -160,7 +179,10 @@ def family_ops(docs, vecs, queries, srcd, centroids):
         # op but with a min(struct) keeper agg + per-doc rebuild. The
         # hash-soup docs are single-line, so the dedup mass is the 1%
         # planted clones — representative of boilerplate share
-        "text_line_dedup": lambda: text.corpus_line_dedup(docs),
+        "text_line_dedup": {
+            "run": lambda: text.corpus_line_dedup(docs),
+            "plan": lambda: text.corpus_line_dedup(docs, materialize=False),
+        },
         # BPE encode throughput (the model is learned once, offline —
         # learn_bpe's per-round cost is vocab-sized, not corpus-sized;
         # what runs at corpus scale is the Arrow-batched encoder)
@@ -220,8 +242,9 @@ def main() -> None:
     os.makedirs(plans_dir, exist_ok=True)
 
     results: dict[str, dict] = {}
-    for name, build in ops.items():
-        df = build()
+    for name, entry in ops.items():
+        build, plan_build = normalize_op(entry)
+        df = plan_build()
         with open(os.path.join(plans_dir, f"{name}.txt"), "w") as f:
             f.write(df._jdf.queryExecution().explainString(
                 spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")

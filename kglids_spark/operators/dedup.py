@@ -855,6 +855,7 @@ def duplicate_spans(
     window: int = 5,
     min_count: int = 2,
     hash_spans: bool = True,
+    materialize: bool = True,
 ) -> DataFrame:
     """Exact duplicate-SPAN detection — the substring-level dedup of
     Lee et al. 2022 ("Deduplicating Training Data Makes Language
@@ -901,17 +902,24 @@ def duplicate_spans(
     # before return.
     from pyspark import StorageLevel
 
-    spans = spans.persist(StorageLevel.MEMORY_AND_DISK)
+    if materialize:
+        spans = spans.persist(StorageLevel.MEMORY_AND_DISK)
     dup = (
         spans.groupBy("span")
         .agg(F.count(F.lit(1)).alias("n_occurrences"))
         .filter(F.col("n_occurrences") >= min_count)
     )
-    out = (
-        spans.join(dup, "span")
-        .select(F.col("id").alias(id_col), "pos", "span", "n_occurrences")
-        .localCheckpoint(eager=True)
+    out = spans.join(dup, "span").select(
+        F.col("id").alias(id_col), "pos", "span", "n_occurrences"
     )
+    if not materialize:
+        # lazy, unpersisted variant: both join sides re-derive the
+        # span stream (the double-scan the persist exists to avoid) —
+        # for PLAN inspection (bench_plans/ snapshots, plan tests),
+        # where a checkpointed result would read as Scan ExistingRDD
+        # and make the structure guard vacuous
+        return out
+    out = out.localCheckpoint(eager=True)
     spans.unpersist()
     return out
 

@@ -323,6 +323,7 @@ def corpus_line_dedup(
     id_col: str = "doc_id",
     min_count: int = 2,
     hash_lines: bool = True,
+    materialize: bool = True,
 ) -> DataFrame:
     """Corpus-WIDE line deduplication (the other half of C4 §2.2,
     Raffel et al. 2020: "we removed all but one of any three-sentence
@@ -353,6 +354,15 @@ def corpus_line_dedup(
         "dig",
         F.xxhash64("line") if hash_lines else F.col("line"),
     )
+    # the line stream is read three times (stats groupBy, survivors
+    # probe, per-doc totals) — without a persist each read re-scans
+    # and re-explodes the corpus, the double-decode duplicate_spans
+    # measured at ~4×. materialize=False skips the persist AND the
+    # result checkpoint for plan inspection (see duplicate_spans).
+    if materialize:
+        from pyspark import StorageLevel
+
+        lines = lines.persist(StorageLevel.MEMORY_AND_DISK)
     stats = lines.groupBy("dig").agg(
         F.count(F.lit(1)).alias("n_occ"),
         F.min(F.struct("id", "pos")).alias("keeper"),
@@ -375,19 +385,21 @@ def corpus_line_dedup(
         ).alias("text_clean"),
         F.count(F.lit(1)).alias("_n_kept"),
     )
-    base = df.select(
-        F.col(id_col).alias("id"),
-        F.size(F.split(F.col(text_col), "\n")).alias("n_lines"),
+    # per-doc line totals from the SAME stream (max pos + 1; split('')
+    # always yields >=1 element, so every doc appears) — not a third
+    # scan of the source text
+    base = lines.groupBy("id").agg((F.max("pos") + 1).alias("n_lines"))
+    out = base.join(rebuilt, "id", "left").select(
+        F.col("id").alias(id_col),
+        F.coalesce("text_clean", F.lit("")).alias("text_clean"),
+        "n_lines",
+        (F.col("n_lines") - F.coalesce("_n_kept", F.lit(0))).alias("n_removed"),
     )
-    return (
-        base.join(rebuilt, "id", "left")
-        .select(
-            F.col("id").alias(id_col),
-            F.coalesce("text_clean", F.lit("")).alias("text_clean"),
-            "n_lines",
-            (F.col("n_lines") - F.coalesce("_n_kept", F.lit(0))).alias("n_removed"),
-        )
-    )
+    if not materialize:
+        return out
+    out = out.localCheckpoint(eager=True)
+    lines.unpersist()
+    return out
 
 
 def analyze_documents(df: DataFrame, text_col: str = "text") -> DataFrame:

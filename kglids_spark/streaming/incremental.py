@@ -184,6 +184,12 @@ def fd_monitor_stream(
     import pandas as pd
     from pyspark.sql.streaming.state import GroupStateTimeout
 
+    if determinant in ("violated", "n_rows"):
+        raise ValueError(
+            f"determinant column {determinant!r} collides with the "
+            "monitor's output columns — rename it upstream"
+        )
+
     def fn(key, pdfs, state):
         lo, hi, n = state.get if state.exists else (None, None, 0)
         for pdf in pdfs:
@@ -206,9 +212,13 @@ def fd_monitor_stream(
         F.col(determinant), F.col(dependent).cast("string").alias(dependent)
     )
     det_type = rows_stream.schema[determinant].dataType.simpleString()
+    # backtick-quote the interpolated name: a determinant like
+    # 'user-id' or 'order col' is a legal DataFrame column but would
+    # fail bare-DDL parsing
+    quoted = f"`{determinant}`"
     return src.groupBy(determinant).applyInPandasWithState(
         fn,
-        outputStructType=f"{determinant} {det_type}, violated boolean, n_rows long",
+        outputStructType=f"{quoted} {det_type}, violated boolean, n_rows long",
         stateStructType="lo string, hi string, n long",
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,

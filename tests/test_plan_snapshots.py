@@ -29,6 +29,7 @@ from bench_families import (  # noqa: E402
     _gen_embeddings,
     family_centroids,
     family_ops,
+    normalize_op,
 )
 
 # node types whose COUNT growing vs the snapshot is a plan regression
@@ -87,7 +88,10 @@ def test_plan_matches_snapshot_structure(spark, fam, name):
     with open(os.path.join(PLANS_DIR, f"{name}.txt")) as f:
         snap_counts = _node_counts(f.read())
 
-    df = fam[name]()
+    # the plan variant: ops that eagerly checkpoint their result build
+    # the lazy form here, so the guard sees the real join tree rather
+    # than a vacuous Scan ExistingRDD
+    df = normalize_op(fam[name])[1]()
     live = df._jdf.queryExecution().explainString(
         spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
     )
