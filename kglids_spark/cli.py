@@ -65,6 +65,14 @@ def main(argv: list[str] | None = None) -> int:
         help="TableStore root holding the baseline snapshot (defaults to --ledger)",
     )
     v.add_argument(
+        "--suite",
+        default=None,
+        metavar="FILE",
+        help="JSON constraint suite (constraints.suite_to_json format) "
+        "replacing the default suite; --check/--metric/--fd/--volume "
+        "still append to it",
+    )
+    v.add_argument(
         "--check",
         action="append",
         default=[],
@@ -96,6 +104,14 @@ def main(argv: list[str] | None = None) -> int:
         "or '--volume 1000:2000000'",
     )
     v.add_argument("--no-violation-rows", action="store_true")
+    v.add_argument(
+        "--max-violations",
+        type=int,
+        default=None,
+        metavar="N",
+        help="deterministic per-constraint cap on materialized violation "
+        "rows (hash-minimum sample; verdict counts are unaffected)",
+    )
     v.add_argument("--cpus", type=int, default=None)
 
     p = sub.add_parser("profile", help="single-pass column profiles")
@@ -192,7 +208,11 @@ def main(argv: list[str] | None = None) -> int:
 
     if args.cmd == "validate":
         df = spark.read.parquet(args.input)
-        suite = C.default_suite(SOURCES)
+        if args.suite:
+            with open(args.suite) as f:
+                suite = C.suite_from_json(f.read())
+        else:
+            suite = C.default_suite(SOURCES)
         for spec in args.check:
             # rpartition: '@@' may legitimately appear inside a SQL
             # string literal in the predicate; the column list cannot
@@ -259,6 +279,7 @@ def main(argv: list[str] | None = None) -> int:
             if args.baseline_store
             else None,
             extract_violation_rows=not args.no_violation_rows,
+            max_violations_per_constraint=args.max_violations,
         )
         summary = {
             r.constraint_id: {"violations": r.total, "passed": bool(r.ok)}

@@ -218,6 +218,49 @@ def default_suite(valid_source_values: list[str]) -> list[Constraint]:
     ]
 
 
+def suite_to_json(constraints: list[Constraint]) -> str:
+    """Serialize a constraint suite to JSON — the reproducible-config
+    surface for spark-submit jobs (cli --suite): the SAME file yields
+    the SAME constraint_set_hash, so checkpoint lineage and resume
+    semantics carry across machines and submissions. Tuples flatten to
+    JSON arrays; Infinity (volume's open upper bound) uses Python
+    json's non-strict float encoding."""
+    import json
+
+    return json.dumps(
+        [
+            {
+                "cid": c.cid,
+                "kind": c.kind,
+                "column": c.column,
+                "params": {
+                    k: list(v) if isinstance(v, tuple) else v
+                    for k, v in c.params.items()
+                },
+            }
+            for c in constraints
+        ],
+        indent=2,
+    )
+
+
+def suite_from_json(text: str) -> list[Constraint]:
+    """Inverse of suite_to_json. JSON arrays load back as tuples (the
+    factories' canonical param form), so hash/signature round-trip
+    bit-exactly: constraint_set_hash(suite_from_json(suite_to_json(s)))
+    == constraint_set_hash(s)."""
+    import json
+
+    out: list[Constraint] = []
+    for d in json.loads(text):
+        params = {
+            k: tuple(v) if isinstance(v, list) else v
+            for k, v in d.get("params", {}).items()
+        }
+        out.append(Constraint(d["cid"], d["kind"], d.get("column"), params))
+    return out
+
+
 # ---------------------------------------------------------------------------
 # row-level compilation
 
@@ -346,6 +389,48 @@ def extract_violations(
         df.select(F.col(key), failed.alias("_failed"))
         .filter(F.size("_failed") > 0)
         .select(key, F.explode("_failed").alias("constraint_id"))
+    )
+
+
+def cap_violations(
+    viols: DataFrame, cap: int, key: str = "doc_id"
+) -> DataFrame:
+    """Deterministic per-constraint cap on violation rows: keep the
+    ``cap`` rows with the SMALLEST xxhash64(key, constraint_id) per
+    constraint — at 10^12 rows a single broken constraint emits
+    billions of violation rows, and shipping them all to the results
+    table is neither useful (triage reads a sample) nor cheap.
+
+    Hash-minimum selection makes the kept set a pure function of the
+    data — stable across runs, partitionings, and cluster sizes (the
+    verdict-identity discipline), unlike LIMIT (planner-ordered) or a
+    rand() sample. Two-phase distributed top-k so no reducer ever sees
+    a constraint's full violation stream: per-PARTITION prune to the
+    cap smallest hashes (mapInPandas, O(cap) memory), then one window
+    over the ≤ cap × n_partitions candidates — the window's per-group
+    input is bounded regardless of how skewed violations are across
+    constraints."""
+    import pandas as pd
+
+    schema = viols.schema
+    hashed = viols.withColumn("_vh", F.xxhash64(F.col(key), F.col("constraint_id")))
+
+    def prune(batches):
+        for pdf in batches:
+            yield (
+                pdf.sort_values("_vh", kind="stable")
+                .groupby("constraint_id", sort=False)
+                .head(cap)
+            )
+
+    pruned = hashed.mapInPandas(prune, hashed.schema)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("constraint_id").orderBy("_vh", key)
+    return (
+        pruned.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= cap)
+        .select(*[F.col(f.name) for f in schema.fields])
     )
 
 

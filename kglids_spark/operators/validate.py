@@ -252,6 +252,7 @@ def _validate_impl(
     baseline_store: TableStore | None = None,
     drift_spec: D.HistSpec | None = None,
     extract_violation_rows: bool = True,
+    max_violations_per_constraint: int | None = None,
     dims: dict[str, DataFrame] | None = None,
     kll_col: str | None = "auto",
 ) -> ValidationResult:
@@ -590,6 +591,15 @@ def _validate_impl(
                 if uc.column != key:
                     uviol = uviol.withColumnRenamed(uc.column, key)
             viols_new = viols_new.unionByName(uviol)
+        # deterministic per-constraint cap (hash-minimum selection, the
+        # verdict-identity discipline): verdict COUNTS are unaffected —
+        # they come from the stats pass — only the materialized row
+        # sample is bounded. Applied before the ledger append, so the
+        # ledger stores <= cap rows per constraint per run.
+        if max_violations_per_constraint is not None:
+            viols_new = C.cap_violations(
+                viols_new, max_violations_per_constraint, key=key
+            )
         if ledger is not None:
             ledger.append(
                 "violations",
@@ -613,6 +623,8 @@ def _validate_impl(
         # which would duplicate them across resumed runs. Materialized
         # eagerly so the persisted grouped frames can be released.
         for fv in fd_viol_frames:
+            if max_violations_per_constraint is not None:
+                fv = C.cap_violations(fv, max_violations_per_constraint, key=key)
             fv = fv.persist()
             fv.count()
             viols = viols.unionByName(fv)

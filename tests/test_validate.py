@@ -470,3 +470,82 @@ def test_volume_counts_merged_total_across_resume(fd_df, tmp_path):
         verd = {r.constraint_id: bool(r.passed) for r in res.verdicts.collect()}
         assert verd["volume(rows in [8,8])"] is True
     assert r2.metrics["rows_validated"] == 8
+
+
+# ---------------------------------------------------------------------
+# round 4: deterministic violation-row capping
+# ---------------------------------------------------------------------
+
+def test_cap_violations_deterministic_and_exact(spark):
+    rows = [(f"d{i}", "c1") for i in range(200)] + [(f"d{i}", "c2") for i in range(3)]
+    viols = spark.createDataFrame(rows, "doc_id string, constraint_id string")
+    capped = C.cap_violations(viols, 10)
+    got = {(r.doc_id, r.constraint_id) for r in capped.collect()}
+    per = {}
+    for d, c in got:
+        per[c] = per.get(c, 0) + 1
+    assert per == {"c1": 10, "c2": 3}  # under-cap constraints untouched
+    # the kept set is EXACTLY the cap smallest hashes (brute force)
+    import pandas as pd
+    pdf = viols.withColumn("_h", F.xxhash64("doc_id", "constraint_id")).toPandas()
+    want = set()
+    for c, grp in pdf.groupby("constraint_id"):
+        for _, r in grp.nsmallest(10, "_h").iterrows():
+            want.add((r["doc_id"], r["constraint_id"]))
+    assert got == want
+    # partition-invariance: same result at a different parallelism
+    got2 = {
+        (r.doc_id, r.constraint_id)
+        for r in C.cap_violations(viols.repartition(13), 10).collect()
+    }
+    assert got2 == got
+
+
+def test_validate_max_violations_cap(spark, tokens_df):
+    suite = C.default_suite(SOURCES)
+    res = validate(
+        tokens_df, suite, n_buckets=8, max_violations_per_constraint=5
+    )
+    counts = {
+        r.constraint_id: r.n
+        for r in res.violations.groupBy("constraint_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert counts and all(n <= 5 for n in counts.values()), counts
+    # verdict totals still reflect the FULL violation counts
+    full = validate(tokens_df, suite, n_buckets=8, extract_violation_rows=False)
+    v_capped = {
+        r.constraint_id: r.total
+        for r in res.verdicts.groupBy("constraint_id").agg(F.sum("n_violations").alias("total")).collect()
+    }
+    v_full = {
+        r.constraint_id: r.total
+        for r in full.verdicts.groupBy("constraint_id").agg(F.sum("n_violations").alias("total")).collect()
+    }
+    assert v_capped == v_full
+    assert any(t > 5 for t in v_capped.values())  # planted > cap
+
+
+def test_validate_fd_viols_respect_cap(fd_df):
+    suite = [C.functional_dependency(["det"], "dep", cid="fd_cap")]
+    res = validate(
+        fd_df, suite, key="doc_id", n_buckets=4,
+        max_violations_per_constraint=1,
+    )
+    n = res.violations.filter(F.col("constraint_id") == "fd_cap").count()
+    assert n == 1  # 4 violating rows capped to 1
+
+
+def test_suite_json_roundtrip_preserves_hash():
+    suite = C.default_suite(["web", "books"]) + [
+        C.expression("n_tok > 0", columns=["n_tok"]),
+        C.metric_range("n_tok", "mean", 1, 1e6),
+        C.functional_dependency(["a", "b"], "c"),
+        C.volume(100),  # open upper bound -> Infinity in JSON
+        C.schema_type("doc_id", "string"),
+    ]
+    text = C.suite_to_json(suite)
+    back = C.suite_from_json(text)
+    assert back == suite
+    assert C.constraint_set_hash(back) == C.constraint_set_hash(suite)
