@@ -105,6 +105,21 @@ def main(argv: list[str] | None = None) -> int:
     )
     v.add_argument("--no-violation-rows", action="store_true")
     v.add_argument(
+        "--fail-on-violation",
+        action="store_true",
+        help="exit 2 if any constraint fails (CI gate); default exits 0 "
+        "and reports verdicts in JSON only",
+    )
+    v.add_argument(
+        "--quarantine",
+        default=None,
+        metavar="DIR",
+        help="write the full offending input records (left_semi on the "
+        "violating keys) to this parquet directory; rows whose KEY is "
+        "null (not_null(doc_id) violations) cannot be joined back and "
+        "appear only in the violations set",
+    )
+    v.add_argument(
         "--max-violations",
         type=int,
         default=None,
@@ -113,6 +128,14 @@ def main(argv: list[str] | None = None) -> int:
         "rows (hash-minimum sample; verdict counts are unaffected)",
     )
     v.add_argument("--cpus", type=int, default=None)
+
+    h = sub.add_parser(
+        "history",
+        help="print the run-lineage rows of a validation ledger "
+        "(run_id, constraint hash, bucketing, metrics) as JSON lines",
+    )
+    h.add_argument("--ledger", required=True)
+    h.add_argument("--limit", type=int, default=20)
 
     p = sub.add_parser("profile", help="single-pass column profiles")
     p.add_argument("--input", required=True)
@@ -287,7 +310,43 @@ def main(argv: list[str] | None = None) -> int:
             .agg(F.sum("n_violations").alias("total"), F.min("passed").alias("ok"))
             .collect()
         }
+        if args.quarantine and not args.no_violation_rows:
+            # full offending records (not just ids) for downstream
+            # triage/reprocessing — the Deequ/DLT quarantine pattern.
+            # left_semi on the distinct violating keys: one join + one
+            # write, and bounded when --max-violations caps the ids
+            bad_keys = res.violations.select("doc_id").distinct()
+            df.join(bad_keys, "doc_id", "left_semi").write.mode(
+                "overwrite"
+            ).parquet(args.quarantine)
         print(json.dumps({"metrics": res.metrics, "verdict_summary": summary}, default=str))
+        if args.fail_on_violation and any(not v["passed"] for v in summary.values()):
+            return 2
+        return 0
+
+    if args.cmd == "history":
+        store = TableStore(spark, args.ledger)
+        if not store.exists("runs"):
+            print(json.dumps({"error": "no runs table in ledger", "ledger": args.ledger}))
+            return 1
+        rows = (
+            store.read("runs")
+            .orderBy(F.desc("ts"))
+            .limit(args.limit)
+            .collect()
+        )
+        for r in rows:
+            print(
+                json.dumps(
+                    {
+                        "run_id": r.run_id,
+                        "constraint_hash": r.constraint_hash,
+                        "n_buckets": r.n_buckets,
+                        "ts": r.ts,
+                        "metrics": r.metrics,
+                    }
+                )
+            )
         return 0
 
     if args.cmd == "tokenize":

@@ -549,3 +549,38 @@ def test_suite_json_roundtrip_preserves_hash():
     back = C.suite_from_json(text)
     assert back == suite
     assert C.constraint_set_hash(back) == C.constraint_set_hash(suite)
+
+
+def test_cli_quarantine_and_exit_code(tmp_path):
+    """CI surface: --fail-on-violation exits 2 on planted violations,
+    0 on clean data; --quarantine writes the full offending records."""
+    import json as J
+    import subprocess
+    import sys
+
+    def run(*extra):
+        return subprocess.run(
+            [sys.executable, "-m", "kglids_spark.cli", *extra],
+            capture_output=True, text=True,
+        )
+
+    gen = str(tmp_path / "q_tokens")
+    r = run("generate", "--rows", "20000", "--out", gen)
+    assert r.returncode == 0
+    qdir = str(tmp_path / "quarantine")
+    r = run("validate", "--input", gen, "--cpus", "4",
+            "--max-violations", "5", "--quarantine", qdir,
+            "--fail-on-violation")
+    assert r.returncode == 2, r.stdout[-500:] + r.stderr[-500:]
+    out = J.loads(r.stdout.strip().splitlines()[-1])
+    assert any(not v["passed"] for v in out["verdict_summary"].values())
+    import duckdb
+
+    n = duckdb.sql(f"SELECT count(*) FROM read_parquet('{qdir}/*.parquet')").fetchone()[0]
+    assert 0 < n <= 5 * len(out["verdict_summary"])
+
+    clean = str(tmp_path / "q_clean")
+    assert run("generate", "--rows", "5000", "--out", clean, "--no-violations").returncode == 0
+    r = run("validate", "--input", clean, "--cpus", "4",
+            "--no-violation-rows", "--fail-on-violation")
+    assert r.returncode == 0, r.stdout[-500:] + r.stderr[-500:]
