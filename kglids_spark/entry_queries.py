@@ -3352,6 +3352,60 @@ _DUP_SPANS_SQL = """
 """
 
 
+_GOPHER_FILTER_SQL = r"""
+    WITH w AS (
+      SELECT doc_id, text,
+             string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS ws
+      FROM documents),
+    g AS (
+      SELECT doc_id, text, ws,
+             list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1]) AS g2
+      FROM w),
+    s AS (
+      SELECT doc_id,
+             len(ws) AS n_words,
+             length(text)::DOUBLE / NULLIF(len(ws), 0) AS mwl,
+             1.0 - len(list_distinct(ws)) / CAST(len(ws) AS DOUBLE) AS dupf,
+             list_max(list_transform(list_distinct(ws),
+                 w2 -> len(list_filter(ws, x -> x = w2)))) / CAST(len(ws) AS DOUBLE) AS topw,
+             CASE WHEN len(g2) = 0 THEN 0.0
+                  ELSE list_max(list_transform(list_distinct(g2),
+                       h -> len(list_filter(g2, x -> x = h)))) / CAST(len(g2) AS DOUBLE)
+             END AS top2
+      FROM g),
+    r AS (
+      SELECT doc_id,
+             list_filter([
+               CASE WHEN n_words < 50 THEN 'too_few_words' END,
+               CASE WHEN n_words > 100000 THEN 'too_many_words' END,
+               CASE WHEN mwl < 2.0 THEN 'mean_word_len_low' END,
+               CASE WHEN mwl > 10.0 THEN 'mean_word_len_high' END,
+               CASE WHEN dupf > 0.3 THEN 'dup_word_frac' END,
+               CASE WHEN topw > 0.2 THEN 'top_word_frac' END,
+               CASE WHEN top2 > 0.18 THEN 'top_2gram_frac' END
+             ], x -> x IS NOT NULL) AS reasons
+      FROM s)
+    SELECT doc_id,
+           len(reasons) = 0 AS keep,
+           array_to_string(reasons, ',') AS drop_reasons
+    FROM r
+"""
+
+
+@register("gopher_filter_docs", _GOPHER_FILTER_SQL)
+def gopher_filter_docs(spark, sf_dir):
+    """The Gopher document filter (text.gopher_filter): quality +
+    repetition signals composed into a keep/drop decision with the
+    failed-rule list, value-exact including the reason strings — the
+    threshold comparisons run on raw IEEE ratios (identical in both
+    engines), so no rounding is needed for decision parity."""
+    d = _t(spark, sf_dir, "documents")
+    out = text.gopher_filter(d)
+    return out.select(
+        "doc_id", "keep", F.array_join("drop_reasons", ",").alias("drop_reasons")
+    )
+
+
 _CORPUS_LINE_DEDUP_SQL = """
     WITH arrs AS (
       SELECT doc_id, string_split(text, chr(10)) AS arr FROM documents),

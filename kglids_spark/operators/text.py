@@ -317,6 +317,57 @@ def c4_line_filter(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+GOPHER_DEFAULTS = {
+    "min_words": 50,
+    "max_words": 100_000,
+    "min_mean_word_len": 2.0,
+    "max_mean_word_len": 10.0,
+    "max_dup_word_frac": 0.3,
+    "max_top_word_frac": 0.2,
+    "max_top_2gram_frac": 0.18,
+}
+
+
+def gopher_filter(
+    df: DataFrame, text_col: str = "text", thresholds: dict | None = None
+) -> DataFrame:
+    """Gopher-style document quality FILTER (Rae et al. 2021 §A1.1
+    thresholds, the shape MassiveText/Dolma ship): composes the
+    already-oracled quality + repetition signals into a single boolean
+    ``keep`` plus a ``drop_reasons`` array naming every rule the
+    document failed — the reasons are what a pipeline operator reads
+    when tuning thresholds, so they are first-class output, not a log
+    line. Thresholds override per key; unspecified keys take the
+    published defaults (GOPHER_DEFAULTS).
+
+    Pure composition of map-side projections — zero shuffle; the plan
+    is one projection over the scan, same as the signals themselves.
+    Documents with no words fail min_words (mean_word_len rules are
+    null-safe: a null signal does not fire the rule)."""
+    t = dict(GOPHER_DEFAULTS, **(thresholds or {}))
+    sig = repetition_signals(quality_features(df, text_col), text_col)
+    rules = [
+        ("too_few_words", F.col("q_n_words") < t["min_words"]),
+        ("too_many_words", F.col("q_n_words") > t["max_words"]),
+        ("mean_word_len_low", F.col("q_mean_word_len") < t["min_mean_word_len"]),
+        ("mean_word_len_high", F.col("q_mean_word_len") > t["max_mean_word_len"]),
+        ("dup_word_frac", F.col("rep_dup_word_frac") > t["max_dup_word_frac"]),
+        ("top_word_frac", F.col("rep_top_word_frac") > t["max_top_word_frac"]),
+        ("top_2gram_frac", F.col("rep_top_2gram_frac") > t["max_top_2gram_frac"]),
+    ]
+    reasons = F.array_compact(
+        F.array(
+            *[
+                F.when(F.coalesce(cond, F.lit(False)), F.lit(name))
+                for name, cond in rules
+            ]
+        )
+    )
+    return sig.withColumn("drop_reasons", reasons).withColumn(
+        "keep", F.size("drop_reasons") == 0
+    )
+
+
 def corpus_line_dedup(
     df: DataFrame,
     text_col: str = "text",

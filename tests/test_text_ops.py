@@ -191,3 +191,39 @@ def test_corpus_line_dedup_min_count(spark):
     }
     assert got["b"] == "real content two.\nfooter"
     assert got["c"] == "unique only"
+
+
+# ---------------------------------------------------------------------
+# round 4: Gopher document filter (rule composition)
+# ---------------------------------------------------------------------
+
+def test_gopher_filter_rules_and_reasons(spark):
+    long_good = " ".join(f"w{i}" for i in range(60))  # 60 unique words
+    repeaty = " ".join(["dup"] * 60)
+    short = "tiny doc"
+    df = spark.createDataFrame(
+        [("g", long_good), ("r", repeaty), ("s", short)],
+        "doc_id string, text string",
+    )
+    got = {
+        r.doc_id: (r.keep, list(r.drop_reasons))
+        for r in text.gopher_filter(df).collect()
+    }
+    assert got["g"] == (True, [])
+    assert got["s"][0] is False and "too_few_words" in got["s"][1]
+    assert got["r"][0] is False
+    assert {"dup_word_frac", "top_word_frac", "top_2gram_frac"} <= set(got["r"][1])
+
+
+def test_gopher_filter_threshold_override(spark):
+    # a 3-word doc trips too_few_words plus the small-sample repetition
+    # artifacts (top word 1/3 > 0.2) — relaxing exactly those keys must
+    # flip keep, and each unspecified key must keep its default
+    df = spark.createDataFrame([("a", "three words here")], "doc_id string, text string")
+    strict = text.gopher_filter(
+        df,
+        thresholds={"min_words": 1, "max_top_word_frac": 1.0, "max_top_2gram_frac": 1.0},
+    )
+    assert strict.collect()[0].keep
+    default = text.gopher_filter(df).collect()[0]
+    assert not default.keep and "too_few_words" in list(default.drop_reasons)
