@@ -3605,6 +3605,17 @@ def bpe_roundtrip(spark, sf_dir):
     )
 
 
+@register("fuzzy_dedup_survivors_docs")
+def fuzzy_dedup_survivors_docs(spark, sf_dir):
+    """One-call fuzzy dedup (MinHash-LSH pairs → connected components
+    → keep-min-id) as the user-facing filter. Rows-only at the driver:
+    the composition is pinned by test_fuzzy_dedup_survivors_composition
+    and each piece has its own value-exact oracle
+    (dedup_minhash_lsh_md5, dedup_clusters)."""
+    d = _t(spark, sf_dir, "documents")
+    return dedup.fuzzy_dedup_survivors(d).select("doc_id", "source", "lang")
+
+
 @register("documents_to_tokens")
 def documents_to_tokens(spark, sf_dir):
     """The text -> tokens-table producer: raw documents through the

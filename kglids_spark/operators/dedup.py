@@ -980,6 +980,40 @@ def dup_span_fraction(
     )
 
 
+def fuzzy_dedup_survivors(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 16,
+    bands: int = 8,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """The standard fuzzy-dedup workflow in ONE call: MinHash-LSH
+    candidate pairs → connected-component clustering → keep the MIN id
+    per cluster. Returns the surviving rows of ``df`` unchanged (plus
+    nothing — this is a filter), so it drops into a pipeline between
+    cleaning and tokenization.
+
+    Pure composition of the oracled pieces (minhash_lsh_pairs,
+    dup_clusters), so its correctness rides their value-exact oracles
+    and the composition test; the doomed set is (cluster members with
+    id != cluster_id), removed by a single left_anti join — the
+    duplicate mass never rides through the driver."""
+    pairs = minhash_lsh_pairs(
+        df,
+        text_col=text_col,
+        id_col=id_col,
+        num_perm=num_perm,
+        bands=bands,
+        threshold=threshold,
+    )
+    clusters = dup_clusters(pairs)
+    doomed = clusters.filter(F.col("id") != F.col("cluster_id")).select(
+        F.col("id").alias(id_col)
+    )
+    return df.join(doomed, id_col, "left_anti")
+
+
 def semantic_dedup(
     df: DataFrame,
     centroids: list[list[float]],

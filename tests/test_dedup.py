@@ -216,3 +216,21 @@ def test_dup_span_fraction(spark):
         assert got[did] == want, (did, got[did], want)
     # doc 'c' is shorter than the window: zero spans, fraction 0.0
     assert got["c"] == (0, 0, 0.0)
+
+
+def test_fuzzy_dedup_survivors_composition(spark):
+    rows = [
+        ("a", "the quick brown fox jumps over the lazy dog again and again"),
+        ("b", "the quick brown fox jumps over the lazy dog again and again"),  # dup of a
+        ("c", "a completely different document about distributed engines"),
+        ("d", "the quick brown fox jumps over the lazy dog again and AGAIN"),  # near-dup
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    surv = {r.doc_id for r in dedup.fuzzy_dedup_survivors(df, num_perm=32, bands=16, threshold=0.4).collect()}
+    # manual composition of the same pieces must agree
+    pairs = dedup.minhash_lsh_pairs(df, num_perm=32, bands=16, threshold=0.4)
+    clusters = dedup.dup_clusters(pairs)
+    doomed = {r.id for r in clusters.collect() if r.id != r.cluster_id}
+    assert surv == {"a", "b", "c", "d"} - doomed
+    assert "a" in surv and "c" in surv  # min ids + singletons survive
+    assert "b" not in surv  # exact dup of a
