@@ -230,10 +230,23 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     if args.cmd == "validate":
+        if args.quarantine and args.no_violation_rows:
+            raise SystemExit(
+                "--quarantine needs violation rows; drop --no-violation-rows"
+            )
         df = spark.read.parquet(args.input)
         if args.suite:
-            with open(args.suite) as f:
-                suite = C.suite_from_json(f.read())
+            # clean usage errors, matching the --check/--metric paths
+            try:
+                with open(args.suite) as f:
+                    suite = C.suite_from_json(f.read())
+            except OSError as e:
+                raise SystemExit(f"--suite {args.suite!r}: {e}")
+            except (ValueError, KeyError) as e:
+                raise SystemExit(
+                    f"--suite {args.suite!r}: invalid suite JSON "
+                    f"(constraints.suite_to_json format): {e}"
+                )
         else:
             suite = C.default_suite(SOURCES)
         for spec in args.check:
@@ -310,7 +323,7 @@ def main(argv: list[str] | None = None) -> int:
             .agg(F.sum("n_violations").alias("total"), F.min("passed").alias("ok"))
             .collect()
         }
-        if args.quarantine and not args.no_violation_rows:
+        if args.quarantine:
             # full offending records (not just ids) for downstream
             # triage/reprocessing — the Deequ/DLT quarantine pattern.
             # left_semi on the distinct violating keys: one join + one
@@ -336,6 +349,13 @@ def main(argv: list[str] | None = None) -> int:
             .collect()
         )
         for r in rows:
+            # new ledgers store metrics as JSON; ledgers written before
+            # that change hold a Python repr — surface those raw rather
+            # than failing the whole history listing
+            try:
+                metrics = json.loads(r.metrics)
+            except (TypeError, ValueError):
+                metrics = r.metrics
             print(
                 json.dumps(
                     {
@@ -343,7 +363,7 @@ def main(argv: list[str] | None = None) -> int:
                         "constraint_hash": r.constraint_hash,
                         "n_buckets": r.n_buckets,
                         "ts": r.ts,
-                        "metrics": r.metrics,
+                        "metrics": metrics,
                     }
                 )
             )

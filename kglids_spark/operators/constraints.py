@@ -244,15 +244,34 @@ def suite_to_json(constraints: list[Constraint]) -> str:
     )
 
 
+KNOWN_KINDS = frozenset(
+    {
+        "not_null", "unique", "range", "tok_len_consistency", "referential",
+        "drift_ks", "drift_psi", "schema_type", "expression", "metric",
+        "fd", "volume",
+    }
+)
+
+
 def suite_from_json(text: str) -> list[Constraint]:
     """Inverse of suite_to_json. JSON arrays load back as tuples (the
     factories' canonical param form), so hash/signature round-trip
     bit-exactly: constraint_set_hash(suite_from_json(suite_to_json(s)))
-    == constraint_set_hash(s)."""
+    == constraint_set_hash(s).
+
+    Unknown kinds raise: validate() dispatches by kind and silently
+    skips what it does not recognize, so a typo'd kind in a CI suite
+    would otherwise pass --fail-on-violation vacuously — the check
+    that never ran cannot fail."""
     import json
 
     out: list[Constraint] = []
     for d in json.loads(text):
+        if d.get("kind") not in KNOWN_KINDS:
+            raise ValueError(
+                f"constraint {d.get('cid')!r}: unknown kind {d.get('kind')!r} "
+                f"(known: {sorted(KNOWN_KINDS)})"
+            )
         params = {
             k: tuple(v) if isinstance(v, list) else v
             for k, v in d.get("params", {}).items()
@@ -410,8 +429,6 @@ def cap_violations(
     over the ≤ cap × n_partitions candidates — the window's per-group
     input is bounded regardless of how skewed violations are across
     constraints."""
-    import pandas as pd
-
     schema = viols.schema
     hashed = viols.withColumn("_vh", F.xxhash64(F.col(key), F.col("constraint_id")))
 

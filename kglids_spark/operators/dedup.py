@@ -984,8 +984,8 @@ def fuzzy_dedup_survivors(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
-    num_perm: int = 16,
-    bands: int = 8,
+    num_perm: int = 64,
+    bands: int = 16,
     threshold: float = 0.5,
 ) -> DataFrame:
     """The standard fuzzy-dedup workflow in ONE call: MinHash-LSH

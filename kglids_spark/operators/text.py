@@ -342,15 +342,29 @@ def gopher_filter(
 
     Pure composition of map-side projections — zero shuffle; the plan
     is one projection over the scan, same as the signals themselves.
-    Documents with no words fail min_words (mean_word_len rules are
-    null-safe: a null signal does not fire the rule)."""
+    NULL-text documents carry no signal, fire no rule, and are KEPT
+    (matching the SQL oracle's NULL semantics) — compose with a
+    not_null constraint upstream to drop them; the mean-word-length
+    rules are additionally gated on q_n_words > 0 because
+    quality_features' safe-division maps a null/zero denominator to
+    0.0, which would otherwise fire mean_word_len_low with a
+    misleading reason. Unknown threshold keys raise (a typo'd override
+    would silently keep the default while the caller believes the
+    threshold moved)."""
+    bad = set(thresholds or {}) - set(GOPHER_DEFAULTS)
+    if bad:
+        raise ValueError(
+            f"unknown gopher threshold keys {sorted(bad)} "
+            f"(known: {sorted(GOPHER_DEFAULTS)})"
+        )
     t = dict(GOPHER_DEFAULTS, **(thresholds or {}))
     sig = repetition_signals(quality_features(df, text_col), text_col)
+    has_words = F.col("q_n_words") > 0
     rules = [
         ("too_few_words", F.col("q_n_words") < t["min_words"]),
         ("too_many_words", F.col("q_n_words") > t["max_words"]),
-        ("mean_word_len_low", F.col("q_mean_word_len") < t["min_mean_word_len"]),
-        ("mean_word_len_high", F.col("q_mean_word_len") > t["max_mean_word_len"]),
+        ("mean_word_len_low", has_words & (F.col("q_mean_word_len") < t["min_mean_word_len"])),
+        ("mean_word_len_high", has_words & (F.col("q_mean_word_len") > t["max_mean_word_len"])),
         ("dup_word_frac", F.col("rep_dup_word_frac") > t["max_dup_word_frac"]),
         ("top_word_frac", F.col("rep_top_word_frac") > t["max_top_word_frac"]),
         ("top_2gram_frac", F.col("rep_top_2gram_frac") > t["max_top_2gram_frac"]),

@@ -27,6 +27,7 @@ Scale design (10^12 rows, 1000 executors):
 
 from __future__ import annotations
 
+import json
 import math
 import time
 import uuid
@@ -612,6 +613,14 @@ def _validate_impl(
                 .filter((F.col("constraint_hash") == chash) & (F.col("n_buckets") == n_buckets))
                 .select(key, "constraint_id")
             )
+            # re-cap the MERGED read: each resumed run appends its own
+            # <= cap rows per constraint, so the union can exceed the
+            # cap — the returned set must honor it (deterministic:
+            # hash-minimum over the merged rows)
+            if max_violations_per_constraint is not None:
+                viols = C.cap_violations(
+                    viols, max_violations_per_constraint, key=key
+                )
         else:
             # materialize now, while the slim frame is still cached —
             # otherwise the lazy violations frame would re-scan the
@@ -676,7 +685,10 @@ def _validate_impl(
     }
     if ledger is not None:
         lineage = spark.createDataFrame(
-            [(run_id, chash, n_buckets, time.time(), str(metrics))],
+            # json, not repr: the cli history surface promises
+            # machine-readable lines, and a repr string forces
+            # consumers into ast.literal_eval
+            [(run_id, chash, n_buckets, time.time(), json.dumps(metrics, default=str))],
             "run_id string, constraint_hash string, n_buckets int, ts double, metrics string",
         )
         ledger.append("runs", lineage)

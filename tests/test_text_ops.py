@@ -227,3 +227,18 @@ def test_gopher_filter_threshold_override(spark):
     assert strict.collect()[0].keep
     default = text.gopher_filter(df).collect()[0]
     assert not default.keep and "too_few_words" in list(default.drop_reasons)
+
+
+def test_gopher_filter_null_text_kept_and_unknown_threshold_rejected(spark):
+    df = spark.createDataFrame(
+        [("n", None), ("e", "")], "doc_id string, text string"
+    )
+    got = {r.doc_id: (r.keep, list(r.drop_reasons)) for r in text.gopher_filter(df).collect()}
+    # null text: no signal, no rule fires, kept (oracle NULL semantics)
+    assert got["n"] == (True, [])
+    # empty text: 1 empty 'word' -> too_few_words + mean_word_len_low
+    assert got["e"][0] is False and "too_few_words" in got["e"][1]
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="unknown gopher threshold"):
+        text.gopher_filter(df, thresholds={"max_top_word_fraction": 0.5})

@@ -486,7 +486,6 @@ def test_cap_violations_deterministic_and_exact(spark):
         per[c] = per.get(c, 0) + 1
     assert per == {"c1": 10, "c2": 3}  # under-cap constraints untouched
     # the kept set is EXACTLY the cap smallest hashes (brute force)
-    import pandas as pd
     pdf = viols.withColumn("_h", F.xxhash64("doc_id", "constraint_id")).toPandas()
     want = set()
     for c, grp in pdf.groupby("constraint_id"):
@@ -584,3 +583,35 @@ def test_cli_quarantine_and_exit_code(tmp_path):
     r = run("validate", "--input", clean, "--cpus", "4",
             "--no-violation-rows", "--fail-on-violation")
     assert r.returncode == 0, r.stdout[-500:] + r.stderr[-500:]
+
+
+def test_suite_from_json_rejects_unknown_kind():
+    import pytest as _pt
+
+    bad = '[{"cid": "x", "kind": "not_nul", "column": "doc_id", "params": {}}]'
+    with _pt.raises(ValueError, match="unknown kind"):
+        C.suite_from_json(bad)
+
+
+def test_max_violations_cap_holds_across_resumed_runs(fd_df, tmp_path):
+    """Each resumed run appends its own capped rows; the merged read
+    must re-cap so the RETURNED set honors the per-constraint bound."""
+    store = TableStore(fd_df.sparkSession, str(tmp_path / "cap_ledger"))
+    suite = [C.not_null("dep", cid="nn_dep")]
+    df = fd_df  # 2 null deps planted (d3, d6)
+    r1 = validate(df, suite, key="doc_id", n_buckets=4, ledger=store,
+                  max_violations_per_constraint=1, run_id="x")
+    # second run, same ledger, force re-extraction by a disjoint bucket
+    # count? simplest: same config — resume appends nothing new, but a
+    # re-run with a FRESH run id over the same buckets appends only for
+    # uncompleted buckets (none) — so instead run against a ledger from
+    # a partial first pass
+    store2 = TableStore(fd_df.sparkSession, str(tmp_path / "cap_ledger2"))
+    from kglids_spark.plans.buckets import with_bucket, BUCKET_COL
+    half = (with_bucket(df, "doc_id", 4).filter(F.col(BUCKET_COL) < 2).drop(BUCKET_COL))
+    validate(half, suite, key="doc_id", n_buckets=4, ledger=store2,
+             max_violations_per_constraint=1, run_id="h1")
+    r2 = validate(df, suite, key="doc_id", n_buckets=4, ledger=store2,
+                  max_violations_per_constraint=1, run_id="h2")
+    n = r2.violations.filter(F.col("constraint_id") == "nn_dep").count()
+    assert n <= 1, f"merged ledger read returned {n} rows despite cap=1"
