@@ -3352,6 +3352,79 @@ _DUP_SPANS_SQL = """
 """
 
 
+_CHAR_LM_COUNTS_SQL = r"""
+    WITH cs AS (
+      SELECT string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '') AS c
+      FROM documents),
+    grams AS (
+      SELECT c[i] || c[i+1] || c[i+2] AS gram
+      FROM cs, unnest(range(1, len(c) - 3 + 2)) u(i)
+      WHERE len(c) >= 3)
+    SELECT gram, COUNT(*)::BIGINT AS count, substr(gram, 1, 2) AS prefix
+    FROM grams GROUP BY gram
+    ORDER BY count DESC, gram LIMIT 50
+"""
+
+
+@register("char_lm_trigram_counts", _CHAR_LM_COUNTS_SQL)
+def char_lm_trigram_counts(spark, sf_dir):
+    """The character-trigram LM trainer's statistics (text.
+    char_lm_counts), value-exact on the top-50 grams — the shuffle
+    carries the gram dictionary, never the corpus."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        text.char_lm_counts(d)
+        .orderBy(F.desc("count"), F.asc("gram"))
+        .limit(50)
+    )
+
+
+_CHAR_LM_SCORE_SQL = r"""
+    WITH cs AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '') AS c
+      FROM documents),
+    grams AS (
+      SELECT doc_id, c[i] || c[i+1] || c[i+2] AS gram
+      FROM cs, unnest(range(1, len(c) - 3 + 2)) u(i)
+      WHERE len(c) >= 3),
+    lm AS (SELECT gram, COUNT(*) AS cnt FROM grams GROUP BY gram),
+    pref AS (
+      SELECT substr(gram, 1, 2) AS prefix, SUM(cnt) AS prefix_ct
+      FROM lm GROUP BY prefix),
+    vocab AS (SELECT COUNT(DISTINCT substr(gram, 3, 1)) AS v FROM lm),
+    scored AS (
+      SELECT g.doc_id,
+             ln((COALESCE(l.cnt, 0) + 1.0) /
+                (COALESCE(p.prefix_ct, 0) + 1.0 * (SELECT v FROM vocab))) AS lp
+      FROM grams g
+      LEFT JOIN lm l USING (gram)
+      LEFT JOIN pref p ON p.prefix = substr(g.gram, 1, 2)),
+    per AS (
+      SELECT doc_id, COUNT(*)::BIGINT AS n_grams, AVG(lp) AS m
+      FROM scored GROUP BY doc_id)
+    SELECT d.doc_id,
+           COALESCE(p.n_grams, 0)::BIGINT AS n_grams,
+           round(p.m, 6) AS logprob_per_gram
+    FROM documents d LEFT JOIN per p USING (doc_id)
+"""
+
+
+@register("char_lm_doc_scores", _CHAR_LM_SCORE_SQL)
+def char_lm_doc_scores(spark, sf_dir):
+    """CCNet-shaped LM quality scoring: train the char-trigram model on
+    the corpus, score every document's mean log P(c | context) under
+    it (Laplace alpha=1). Value-exact to 6 dp — the mean is an AVG
+    over ~10³ double terms whose summation-order error (~1e-12) sits
+    far below the rounding granularity."""
+    d = _t(spark, sf_dir, "documents")
+    lm = text.char_lm_counts(d)
+    s = text.char_lm_score(d, lm)
+    return s.select(
+        "doc_id", "n_grams", F.round("logprob_per_gram", 6).alias("logprob_per_gram")
+    )
+
+
 _GOPHER_FILTER_SQL = r"""
     WITH w AS (
       SELECT doc_id, text,
@@ -3679,8 +3752,12 @@ _DRIVER_PRIORITY = [
     # round-4 SemDeDup/BPE/FD/volume value-exact queries: a brand-new
     # operator's first hard driver row outranks a third re-check of an
     # r2-green query that pytest re-oracles every run; the displaced 5
-    # rows-only bpe_token_counts, and duplicate_spans_docs rotate into
-    # the r5 window), (c) the
+    # rows-only bpe_token_counts, and the later round-4 additions
+    # (duplicate_spans_docs, dup_span_fraction_docs,
+    # corpus_line_dedup_docs, gopher_filter_docs, documents_to_tokens,
+    # fuzzy_dedup_survivors_docs, char_lm family) rotate into the r5
+    # window — all are re-oracled by tests/test_entry.py on every
+    # pytest run meanwhile), (c) the
     # queries new in round 4, and (d) the one round-4-changed-operator
     # query. Everything outside the window is r2/r3-green and re-oracled
     # against DuckDB by tests/test_entry.py on every pytest run —

@@ -467,6 +467,104 @@ def corpus_line_dedup(
     return out
 
 
+def char_lm_counts(
+    df: DataFrame, text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """(gram, prefix, count) character-n-gram statistics over the
+    normalized corpus — the training pass of a CCNet-style language-
+    model quality scorer (Wenzek et al. 2020 score with a KenLM model;
+    here the model is self-trained on the corpus, so the operator is
+    self-contained). One corpus scan: grams build map-side by zipping
+    the char array with shifted slices (the _zip_ngrams discipline —
+    the text is referenced a constant number of times), and the
+    groupBy shuffles the gram DICTIONARY (≤ |alphabet|^n rows), never
+    the corpus. ``prefix`` is the (n-1)-gram context, so P(c | ctx) =
+    count(gram) / count_of_prefix joins directly."""
+    from kglids_spark.operators.dedup import _zip_ngrams, normalize_text
+
+    chars = F.filter(F.split(normalize_text(F.col(text_col)), ""), lambda c: c != "")
+    base = df.select(chars.alias("_cs")).filter(F.size("_cs") >= n)
+    grams = base.select(
+        F.explode(
+            F.transform(
+                _zip_ngrams(F.col("_cs"), n),
+                lambda s: F.concat(*[s[str(k)] for k in range(n)]),
+            )
+        ).alias("gram")
+    )
+    counts = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("count"))
+    return counts.withColumn("prefix", F.substring("gram", 1, n - 1))
+
+
+def char_lm_score(
+    df: DataFrame,
+    lm: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    alpha: float = 1.0,
+    vocab_size: int | None = None,
+) -> DataFrame:
+    """(id, n_grams, logprob_per_gram): mean log P(c | context) of each
+    document under the char-n-gram model ``lm`` (char_lm_counts
+    output), with Laplace smoothing ``alpha`` over ``vocab_size``
+    outcomes (default: distinct final characters in the model) — the
+    CCNet/KenLM perplexity-filter shape: low scores mark gibberish and
+    boilerplate-alphabet outliers; bucketing by score tertiles is the
+    published head/middle/tail split.
+
+    The model is dictionary-sized, so it rides into the plan as a
+    BROADCAST join against the exploded gram stream (two joins: gram
+    and prefix totals), and the per-doc aggregation is map-side-
+    combined. Smoothed, so unseen grams score log(alpha / (prefix_ct +
+    alpha*V)) with prefix_ct = 0 — never -inf. Docs shorter than n
+    chars have no grams: n_grams = 0, score NULL."""
+    from kglids_spark.operators.dedup import _zip_ngrams, normalize_text
+
+    if vocab_size is None:
+        vocab_size = lm.select(
+            F.substring("gram", n, 1).alias("_c")
+        ).distinct().count()
+    prefix_tot = lm.groupBy("prefix").agg(F.sum("count").alias("prefix_ct"))
+    chars = F.filter(F.split(normalize_text(F.col(text_col)), ""), lambda c: c != "")
+    base = df.select(F.col(id_col).alias("id"), chars.alias("_cs"))
+    grams = base.select(
+        "id",
+        F.explode(
+            F.transform(
+                _zip_ngrams(F.col("_cs"), n),
+                lambda s: F.concat(*[s[str(k)] for k in range(n)]),
+            )
+        ).alias("gram"),
+    ).filter(F.length("gram") == n)
+    V = F.lit(float(vocab_size))
+    a = F.lit(float(alpha))
+    scored = (
+        grams.join(F.broadcast(lm.select("gram", "count")), "gram", "left")
+        .withColumn("prefix", F.substring("gram", 1, n - 1))
+        .join(F.broadcast(prefix_tot), "prefix", "left")
+        .select(
+            "id",
+            F.log(
+                (F.coalesce(F.col("count"), F.lit(0)) + a)
+                / (F.coalesce(F.col("prefix_ct"), F.lit(0)) + a * V)
+            ).alias("lp"),
+        )
+    )
+    per_doc = scored.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_grams"), F.avg("lp").alias("logprob_per_gram")
+    )
+    all_ids = df.select(F.col(id_col).alias("id"))
+    return (
+        all_ids.join(per_doc, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+            F.col("logprob_per_gram"),
+        )
+    )
+
+
 def analyze_documents(df: DataFrame, text_col: str = "text") -> DataFrame:
     """One-pass text-analysis projection: language, token counts,
     quality features, fingerprints."""
