@@ -183,6 +183,12 @@ def family_ops(docs, vecs, queries, srcd, centroids):
             "run": lambda: text.corpus_line_dedup(docs),
             "plan": lambda: text.corpus_line_dedup(docs, materialize=False),
         },
+        # char-trigram LM: train on the corpus, score every doc — the
+        # CCNet perplexity-filter shape. Gram dictionary shuffles (not
+        # the corpus); the scorer broadcast-joins the model
+        "text_char_lm_score": lambda: text.char_lm_score(
+            docs, text.char_lm_counts(docs)
+        ),
         # BPE encode throughput (the model is learned once, offline —
         # learn_bpe's per-round cost is vocab-sized, not corpus-sized;
         # what runs at corpus scale is the Arrow-batched encoder)
