@@ -185,10 +185,13 @@ def family_ops(docs, vecs, queries, srcd, centroids):
         },
         # char-trigram LM: train on the corpus, score every doc — the
         # CCNet perplexity-filter shape. Gram dictionary shuffles (not
-        # the corpus); the scorer broadcast-joins the model
-        "text_char_lm_score": lambda: text.char_lm_score(
-            docs, text.char_lm_counts(docs)
-        ),
+        # the corpus); the scorer broadcast-joins the model. Fused
+        # train+score shares one persisted gram stream; it eagerly
+        # checkpoints, so the plan variant keeps the lazy composition
+        "text_char_lm_score": {
+            "run": lambda: text.char_lm_train_score(docs),
+            "plan": lambda: text.char_lm_score(docs, text.char_lm_counts(docs)),
+        },
         # BPE encode throughput (the model is learned once, offline —
         # learn_bpe's per-round cost is vocab-sized, not corpus-sized;
         # what runs at corpus scale is the Arrow-batched encoder)

@@ -3418,8 +3418,7 @@ def char_lm_doc_scores(spark, sf_dir):
     over ~10³ double terms whose summation-order error (~1e-12) sits
     far below the rounding granularity."""
     d = _t(spark, sf_dir, "documents")
-    lm = text.char_lm_counts(d)
-    s = text.char_lm_score(d, lm)
+    s = text.char_lm_train_score(d)  # fused: one gram stream for both
     return s.select(
         "doc_id", "n_grams", F.round("logprob_per_gram", 6).alias("logprob_per_gram")
     )

@@ -565,6 +565,78 @@ def char_lm_score(
     )
 
 
+def char_lm_train_score(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    alpha: float = 1.0,
+) -> DataFrame:
+    """Train the char-n-gram model on the corpus AND score every
+    document under it, sharing ONE persisted (id, gram) stream — the
+    separate train+score composition explodes the corpus into its
+    ~hundreds-of-millions-row gram stream twice; this builds it once
+    (MEMORY_AND_DISK, released after the scores materialize). Output
+    and semantics are identical to
+    ``char_lm_score(df, char_lm_counts(df))`` — pinned by the
+    composition test — at roughly half the explode cost."""
+    from pyspark import StorageLevel
+
+    from kglids_spark.operators.dedup import _zip_ngrams, normalize_text
+
+    chars = F.filter(F.split(normalize_text(F.col(text_col)), ""), lambda c: c != "")
+    grams = (
+        df.select(F.col(id_col).alias("id"), chars.alias("_cs"))
+        .select(
+            "id",
+            F.explode(
+                F.transform(
+                    _zip_ngrams(F.col("_cs"), n),
+                    lambda s: F.concat(*[s[str(k)] for k in range(n)]),
+                )
+            ).alias("gram"),
+        )
+        .filter(F.length("gram") == n)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    lm = (
+        grams.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("count"))
+        .withColumn("prefix", F.substring("gram", 1, n - 1))
+    )
+    vocab_size = lm.select(F.substring("gram", n, 1)).distinct().count()
+    prefix_tot = lm.groupBy("prefix").agg(F.sum("count").alias("prefix_ct"))
+    V = F.lit(float(vocab_size))
+    a = F.lit(float(alpha))
+    scored = (
+        grams.join(F.broadcast(lm.select("gram", "count")), "gram", "left")
+        .withColumn("prefix", F.substring("gram", 1, n - 1))
+        .join(F.broadcast(prefix_tot), "prefix", "left")
+        .select(
+            "id",
+            F.log(
+                (F.coalesce(F.col("count"), F.lit(0)) + a)
+                / (F.coalesce(F.col("prefix_ct"), F.lit(0)) + a * V)
+            ).alias("lp"),
+        )
+    )
+    per_doc = scored.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_grams"), F.avg("lp").alias("logprob_per_gram")
+    )
+    out = (
+        df.select(F.col(id_col).alias("id"))
+        .join(per_doc, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+            F.col("logprob_per_gram"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    grams.unpersist()
+    return out
+
+
 def analyze_documents(df: DataFrame, text_col: str = "text") -> DataFrame:
     """One-pass text-analysis projection: language, token counts,
     quality features, fingerprints."""

@@ -280,3 +280,18 @@ def test_char_lm_score_smoothing_and_short_docs(spark):
     assert got2["x"] > got2["y"]  # in-distribution scores higher
     # doc shorter than n: no grams, NULL score
     assert got["s"] == (0, None)
+
+
+def test_char_lm_train_score_matches_composition(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    composed = {
+        r.doc_id: (r.n_grams, None if r.logprob_per_gram is None else round(r.logprob_per_gram, 9))
+        for r in text.char_lm_score(docs, text.char_lm_counts(docs)).collect()
+    }
+    fused = {
+        r.doc_id: (r.n_grams, None if r.logprob_per_gram is None else round(r.logprob_per_gram, 9))
+        for r in text.char_lm_train_score(docs).collect()
+    }
+    assert fused == composed and len(fused) > 100
