@@ -229,9 +229,10 @@ class _PinnedWorker:
 
 def _steady_pair_indices(
     low_ts: list[float], high_ts: list[float], tol: float = 0.15
-) -> list[int]:
-    """Indices of the pairs usable for the scaling ratio: BOTH sides
-    within ``tol`` of their series minimum.
+) -> tuple[list[int], float]:
+    """(indices, tol_used): the pairs usable for the scaling ratio —
+    BOTH sides within ``tol_used`` of their series minimum — plus the
+    tolerance that actually admitted them (the widening ladder below).
 
     Two contamination modes, one predicate. (1) Warm-up: the driver's
     round-3 series showed BOTH levels still improving at pass 6

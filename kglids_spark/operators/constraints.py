@@ -223,9 +223,20 @@ def suite_to_json(constraints: list[Constraint]) -> str:
     surface for spark-submit jobs (cli --suite): the SAME file yields
     the SAME constraint_set_hash, so checkpoint lineage and resume
     semantics carry across machines and submissions. Tuples flatten to
-    JSON arrays; Infinity (volume's open upper bound) uses Python
-    json's non-strict float encoding."""
+    JSON arrays; volume's open upper bound (float inf) serializes as
+    null — Python's default non-strict `Infinity` literal is not
+    RFC-8259 JSON and jq/strict parsers reject the file (ADVICE r4).
+    allow_nan=False guarantees no non-portable literal ever sneaks
+    into the portable surface (an unexpected NaN raises instead)."""
     import json
+    import math
+
+    def enc(v):
+        if isinstance(v, tuple):
+            return list(v)
+        if isinstance(v, float) and math.isinf(v):
+            return None
+        return v
 
     return json.dumps(
         [
@@ -233,14 +244,12 @@ def suite_to_json(constraints: list[Constraint]) -> str:
                 "cid": c.cid,
                 "kind": c.kind,
                 "column": c.column,
-                "params": {
-                    k: list(v) if isinstance(v, tuple) else v
-                    for k, v in c.params.items()
-                },
+                "params": {k: enc(v) for k, v in c.params.items()},
             }
             for c in constraints
         ],
         indent=2,
+        allow_nan=False,
     )
 
 
@@ -276,6 +285,11 @@ def suite_from_json(text: str) -> list[Constraint]:
             k: tuple(v) if isinstance(v, list) else v
             for k, v in d.get("params", {}).items()
         }
+        # volume's open upper bound round-trips as null (see
+        # suite_to_json) — only that slot maps back to inf; other None
+        # params (e.g. referential's valid_values) stay None
+        if d.get("kind") == "volume" and params.get("hi") is None:
+            params["hi"] = float("inf")
         out.append(Constraint(d["cid"], d["kind"], d.get("column"), params))
     return out
 

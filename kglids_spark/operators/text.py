@@ -451,14 +451,25 @@ def corpus_line_dedup(
         F.count(F.lit(1)).alias("_n_kept"),
     )
     # per-doc line totals from the SAME stream (max pos + 1; split('')
-    # always yields >=1 element, so every doc appears) — not a third
-    # scan of the source text
-    base = lines.groupBy("id").agg((F.max("pos") + 1).alias("n_lines"))
-    out = base.join(rebuilt, "id", "left").select(
-        F.col("id").alias(id_col),
-        F.coalesce("text_clean", F.lit("")).alias("text_clean"),
-        "n_lines",
-        (F.col("n_lines") - F.coalesce("_n_kept", F.lit(0))).alias("n_removed"),
+    # always yields >=1 element, so every non-null doc appears) — not a
+    # third scan of the source text. The doc UNIVERSE comes from df
+    # itself: split(NULL) explodes to zero rows, so a NULL-text doc has
+    # no entry in the line stream and a totals-derived base would drop
+    # it silently (ADVICE r4). Left-joining totals onto df's ids keeps
+    # every doc, emitting ('', NULL, NULL) for null text — byte-for-
+    # byte the oracle's FROM-documents base-CTE semantics and the
+    # null-keeping convention of gopher_filter / char_lm_score.
+    totals = lines.groupBy("id").agg((F.max("pos") + 1).alias("n_lines"))
+    out = (
+        df.select(F.col(id_col).alias("id"))
+        .join(totals, "id", "left")
+        .join(rebuilt, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("text_clean", F.lit("")).alias("text_clean"),
+            "n_lines",
+            (F.col("n_lines") - F.coalesce("_n_kept", F.lit(0))).alias("n_removed"),
+        )
     )
     if not materialize:
         return out

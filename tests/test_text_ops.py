@@ -182,6 +182,22 @@ def test_corpus_line_dedup_hashed_twin_lockstep(spark):
     assert a == b
 
 
+def test_corpus_line_dedup_keeps_null_text_docs(spark):
+    """split(NULL) explodes to zero rows, so a totals-derived doc base
+    silently dropped null-text docs (ADVICE r4). The universe now comes
+    from df itself: the null doc survives with the oracle's
+    FROM-documents semantics — text_clean '', n_lines/n_removed NULL."""
+    df = spark.createDataFrame(
+        LINE_DOCS + [("e", None)], "doc_id string, text string"
+    )
+    out = {r.doc_id: r for r in text.corpus_line_dedup(df, hash_lines=False).collect()}
+    assert set(out) == {"a", "b", "c", "d", "e"}
+    e = out["e"]
+    assert e.text_clean == "" and e.n_lines is None and e.n_removed is None
+    # non-null docs unchanged by the universe join
+    assert out["b"].text_clean == "real content two."
+
+
 def test_corpus_line_dedup_min_count(spark):
     df = spark.createDataFrame(LINE_DOCS, "doc_id string, text string")
     # min_count=3: 'nav bar' occurs 3x -> deduped; 'footer' (2x) survives

@@ -541,13 +541,30 @@ def test_suite_json_roundtrip_preserves_hash():
         C.expression("n_tok > 0", columns=["n_tok"]),
         C.metric_range("n_tok", "mean", 1, 1e6),
         C.functional_dependency(["a", "b"], "c"),
-        C.volume(100),  # open upper bound -> Infinity in JSON
+        C.volume(100),  # open upper bound -> null in JSON (RFC 8259)
         C.schema_type("doc_id", "string"),
     ]
     text = C.suite_to_json(suite)
     back = C.suite_from_json(text)
     assert back == suite
     assert C.constraint_set_hash(back) == C.constraint_set_hash(suite)
+    # the portable surface must be strict RFC-8259 JSON: Python's
+    # non-strict Infinity literal is rejected by jq and most non-Python
+    # parsers (ADVICE r4). parse_constant raises on any of the three
+    # non-standard literals, proving none is present.
+    import json as J
+
+    def _no_const(name):  # pragma: no cover - failure path
+        raise AssertionError(f"non-RFC-8259 literal {name} in suite JSON")
+
+    parsed = J.loads(text, parse_constant=_no_const)
+    vol = next(d for d in parsed if d["kind"] == "volume")
+    assert vol["params"]["hi"] is None
+    # referential's genuine None params survive the null round-trip
+    ref_back = next(c for c in back if c.kind == "referential")
+    assert ref_back.params["valid_values"] is not None  # from default_suite
+    open_ref = C.suite_from_json(C.suite_to_json([C.referential("source", dim_table="dims")]))
+    assert open_ref[0].params["valid_values"] is None
 
 
 def test_cli_quarantine_and_exit_code(tmp_path):
