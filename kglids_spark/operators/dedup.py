@@ -980,6 +980,118 @@ def dup_span_fraction(
     )
 
 
+def remove_duplicate_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 5,
+    min_count: int = 2,
+    hash_spans: bool = True,
+    materialize: bool = True,
+) -> DataFrame:
+    """Duplicated-span REMOVAL — the rewrite half of Lee et al. 2022's
+    substring dedup (duplicate_spans detects; this excises): every
+    ``window``-word span occurring at >= ``min_count`` positions
+    corpus-wide keeps exactly its FIRST occurrence — the minimum
+    (doc_id, pos), corpus_line_dedup's keeper discipline — and every
+    OTHER occurrence's words are cut from the rebuilt text.
+
+    Returns (id, text_clean, n_words, n_removed_spans,
+    n_removed_words): ``text_clean`` is the surviving NORMALIZED words
+    re-joined by single spaces (spans are keyed on normalized words,
+    so the rewrite is in the same space — the C4-line-dedup analog
+    rebuilds raw lines because lines ARE its keys); ``n_removed_spans``
+    counts excised span occurrences, ``n_removed_words`` the words cut
+    (overlapping excised spans share words, so it can be less than
+    spans * window). Every doc in ``df`` appears: dup-free docs pass
+    through with 0 removals, NULL-text docs emit ('', NULL, 0, 0).
+
+    Plan: the span stream (int64 xxhash64 keys; string twin for the
+    oracle) persists once; one groupBy yields count + keeper min-struct
+    (map-side-combined, O(1) buffer); non-keeper duplicated
+    occurrences — bounded by real duplicate mass — aggregate to a
+    per-doc sorted start list, which joins back (AQE broadcasts when
+    small). The rewrite is map-side: sorted starts fold into merged
+    disjoint [lo,hi] intervals (one pass), and the word filter probes
+    those intervals — a wall-of-boilerplate doc collapses to ONE
+    interval, so the per-doc cost is O(n_words * n_maximal_runs), not
+    O(n_words * n_occurrences)."""
+    from pyspark import StorageLevel
+
+    base = df.select(
+        F.col(id_col).alias("id"), split_words(text_col).alias("_ws")
+    )
+    spans_src = base.filter(F.size("_ws") >= window).select(
+        "id", F.posexplode(_zip_ngrams(F.col("_ws"), window)).alias("pos", "_g")
+    )
+    if hash_spans:
+        key = F.xxhash64(*[F.col("_g")[str(k)] for k in range(window)])
+    else:
+        key = F.concat_ws(" ", *[F.col("_g")[str(k)] for k in range(window)])
+    spans = spans_src.select("id", "pos", key.alias("span"))
+    if materialize:
+        spans = spans.persist(StorageLevel.MEMORY_AND_DISK)
+    stats = (
+        spans.groupBy("span")
+        .agg(
+            F.count(F.lit(1)).alias("n_occ"),
+            F.min(F.struct("id", "pos")).alias("keeper"),
+        )
+        .filter(F.col("n_occ") >= min_count)
+    )
+    doomed = (
+        spans.join(stats, "span")
+        .filter(
+            (F.col("keeper.id") != F.col("id")) | (F.col("keeper.pos") != F.col("pos"))
+        )
+        .groupBy("id")
+        .agg(F.sort_array(F.collect_list("pos")).alias("_starts"))
+    )
+    w = F.lit(window)
+    starts = F.coalesce(F.col("_starts"), F.array().cast("array<int>"))
+    # fold sorted starts into merged disjoint intervals: each start s
+    # covers [s, s+window-1]; a start inside-or-adjacent-to the open
+    # interval extends it, otherwise a new interval opens
+    empty = F.array().cast("array<struct<lo:int,hi:int>>")
+    merged = F.aggregate(
+        starts,
+        empty,
+        lambda acc, s: F.when(
+            (F.size(acc) > 0) & (s <= F.element_at(acc, -1)["hi"] + 1),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1),
+                F.array(
+                    F.struct(
+                        F.element_at(acc, -1)["lo"].alias("lo"),
+                        F.greatest(F.element_at(acc, -1)["hi"], s + w - 1).alias("hi"),
+                    )
+                ),
+            ),
+        ).otherwise(
+            F.concat(acc, F.array(F.struct(s.alias("lo"), (s + w - 1).alias("hi"))))
+        ),
+    )
+    joined = base.join(doomed, "id", "left").withColumn("_iv", merged)
+    kept = F.filter(
+        F.col("_ws"),
+        lambda x, i: ~F.exists(
+            F.col("_iv"), lambda m: (i >= m["lo"]) & (i <= m["hi"])
+        ),
+    )
+    out = joined.select(
+        F.col("id").alias(id_col),
+        F.coalesce(F.array_join(kept, " "), F.lit("")).alias("text_clean"),
+        F.size("_ws").alias("n_words"),
+        F.coalesce(F.size("_starts"), F.lit(0)).alias("n_removed_spans"),
+        F.coalesce(F.size("_ws") - F.size(kept), F.lit(0)).alias("n_removed_words"),
+    )
+    if not materialize:
+        return out
+    out = out.localCheckpoint(eager=True)
+    spans.unpersist()
+    return out
+
+
 def fuzzy_dedup_survivors(
     df: DataFrame,
     text_col: str = "text",

@@ -515,6 +515,7 @@ def char_lm_score(
     n: int = 3,
     alpha: float = 1.0,
     vocab_size: int | None = None,
+    hash_grams: bool = True,
 ) -> DataFrame:
     """(id, n_grams, logprob_per_gram): mean log P(c | context) of each
     document under the char-n-gram model ``lm`` (char_lm_counts
@@ -527,16 +528,21 @@ def char_lm_score(
     The model is dictionary-sized, so it rides into the plan as a
     BROADCAST join against the exploded gram stream (two joins: gram
     and prefix totals), and the per-doc aggregation is map-side-
-    combined. Smoothed, so unseen grams score log(alpha / (prefix_ct +
-    alpha*V)) with prefix_ct = 0 — never -inf. Docs shorter than n
-    chars have no grams: n_grams = 0, score NULL."""
+    combined. With ``hash_grams`` (production default) the stream
+    carries int64 xxhash64 keys for the gram and its prefix instead of
+    strings — the joins hash/compare 8-byte longs across the ~corpus-
+    sized stream (the duplicate_spans key convention; VERDICT r4 #3);
+    values are identical modulo 64-bit collisions, pinned by the
+    string-twin lockstep test. Smoothed, so unseen grams score
+    log(alpha / (prefix_ct + alpha*V)) with prefix_ct = 0 — never
+    -inf. Docs shorter than n chars have no grams: n_grams = 0, score
+    NULL."""
     from kglids_spark.operators.dedup import _zip_ngrams, normalize_text
 
     if vocab_size is None:
         vocab_size = lm.select(
             F.substring("gram", n, 1).alias("_c")
         ).distinct().count()
-    prefix_tot = lm.groupBy("prefix").agg(F.sum("count").alias("prefix_ct"))
     chars = F.filter(F.split(normalize_text(F.col(text_col)), ""), lambda c: c != "")
     base = df.select(F.col(id_col).alias("id"), chars.alias("_cs"))
     grams = base.select(
@@ -550,17 +556,38 @@ def char_lm_score(
     ).filter(F.length("gram") == n)
     V = F.lit(float(vocab_size))
     a = F.lit(float(alpha))
-    scored = (
-        grams.join(F.broadcast(lm.select("gram", "count")), "gram", "left")
-        .withColumn("prefix", F.substring("gram", 1, n - 1))
-        .join(F.broadcast(prefix_tot), "prefix", "left")
-        .select(
+    if hash_grams:
+        # key both sides by int64 digests, computed MAP-SIDE from the
+        # gram string before it is dropped — the prefix hash must come
+        # from the stream's own gram (an unseen gram with a seen
+        # prefix still earns that prefix's count, exactly the string
+        # path's smoothing semantics), not from a model-side mapping
+        grams = grams.select(
             "id",
-            F.log(
-                (F.coalesce(F.col("count"), F.lit(0)) + a)
-                / (F.coalesce(F.col("prefix_ct"), F.lit(0)) + a * V)
-            ).alias("lp"),
+            F.xxhash64("gram").alias("_gh"),
+            F.xxhash64(F.substring("gram", 1, n - 1)).alias("_ph"),
         )
+        lm_k = lm.select(F.xxhash64("gram").alias("_gh"), "count")
+        prefix_tot = lm.groupBy(F.xxhash64("prefix").alias("_ph")).agg(
+            F.sum("count").alias("prefix_ct")
+        )
+        scored = (
+            grams.join(F.broadcast(lm_k), "_gh", "left")
+            .join(F.broadcast(prefix_tot), "_ph", "left")
+        )
+    else:
+        prefix_tot = lm.groupBy("prefix").agg(F.sum("count").alias("prefix_ct"))
+        scored = (
+            grams.join(F.broadcast(lm.select("gram", "count")), "gram", "left")
+            .withColumn("prefix", F.substring("gram", 1, n - 1))
+            .join(F.broadcast(prefix_tot), "prefix", "left")
+        )
+    scored = scored.select(
+        "id",
+        F.log(
+            (F.coalesce(F.col("count"), F.lit(0)) + a)
+            / (F.coalesce(F.col("prefix_ct"), F.lit(0)) + a * V)
+        ).alias("lp"),
     )
     per_doc = scored.groupBy("id").agg(
         F.count(F.lit(1)).alias("n_grams"), F.avg("lp").alias("logprob_per_gram")
@@ -582,54 +609,97 @@ def char_lm_train_score(
     id_col: str = "doc_id",
     n: int = 3,
     alpha: float = 1.0,
+    hash_grams: bool = True,
 ) -> DataFrame:
     """Train the char-n-gram model on the corpus AND score every
-    document under it, sharing ONE persisted (id, gram) stream — the
+    document under it, sharing ONE persisted gram stream — the
     separate train+score composition explodes the corpus into its
     ~hundreds-of-millions-row gram stream twice; this builds it once
     (MEMORY_AND_DISK, released after the scores materialize). Output
     and semantics are identical to
     ``char_lm_score(df, char_lm_counts(df))`` — pinned by the
-    composition test — at roughly half the explode cost."""
+    composition test — at roughly half the explode cost.
+
+    With ``hash_grams`` (production default) the persisted stream
+    carries ``(id, xxhash64(gram), xxhash64(prefix), last_char)``
+    instead of gram strings, computed map-side in the same explode
+    projection: the dictionary groupBy, both broadcast joins, and the
+    prefix rollup all shuffle/probe fixed-width int64 keys — the
+    duplicate_spans key convention, targeted at the heaviest family op
+    (VERDICT r4 #3). Values identical modulo 64-bit collisions, pinned
+    by the string-twin lockstep test; the model never leaves the plan,
+    so no caller observes hashed keys."""
     from pyspark import StorageLevel
 
     from kglids_spark.operators.dedup import _zip_ngrams, normalize_text
 
     chars = F.filter(F.split(normalize_text(F.col(text_col)), ""), lambda c: c != "")
-    grams = (
-        df.select(F.col(id_col).alias("id"), chars.alias("_cs"))
-        .select(
-            "id",
-            F.explode(
-                F.transform(
-                    _zip_ngrams(F.col("_cs"), n),
-                    lambda s: F.concat(*[s[str(k)] for k in range(n)]),
-                )
-            ).alias("gram"),
-        )
-        .filter(F.length("gram") == n)
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
-    lm = (
-        grams.groupBy("gram")
-        .agg(F.count(F.lit(1)).alias("count"))
-        .withColumn("prefix", F.substring("gram", 1, n - 1))
-    )
-    vocab_size = lm.select(F.substring("gram", n, 1)).distinct().count()
-    prefix_tot = lm.groupBy("prefix").agg(F.sum("count").alias("prefix_ct"))
-    V = F.lit(float(vocab_size))
     a = F.lit(float(alpha))
-    scored = (
-        grams.join(F.broadcast(lm.select("gram", "count")), "gram", "left")
-        .withColumn("prefix", F.substring("gram", 1, n - 1))
-        .join(F.broadcast(prefix_tot), "prefix", "left")
-        .select(
-            "id",
-            F.log(
-                (F.coalesce(F.col("count"), F.lit(0)) + a)
-                / (F.coalesce(F.col("prefix_ct"), F.lit(0)) + a * V)
-            ).alias("lp"),
+    if hash_grams:
+        # explode the char-window STRUCTS and hash their fields
+        # directly (xxhash64 is variadic) — no per-gram string concat
+        # is ever materialized; a truncated tail window (null trailing
+        # fields — _zip_ngrams pads) is dropped by the last-field
+        # check, matching the string path's length filter. NOTE the
+        # key space: xxhash64(c1..cn) ≠ xxhash64(concat(c1..cn)) — an
+        # internal key only, never observable (the model stays in-plan)
+        s = F.col("_s")
+        grams = (
+            df.select(F.col(id_col).alias("id"), chars.alias("_cs"))
+            .select("id", F.explode(_zip_ngrams(F.col("_cs"), n)).alias("_s"))
+            .filter(s[str(n - 1)].isNotNull())
+            .select(
+                "id",
+                F.xxhash64(*[s[str(k)] for k in range(n)]).alias("_gh"),
+                F.xxhash64(*[s[str(k)] for k in range(n - 1)]).alias("_ph"),
+                s[str(n - 1)].alias("_c"),
+            )
+            .persist(StorageLevel.MEMORY_AND_DISK)
         )
+        # gh determines ph (same gram string), so grouping by the pair
+        # has gram-dictionary cardinality and keeps ph on the model row
+        lm = grams.groupBy("_gh", "_ph").agg(F.count(F.lit(1)).alias("count"))
+        # distinct last chars: alphabet-sized after map-side partial agg
+        vocab_size = grams.select("_c").distinct().count()
+        prefix_tot = lm.groupBy("_ph").agg(F.sum("count").alias("prefix_ct"))
+        scored = (
+            grams.join(F.broadcast(lm.select("_gh", "count")), "_gh", "left")
+            .join(F.broadcast(prefix_tot), "_ph", "left")
+        )
+    else:
+        grams = (
+            df.select(F.col(id_col).alias("id"), chars.alias("_cs"))
+            .select(
+                "id",
+                F.explode(
+                    F.transform(
+                        _zip_ngrams(F.col("_cs"), n),
+                        lambda st: F.concat(*[st[str(k)] for k in range(n)]),
+                    )
+                ).alias("gram"),
+            )
+            .filter(F.length("gram") == n)
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        lm = (
+            grams.groupBy("gram")
+            .agg(F.count(F.lit(1)).alias("count"))
+            .withColumn("prefix", F.substring("gram", 1, n - 1))
+        )
+        vocab_size = lm.select(F.substring("gram", n, 1)).distinct().count()
+        prefix_tot = lm.groupBy("prefix").agg(F.sum("count").alias("prefix_ct"))
+        scored = (
+            grams.join(F.broadcast(lm.select("gram", "count")), "gram", "left")
+            .withColumn("prefix", F.substring("gram", 1, n - 1))
+            .join(F.broadcast(prefix_tot), "prefix", "left")
+        )
+    V = F.lit(float(vocab_size))
+    scored = scored.select(
+        "id",
+        F.log(
+            (F.coalesce(F.col("count"), F.lit(0)) + a)
+            / (F.coalesce(F.col("prefix_ct"), F.lit(0)) + a * V)
+        ).alias("lp"),
     )
     per_doc = scored.groupBy("id").agg(
         F.count(F.lit(1)).alias("n_grams"), F.avg("lp").alias("logprob_per_gram")

@@ -218,6 +218,83 @@ def test_dup_span_fraction(spark):
     assert got["c"] == (0, 0, 0.0)
 
 
+def _ref_span_removal(texts, w=5, min_count=2):
+    """Independent pure-python replay of keep-first-occurrence span
+    removal: keeper = min (doc_id, pos) per duplicated span; every
+    other occurrence's w words are cut."""
+    import re
+    from collections import Counter, defaultdict
+
+    words, grams = {}, []
+    for did, t in texts:
+        if t is None:
+            words[did] = None
+            continue
+        ws = re.sub(r"\s+", " ", t.lower()).strip().split(" ")
+        words[did] = ws
+        for i in range(max(len(ws) - w + 1, 0)):
+            grams.append((did, i, " ".join(ws[i : i + w])))
+    counts = Counter(g for _, _, g in grams)
+    keeper = {}
+    for did, i, g in sorted(grams):
+        if counts[g] >= min_count and g not in keeper:
+            keeper[g] = (did, i)
+    starts = defaultdict(list)
+    for did, i, g in grams:
+        if counts[g] >= min_count and keeper[g] != (did, i):
+            starts[did].append(i)
+    out = {}
+    for did, ws in words.items():
+        if ws is None:
+            out[did] = ("", None, 0, 0)
+            continue
+        cut = set()
+        for s in starts[did]:
+            cut.update(range(s, s + w))
+        kept = [x for i, x in enumerate(ws) if i not in cut]
+        out[did] = (" ".join(kept), len(ws), len(starts[did]), len(ws) - len(kept))
+    return out
+
+
+def test_remove_duplicate_spans_matches_reference(spark):
+    rows = SPAN_TEXTS + [("e", None), ("f", "the quick brown fox jumps")]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    got = {
+        r.doc_id: (r.text_clean, r.n_words, r.n_removed_spans, r.n_removed_words)
+        for r in dedup.remove_duplicate_spans(df, window=5, hash_spans=False).collect()
+    }
+    assert got == _ref_span_removal(rows)
+    # keeper survives untouched; doc f's single occurrence of the
+    # 4-way-duplicated span is excised entirely (min doc_id keeps)
+    assert got["f"] == ("", 5, 1, 5)
+
+
+def test_remove_duplicate_spans_hashed_twin_lockstep(spark):
+    rows = SPAN_TEXTS + [("e", None)]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    a = {tuple(r) for r in dedup.remove_duplicate_spans(df, hash_spans=False).collect()}
+    b = {tuple(r) for r in dedup.remove_duplicate_spans(df, hash_spans=True).collect()}
+    assert a == b
+
+
+def test_remove_duplicate_spans_merges_overlapping_cuts(spark):
+    # a doc that is ONE long repetition: overlapping doomed spans must
+    # merge so n_removed_words < n_removed_spans * window
+    rows = [
+        ("a", "alpha beta gamma delta epsilon zeta"),
+        ("b", "alpha beta gamma delta epsilon zeta eta theta"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    got = {
+        r.doc_id: (r.text_clean, r.n_removed_spans, r.n_removed_words)
+        for r in dedup.remove_duplicate_spans(df, window=5, hash_spans=False).collect()
+    }
+    # spans 'alpha..epsilon' (a@0,b@0) and 'beta..zeta' (a@1,b@1):
+    # doc b loses both, cuts [0,4] and [1,5] merge into [0,5]
+    assert got["a"] == ("alpha beta gamma delta epsilon zeta", 0, 0)
+    assert got["b"] == ("eta theta", 2, 6)
+
+
 def test_fuzzy_dedup_survivors_composition(spark):
     rows = [
         ("a", "the quick brown fox jumps over the lazy dog again and again"),
