@@ -3443,7 +3443,27 @@ _GOPHER_FILTER_SQL = r"""
              CASE WHEN len(g2) = 0 THEN 0.0
                   ELSE list_max(list_transform(list_distinct(g2),
                        h -> len(list_filter(g2, x -> x = h)))) / CAST(len(g2) AS DOUBLE)
-             END AS top2
+             END AS top2,
+             CASE WHEN len(ws) > 0 THEN
+               (len(regexp_extract_all(text, '#'))
+                + len(regexp_extract_all(text, '\.\.\.'))
+                + len(regexp_extract_all(text, '…')))::DOUBLE / len(ws)
+             ELSE 0.0 END AS symr,
+             CASE WHEN len(string_split(text, chr(10))) > 0 THEN
+               len(list_filter(string_split(text, chr(10)),
+                   ln -> regexp_matches(ltrim(ln), '^[-*•]')))::DOUBLE
+               / len(string_split(text, chr(10)))
+             ELSE 0.0 END AS bulf,
+             CASE WHEN len(string_split(text, chr(10))) > 0 THEN
+               len(list_filter(string_split(text, chr(10)),
+                   ln -> regexp_matches(rtrim(ln), '(\.\.\.|…)$')))::DOUBLE
+               / len(string_split(text, chr(10)))
+             ELSE 0.0 END AS ellf,
+             CASE WHEN len(ws) > 0 THEN
+               len(list_filter(ws, x -> regexp_matches(x, '[a-z]')))::DOUBLE / len(ws)
+             ELSE 0.0 END AS alphaf,
+             len(list_intersect(list_distinct(ws),
+                 ['the','be','to','of','and','that','have','with'])) AS stops
       FROM g),
     r AS (
       SELECT doc_id,
@@ -3454,7 +3474,12 @@ _GOPHER_FILTER_SQL = r"""
                CASE WHEN mwl > 10.0 THEN 'mean_word_len_high' END,
                CASE WHEN dupf > 0.3 THEN 'dup_word_frac' END,
                CASE WHEN topw > 0.2 THEN 'top_word_frac' END,
-               CASE WHEN top2 > 0.18 THEN 'top_2gram_frac' END
+               CASE WHEN top2 > 0.18 THEN 'top_2gram_frac' END,
+               CASE WHEN symr > 0.1 THEN 'symbol_word_ratio' END,
+               CASE WHEN bulf > 0.9 THEN 'bullet_lines' END,
+               CASE WHEN ellf > 0.3 THEN 'ellipsis_lines' END,
+               CASE WHEN n_words > 0 AND alphaf < 0.8 THEN 'alpha_word_frac' END,
+               CASE WHEN n_words > 0 AND stops < 2 THEN 'too_few_stop_words' END
              ], x -> x IS NOT NULL) AS reasons
       FROM s)
     SELECT doc_id,
@@ -3560,6 +3585,62 @@ def duplicate_spans_docs(spark, sf_dir):
     path is pinned to it by the lockstep test."""
     d = _t(spark, sf_dir, "documents")
     return dedup.duplicate_spans(d, window=5, hash_spans=False)
+
+
+_REMOVE_SPANS_SQL = """
+    WITH toks AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS arr
+      FROM documents),
+    grams AS (
+      SELECT doc_id, i - 1 AS pos, array_to_string(arr[i:i+4], ' ') AS span
+      FROM toks, unnest(range(1, len(arr) - 5 + 2)) u(i)
+      WHERE len(arr) >= 5),
+    marked AS (
+      SELECT doc_id, pos,
+             COUNT(*) OVER (PARTITION BY span) AS n_occ,
+             row_number() OVER (PARTITION BY span ORDER BY doc_id, pos) AS rn
+      FROM grams),
+    doomed AS (SELECT doc_id, pos FROM marked WHERE n_occ >= 2 AND rn > 1),
+    words AS (
+      SELECT doc_id, i - 1 AS wpos, arr[i] AS w
+      FROM toks, unnest(range(1, len(arr) + 1)) u(i)),
+    covered AS (
+      SELECT DISTINCT doc_id, pos + k AS wpos
+      FROM doomed, unnest(range(0, 5)) v(k)),
+    per_doc AS (
+      SELECT doc_id, COUNT(*)::BIGINT AS n_removed_spans FROM doomed GROUP BY doc_id),
+    kept AS (
+      SELECT w.doc_id,
+             string_agg(w.w, ' ' ORDER BY w.wpos) AS text_clean,
+             COUNT(*) AS n_kept
+      FROM words w LEFT JOIN covered c USING (doc_id, wpos)
+      WHERE c.wpos IS NULL GROUP BY w.doc_id),
+    base AS (
+      SELECT doc_id,
+             len(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS n_words
+      FROM documents)
+    SELECT b.doc_id,
+           COALESCE(k.text_clean, '') AS text_clean,
+           b.n_words::INT AS n_words,
+           COALESCE(p.n_removed_spans, 0)::INT AS n_removed_spans,
+           COALESCE(b.n_words - COALESCE(k.n_kept, 0), 0)::INT AS n_removed_words
+    FROM base b
+    LEFT JOIN kept k USING (doc_id)
+    LEFT JOIN per_doc p USING (doc_id)
+"""
+
+
+@register("remove_duplicate_spans_docs", _REMOVE_SPANS_SQL)
+def remove_duplicate_spans_docs(spark, sf_dir):
+    """Duplicated-span REMOVAL (the rewrite half of Lee et al. 2022,
+    VERDICT r4 #5): keep-first-occurrence, every other occurrence's
+    words excised; rebuilt normalized text pinned byte-for-byte
+    against the oracle's window-function replay. String spans for
+    bit-portability; the int64 production path is lockstep-pinned in
+    tests/test_dedup.py."""
+    d = _t(spark, sf_dir, "documents")
+    return dedup.remove_duplicate_spans(d, window=5, hash_spans=False)
 
 
 # =====================================================================

@@ -325,7 +325,18 @@ GOPHER_DEFAULTS = {
     "max_dup_word_frac": 0.3,
     "max_top_word_frac": 0.2,
     "max_top_2gram_frac": 0.18,
+    # round-5 completion of the published MassiveText rule set
+    # (Rae et al. 2021 §A1.1; VERDICT r4 #6)
+    "max_symbol_word_ratio": 0.1,
+    "max_bullet_line_frac": 0.9,
+    "max_ellipsis_line_frac": 0.3,
+    "min_alpha_word_frac": 0.8,
+    "min_stop_words": 2,
 }
+
+# Gopher's published stop-word set: a document must contain at least
+# min_stop_words DISTINCT members (Rae et al. 2021 §A1.1)
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
 
 
 def gopher_filter(
@@ -360,6 +371,47 @@ def gopher_filter(
     t = dict(GOPHER_DEFAULTS, **(thresholds or {}))
     sig = repetition_signals(quality_features(df, text_col), text_col)
     has_words = F.col("q_n_words") > 0
+    # round-5 signals (all map-side array/regex expressions, still one
+    # projection over the scan): symbol-to-word ratio (# / ellipsis),
+    # bullet-led and ellipsis-terminated line fractions, fraction of
+    # words containing an alphabetic char, distinct Gopher stop words
+    c = F.col(text_col)
+    ws = words_expr(text_col)
+    lines = F.split(c, "\n")
+    n_lines = F.size(lines).cast("double")
+    n_sym = (
+        F.regexp_count(c, F.lit("#"))
+        + F.regexp_count(c, F.lit(r"\.\.\."))
+        + F.regexp_count(c, F.lit("…"))
+    )
+    bullet = F.size(
+        F.filter(lines, lambda ln: F.ltrim(ln).rlike(r"^[-*•]"))
+    )
+    ellip = F.size(
+        F.filter(lines, lambda ln: F.rtrim(ln).rlike(r"(\.\.\.|…)$"))
+    )
+    alpha = F.size(F.filter(ws, lambda w: w.rlike("[a-z]")))
+    stops = F.size(
+        F.array_intersect(
+            F.array_distinct(ws), F.array(*[F.lit(w) for w in GOPHER_STOPWORDS])
+        )
+    )
+    nw = F.col("q_n_words").cast("double")
+    sig = (
+        sig.withColumn(
+            "g_symbol_ratio", F.when(has_words, n_sym / nw).otherwise(F.lit(0.0))
+        )
+        .withColumn(
+            "g_bullet_frac", F.when(n_lines > 0, bullet / n_lines).otherwise(F.lit(0.0))
+        )
+        .withColumn(
+            "g_ellipsis_frac", F.when(n_lines > 0, ellip / n_lines).otherwise(F.lit(0.0))
+        )
+        .withColumn(
+            "g_alpha_word_frac", F.when(has_words, alpha / nw).otherwise(F.lit(0.0))
+        )
+        .withColumn("g_stop_hits", stops)
+    )
     rules = [
         ("too_few_words", F.col("q_n_words") < t["min_words"]),
         ("too_many_words", F.col("q_n_words") > t["max_words"]),
@@ -368,6 +420,11 @@ def gopher_filter(
         ("dup_word_frac", F.col("rep_dup_word_frac") > t["max_dup_word_frac"]),
         ("top_word_frac", F.col("rep_top_word_frac") > t["max_top_word_frac"]),
         ("top_2gram_frac", F.col("rep_top_2gram_frac") > t["max_top_2gram_frac"]),
+        ("symbol_word_ratio", F.col("g_symbol_ratio") > t["max_symbol_word_ratio"]),
+        ("bullet_lines", F.col("g_bullet_frac") > t["max_bullet_line_frac"]),
+        ("ellipsis_lines", F.col("g_ellipsis_frac") > t["max_ellipsis_line_frac"]),
+        ("alpha_word_frac", has_words & (F.col("g_alpha_word_frac") < t["min_alpha_word_frac"])),
+        ("too_few_stop_words", has_words & (F.col("g_stop_hits") < t["min_stop_words"])),
     ]
     reasons = F.array_compact(
         F.array(

@@ -214,7 +214,9 @@ def test_corpus_line_dedup_min_count(spark):
 # ---------------------------------------------------------------------
 
 def test_gopher_filter_rules_and_reasons(spark):
-    long_good = " ".join(f"w{i}" for i in range(60))  # 60 unique words
+    # 58 unique words + two Gopher stop words so the round-5
+    # min_stop_words rule is satisfied
+    long_good = " ".join(f"w{i}" for i in range(58)) + " the of"
     repeaty = " ".join(["dup"] * 60)
     short = "tiny doc"
     df = spark.createDataFrame(
@@ -231,6 +233,49 @@ def test_gopher_filter_rules_and_reasons(spark):
     assert {"dup_word_frac", "top_word_frac", "top_2gram_frac"} <= set(got["r"][1])
 
 
+def test_gopher_filter_round5_massivetext_rules(spark):
+    stopz = "the of"  # keeps min_stop_words quiet where not under test
+    filler = " ".join(f"w{i}" for i in range(58))
+    rows = [
+        # >10% symbol-to-word ratio: 60 words, 8 '#' and 2 '...'
+        ("sym", filler + " " + stopz + " " + "# # # # # # # # ... ..."),
+        # >90% bullet-led lines
+        ("bul", "\n".join(f"- item {i} {stopz}" for i in range(20))),
+        # >30% ellipsis-terminated lines
+        (
+            "ell",
+            "\n".join(
+                [f"{filler} {stopz}."]
+                + [f"trailing thought number {i} goes on..." for i in range(9)]
+            ),
+        ),
+        # <80% words containing an alphabetic char
+        ("alp", " ".join(["12345"] * 55) + " " + filler[: len("w0 w1 w2 w3 w4")] + " " + stopz),
+        # zero stop words
+        ("stp", filler + " w58 w59"),
+        # all five rules quiet
+        ("ok", filler + " " + stopz),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    got = {
+        r.doc_id: set(r.drop_reasons) for r in text.gopher_filter(df).collect()
+    }
+    assert "symbol_word_ratio" in got["sym"]
+    assert "bullet_lines" in got["bul"]
+    assert "ellipsis_lines" in got["ell"]
+    assert "alpha_word_frac" in got["alp"]
+    assert "too_few_stop_words" in got["stp"]
+    assert got["ok"] == set()
+    # thresholds are overridable like the round-4 keys
+    relaxed = {
+        r.doc_id: r.keep
+        for r in text.gopher_filter(
+            df.filter(F.col("doc_id") == "stp"), thresholds={"min_stop_words": 0}
+        ).collect()
+    }
+    assert relaxed["stp"]
+
+
 def test_gopher_filter_threshold_override(spark):
     # a 3-word doc trips too_few_words plus the small-sample repetition
     # artifacts (top word 1/3 > 0.2) — relaxing exactly those keys must
@@ -238,7 +283,12 @@ def test_gopher_filter_threshold_override(spark):
     df = spark.createDataFrame([("a", "three words here")], "doc_id string, text string")
     strict = text.gopher_filter(
         df,
-        thresholds={"min_words": 1, "max_top_word_frac": 1.0, "max_top_2gram_frac": 1.0},
+        thresholds={
+            "min_words": 1,
+            "max_top_word_frac": 1.0,
+            "max_top_2gram_frac": 1.0,
+            "min_stop_words": 0,
+        },
     )
     assert strict.collect()[0].keep
     default = text.gopher_filter(df).collect()[0]
