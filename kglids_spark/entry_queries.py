@@ -3424,6 +3424,59 @@ def char_lm_doc_scores(spark, sf_dir):
     )
 
 
+_CCNET_BUCKETS_SQL = r"""
+    WITH cs AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '') AS c
+      FROM documents),
+    grams AS (
+      SELECT doc_id, c[i] || c[i+1] || c[i+2] AS gram
+      FROM cs, unnest(range(1, len(c) - 3 + 2)) u(i)
+      WHERE len(c) >= 3),
+    lm AS (SELECT gram, COUNT(*) AS cnt FROM grams GROUP BY gram),
+    pref AS (
+      SELECT substr(gram, 1, 2) AS prefix, SUM(cnt) AS prefix_ct
+      FROM lm GROUP BY prefix),
+    vocab AS (SELECT COUNT(DISTINCT substr(gram, 3, 1)) AS v FROM lm),
+    scored AS (
+      SELECT g.doc_id,
+             ln((COALESCE(l.cnt, 0) + 1.0) /
+                (COALESCE(p.prefix_ct, 0) + 1.0 * (SELECT v FROM vocab))) AS lp
+      FROM grams g
+      LEFT JOIN lm l USING (gram)
+      LEFT JOIN pref p ON p.prefix = substr(g.gram, 1, 2)),
+    per AS (SELECT doc_id, AVG(lp) AS m FROM scored GROUP BY doc_id),
+    scores AS (
+      SELECT d.doc_id, round(p.m, 6) AS logprob_per_gram
+      FROM documents d LEFT JOIN per p USING (doc_id)),
+    nt AS (
+      SELECT doc_id, logprob_per_gram,
+             ntile(3) OVER (ORDER BY logprob_per_gram DESC NULLS LAST, doc_id)
+               AS bucket
+      FROM scores)
+    SELECT doc_id, logprob_per_gram, bucket::INT AS bucket,
+           CASE bucket WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END
+             AS bucket_label
+    FROM nt
+"""
+
+
+@register("ccnet_bucket_assignment", _CCNET_BUCKETS_SQL)
+def ccnet_bucket_assignment(spark, sf_dir):
+    """CCNet's head/middle/tail corpus split (Wenzek et al. 2020 §4.4,
+    VERDICT r4 #7): self-trained char-trigram LM scores, bucketed by
+    rank into three equal-count tiers — exact ntile semantics via the
+    two-phase range-partition ranking (no single-task global window).
+    Scores are rounded to 6 dp BEFORE ranking on both sides so the
+    cross-engine ordering is deterministic (the char_lm_doc_scores
+    rounding convention); doc_id breaks ties."""
+    d = _t(spark, sf_dir, "documents")
+    s = text.char_lm_train_score(d).withColumn(
+        "logprob_per_gram", F.round("logprob_per_gram", 6)
+    )
+    return text.ccnet_buckets(s)
+
+
 _GOPHER_FILTER_SQL = r"""
     WITH w AS (
       SELECT doc_id, text,

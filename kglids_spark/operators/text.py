@@ -775,6 +775,109 @@ def char_lm_train_score(
     return out
 
 
+def ccnet_buckets(
+    df: DataFrame,
+    score_col: str = "logprob_per_gram",
+    id_col: str = "doc_id",
+    n_buckets: int = 3,
+    labels: list[str] | None = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """CCNet's head/middle/tail split (Wenzek et al. 2020 §4.4): assign
+    every document to one of ``n_buckets`` equal-COUNT buckets by score
+    rank — best scores (highest logprob under the LM) land in 'head'.
+    Returns (id, score, bucket, bucket_label) with ``bucket`` the
+    1-based ntile group, semantics identical to SQL
+    ``ntile(k) OVER (ORDER BY score DESC NULLS LAST, id)`` — rank-
+    based, NOT value-quantile-based, so the buckets are exactly equal
+    sized (±1) even on heavily tied scores; NULL scores (docs shorter
+    than the LM's n) sort last, deterministically.
+
+    Two-phase global ranking, no single-task sort: (1)
+    ``repartitionByRange`` on (score DESC NULLS LAST, id) range-
+    partitions the corpus so partition i holds ranks strictly before
+    partition i+1 (sampling-based split points), each partition sorts
+    locally; (2) per-partition row counts (one row per partition —
+    the only collect) cumsum into broadcast offsets, and an Arrow
+    mapInPandas pass stamps rank = offset[pid] + local index. The
+    ntile group then derives from the rank in a pure expression.
+    This is the same partition-offset discipline as
+    plans/offsets.py's two-phase prefix sum."""
+    from pyspark import StorageLevel
+
+    if labels is None:
+        labels = (
+            ["head", "middle", "tail"]
+            if n_buckets == 3
+            else [f"b{i + 1}" for i in range(n_buckets)]
+        )
+    if len(labels) != n_buckets:
+        raise ValueError(
+            f"labels has {len(labels)} entries for n_buckets={n_buckets}"
+        )
+    base = df.select(id_col, score_col)
+    p = num_partitions or int(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    order = [F.desc_nulls_last(score_col), F.asc(id_col)]
+    ordered = (
+        base.repartitionByRange(p, *order)
+        .sortWithinPartitions(*order)
+        .withColumn("_pid", F.spark_partition_id())
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    counts = {
+        r["_pid"]: r["n"]
+        for r in ordered.groupBy("_pid").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    n_total = sum(counts.values())
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+
+    out_schema = (
+        base.schema.simpleString().removeprefix("struct<").removesuffix(">")
+        + ",_rank bigint"
+    )
+
+    def add_rank(batches):
+        seen = 0
+        for pdf in batches:
+            if len(pdf) == 0:
+                pdf = pdf.drop(columns=["_pid"])
+                pdf["_rank"] = []
+                yield pdf
+                continue
+            start = offsets[int(pdf["_pid"].iloc[0])] + seen
+            seen += len(pdf)
+            pdf = pdf.drop(columns=["_pid"])
+            pdf["_rank"] = range(start, start + len(pdf))
+            yield pdf
+
+    ranked = ordered.mapInPandas(add_rank, schema=out_schema)
+    # ntile group sizes: the first (n mod k) groups take ceil(n/k)
+    k = n_buckets
+    q, r = n_total // k, n_total % k
+    rank = F.col("_rank")
+    if q == 0:
+        g = rank  # fewer rows than buckets: row i -> group i+1
+    else:
+        g = F.when(rank < r * (q + 1), F.floor(rank / (q + 1))).otherwise(
+            r + F.floor((rank - r * (q + 1)) / q)
+        )
+    out = ranked.select(
+        id_col,
+        score_col,
+        (g + 1).cast("int").alias("bucket"),
+        F.element_at(
+            F.array(*[F.lit(x) for x in labels]), (g + 1).cast("int")
+        ).alias("bucket_label"),
+    ).localCheckpoint(eager=True)
+    ordered.unpersist()
+    return out
+
+
 def analyze_documents(df: DataFrame, text_col: str = "text") -> DataFrame:
     """One-pass text-analysis projection: language, token counts,
     quality features, fingerprints."""

@@ -378,6 +378,43 @@ def test_char_lm_hashed_gram_keys_lockstep_with_string_twin(spark):
     )
 
 
+def test_ccnet_buckets_exact_ntile_semantics(spark):
+    """Rank-based equal-count tiers: parity with SQL ntile(k) ORDER BY
+    score DESC NULLS LAST, id — including the front-loaded remainder
+    (first n mod k groups take the extra row) and NULL scores last."""
+    import duckdb
+    import pandas as pd
+
+    rows = [(f"d{i:03d}", float((i * 37) % 101)) for i in range(100)] + [
+        ("dnull1", None),
+        ("dnull2", None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, logprob_per_gram double")
+    for k in (3, 4, 7):
+        got = {
+            r.doc_id: r.bucket
+            for r in text.ccnet_buckets(df, n_buckets=k, labels=[f"b{j}" for j in range(k)]).collect()
+        }
+        pdf = pd.DataFrame(rows, columns=["doc_id", "logprob_per_gram"])
+        want = duckdb.sql(
+            f"""SELECT doc_id, ntile({k}) OVER
+                (ORDER BY logprob_per_gram DESC NULLS LAST, doc_id) AS nt
+                FROM pdf"""
+        ).df()
+        assert got == dict(zip(want.doc_id, want.nt.astype(int))), f"k={k}"
+
+
+def test_ccnet_buckets_edge_cases(spark):
+    # fewer rows than buckets: each row its own group, head first
+    df = spark.createDataFrame(
+        [("a", 2.0), ("b", 1.0)], "doc_id string, logprob_per_gram double"
+    )
+    got = {r.doc_id: (r.bucket, r.bucket_label) for r in text.ccnet_buckets(df).collect()}
+    assert got == {"a": (1, "head"), "b": (2, "middle")}
+    with pytest.raises(ValueError, match="labels"):
+        text.ccnet_buckets(df, n_buckets=4, labels=["x"])
+
+
 def test_char_lm_train_score_matches_composition(spark):
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
         "doc_id", "text"
