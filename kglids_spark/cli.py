@@ -158,6 +158,13 @@ def main(argv: list[str] | None = None) -> int:
     )
     tk.add_argument("--merges", type=int, default=200)
     tk.add_argument(
+        "--merge-batch",
+        type=int,
+        default=16,
+        help="max non-interacting merges applied per Spark round "
+        "(provably identical to 1; higher = fewer driver round-trips)",
+    )
+    tk.add_argument(
         "--vocab-out", default=None, help="optional JSON file for the vocab + merges"
     )
     tk.add_argument("--cpus", type=int, default=None)
@@ -373,7 +380,12 @@ def main(argv: list[str] | None = None) -> int:
         from kglids_spark.operators import tokenizer as TK
 
         df = spark.read.parquet(args.input)
-        merges = TK.learn_bpe(df, text_col=args.text_col, n_merges=args.merges)
+        merges = TK.learn_bpe(
+            df,
+            text_col=args.text_col,
+            n_merges=args.merges,
+            batch_size=args.merge_batch,
+        )
         vocab = TK.bpe_vocab(merges, TK.corpus_alphabet(df, args.text_col))
         tt = TK.text_to_tokens_table(
             df,

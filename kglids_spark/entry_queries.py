@@ -3873,60 +3873,56 @@ def bpe_token_counts(spark, sf_dir):
 # cross-checks EVERY oracle query on every pytest run.
 
 _DRIVER_PRIORITY = [
-    # Round-4 window (VERDICT r3 #3 + the two-round invariant): the
-    # demand is exactly 50 — (a) the 4 rows-only twins that have never
-    # had a driver row (their md5 twins are r3-green and lockstep tests
-    # pin the shared production paths; rows-only here is deliberate),
-    # (b) 39 of the 44 queries whose last driver row is round 2 (the
-    # other 5 — sample_fraction, the one inherently no-oracle query;
-    # ann_bruteforce_topk, pipeline_top_used_libraries,
-    # pipelines_by_tags, pipelines_for_deep_learning, whose families
-    # each keep 3+ other rows in this window — yield their slots to the
-    # round-4 SemDeDup/BPE/FD/volume value-exact queries: a brand-new
-    # operator's first hard driver row outranks a third re-check of an
-    # r2-green query that pytest re-oracles every run; the displaced 5
-    # rows-only bpe_token_counts, and the later round-4 additions
-    # (duplicate_spans_docs, dup_span_fraction_docs,
-    # corpus_line_dedup_docs, gopher_filter_docs, documents_to_tokens,
-    # fuzzy_dedup_survivors_docs, char_lm family) rotate into the r5
-    # window — all are re-oracled by tests/test_entry.py on every
-    # pytest run meanwhile), (c) the
-    # queries new in round 4, and (d) the one round-4-changed-operator
-    # query. Everything outside the window is r2/r3-green and re-oracled
-    # against DuckDB by tests/test_entry.py on every pytest run —
-    # including the round-4-changed global_shuffle_positions /
-    # pack_sequences_bins / epoch_upsample_sources / ivf_train_iteration
-    # / sentence_embedding_labels, whose operators are additionally
-    # pinned by the new test_round4_fixes suite.
-    # (a) rows-only twins — first driver rows ever
-    "ann_lsh_topk", "dedup_minhash_lsh", "dedup_simhash", "doc_fingerprint",
-    # (b) last checked in round 2
-    "ann_ivf_topk", "ann_knn_join",
-    "asof_click_purchase", "constraints_documents", "crc32_column_ids",
-    "dedup_embedding_cosine", "dedup_exact_groups", "doc_digest",
-    "drift_ks_events", "drift_psi_events", "embedding_mean_pool",
-    "embedding_norm_stats", "fine_grained_types",
-    "khop_nation_pairs_same_region", "latest_event_per_user",
-    "multimodal_features", "multimodal_frame_sampling",
-    "pipeline_hyperparameters", "pipeline_library_usage",
-    "pipeline_popular_parameters", "pipeline_search_classifier",
-    "pipeline_transformations",
-    "pipelines_info",
-    "profile_stats", "q1_pricing_summary", "q3_shipping_priority",
-    "q5_local_supplier_volume", "range_join_click_error",
-    "recommend_tables_content", "rollup_events_hypertable",
-    "sample_deterministic_hash",
-    "search_columns_regex", "sessionize_events",
-    "similarity_pairs_sources", "text_lang_id", "text_quality",
-    "token_counts", "topk_revenue_customers", "tumbling_window_events",
-    # (c) new in round 4: fastText subword OOV backoff; SemDeDup; BPE
-    # trainer statistics + lossless roundtrip; FD + volume constraint
-    # kinds (all value-exact)
-    "sentence_embedding_subword", "semantic_dedup_survivors",
-    "bpe_pair_counts", "bpe_roundtrip",
-    "constraints_fd_volume", "fd_violating_groups",
-    # (d) operator code changed in round 4 (distributed MG candidates)
-    "heavy_hitter_tokens",
+    # Round-5 window (VERDICT r4 "Next round" #2 + the recency
+    # invariant): exactly 50 slots — (a) the 9 round-4 queries that
+    # have never had a driver row (6 value-exact: char-LM counts +
+    # scores, gopher filter, corpus line dedup, duplicate spans,
+    # dup-span fraction; 3 rows-only by design: fuzzy-dedup survivors,
+    # documents->tokens, bpe token counts — ids/compositions DuckDB
+    # cannot express, lockstep-pinned by pytest), (b) the 2 queries
+    # NEW in round 5 (duplicated-span removal, CCNet tertile buckets),
+    # (c) the 4 r2-last stragglers displaced from the r4 window, and
+    # (d) 35 of the 49 queries whose last driver row is round 3. The
+    # 14 r3-green queries left out (ann_lsh_topk_md5 /
+    # dedup_minhash_lsh_md5 / dedup_simhash_md5 / doc_fingerprint_md5 —
+    # md5 twins whose production xxhash paths got r4 rows and whose
+    # equality is lockstep-pinned; eda_operations_iterative,
+    # rdf_profile_export, temperature_sample_sources,
+    # epoch_upsample_sources, semi_join_customers_with_orders,
+    # group_max_rowcount, url_encoded_ids, true_ratio_returnflag,
+    # rolling_avg_events, token_array_ops — each family keeps >=1
+    # fresher row in this window) are re-oracled against DuckDB by
+    # tests/test_entry.py on every pytest run; with 113 registered
+    # queries and a 50-slot window, >=13 must sit two rounds back at
+    # any time — the exclusions are the most-redundantly-pinned ones.
+    # sample_fraction (inherently no-oracle, r2 rows recorded) stays
+    # outside per the round-3 precedent.
+    # (a) round-4 operators awaiting their first driver row
+    "char_lm_trigram_counts", "char_lm_doc_scores", "gopher_filter_docs",
+    "corpus_line_dedup_docs", "duplicate_spans_docs",
+    "dup_span_fraction_docs", "fuzzy_dedup_survivors_docs",
+    "documents_to_tokens", "bpe_token_counts",
+    # (b) new in round 5
+    "remove_duplicate_spans_docs", "ccnet_bucket_assignment",
+    # (c) last checked in round 2
+    "ann_bruteforce_topk", "pipeline_top_used_libraries",
+    "pipelines_by_tags", "pipelines_for_deep_learning",
+    # (d) last checked in round 3
+    "anti_join_customers_no_orders", "benchmark_contamination",
+    "c4_line_filtering", "constraints_suite_extended",
+    "correlation_profile_lineitem", "csv_na_scan", "dedup_clusters",
+    "dedup_ngram_jaccard", "eda_operations", "float_bit_decomposition",
+    "global_shuffle_positions", "group_count_customers_per_nation",
+    "histogram_n_chars", "intersect_except_keys", "ivf_train_iteration",
+    "join_multiway_region", "json_extract_props", "label_generation",
+    "md5_column_ids", "na_coercion_cast", "pack_sequences_bins",
+    "per_source_stats", "pii_redaction", "rdf_ntriples_similarity",
+    "rdf_turtle_source_types", "score_normalized_events",
+    "sentence_embedding_labels", "shipdate_year_counts",
+    "similarity_scores_reference", "split_assignment_sources",
+    "stratified_sample_sources", "text_repetition_signals",
+    "topk_orders_per_priority", "union_distinct_sources_langs",
+    "vocab_top_tokens",
 ]
 
 _missing = [n for n in _DRIVER_PRIORITY if n not in QUERIES]

@@ -88,6 +88,70 @@ def test_learn_bpe_matches_reference(docs):
     assert got == want
 
 
+def test_learn_bpe_batched_equals_sequential(docs):
+    """Round 5 (VERDICT r4 #4): batch_size > 1 must learn the IDENTICAL
+    merge list — the non-interacting-prefix selection is provably
+    equivalent, and this pins it on the fixture corpus for several
+    batch sizes against both the sequential path and the independent
+    pure-Python reference."""
+    want = ref_learn(TEXTS, 24)
+    seq = TK.learn_bpe(docs, n_merges=24)
+    assert seq == want
+    for bs in (2, 8, 64):
+        assert TK.learn_bpe(docs, n_merges=24, batch_size=bs) == want, bs
+
+
+def test_select_merge_batch_interaction_guards():
+    """The adversarial interaction cases the acceptance rule exists
+    for: shared symbols, concat collisions, and count ties with a
+    conflicting pair (a created pair inherits a feeding pair's count
+    and can win the lexicographic tie-break, so accepted pairs must
+    sit STRICTLY above the first conflict's count)."""
+
+    def rows(*triples):
+        return [{"l": l, "r": r, "n": n} for l, r, n in triples]
+
+    # plain disjoint prefix: all accepted (full-universe window)
+    got = TK._select_merge_batch(
+        rows(("a", "b", 30), ("c", "d", 20), ("e", "f", 10)), 8
+    )
+    assert got == [("a", "b"), ("c", "d"), ("e", "f")]
+    # shared symbol stops the scan AND bounds by the conflict count:
+    # ("b","c") conflicts at 20, so ("x","y") at 20 is NOT safe (a
+    # pair created by the first merge could tie it), but 30 > 20 is
+    got = TK._select_merge_batch(
+        rows(("a", "b", 30), ("x", "y", 20), ("b", "c", 20), ("p", "q", 15)), 8
+    )
+    assert got == [("a", "b")]
+    got = TK._select_merge_batch(
+        rows(("a", "b", 30), ("x", "y", 25), ("b", "c", 20)), 8
+    )
+    assert got == [("a", "b"), ("x", "y")]
+    # concat collision: "ab" as a SIDE of a later pair interacts with
+    # the (a,b) merge even though it shares no symbol
+    got = TK._select_merge_batch(
+        rows(("a", "b", 30), ("ab", "z", 25), ("m", "n", 24)), 8
+    )
+    assert got == [("a", "b")]
+    # own-concat collision: ("a","bc") shares NO symbol with ("ab","c")
+    # but both mint "abc" — one surface string must map to one merge
+    got = TK._select_merge_batch(
+        rows(("ab", "c", 30), ("a", "bc", 25), ("m", "n", 24)), 8
+    )
+    assert got == [("ab", "c")]
+    # truncated window (requested == len(rows)): unseen pairs bound by
+    # the last row, so the tail-count pair is dropped
+    got = TK._select_merge_batch(
+        rows(("a", "b", 30), ("c", "d", 20), ("e", "f", 10)), 8, requested=3
+    )
+    assert got == [("a", "b"), ("c", "d")]
+    # head pair always survives, even when it ties the first conflict
+    got = TK._select_merge_batch(
+        rows(("a", "b", 30), ("b", "c", 30)), 8
+    )
+    assert got == [("a", "b")]
+
+
 def test_learn_bpe_exhausts_gracefully(spark):
     # a corpus whose vocab collapses before n_merges: must stop early
     tiny = spark.createDataFrame([("a", "ab ab")], "doc_id string, text string")
