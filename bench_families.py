@@ -183,6 +183,16 @@ def family_ops(docs, vecs, queries, srcd, centroids):
             "run": lambda: text.corpus_line_dedup(docs),
             "plan": lambda: text.corpus_line_dedup(docs, materialize=False),
         },
+        # round-5: duplicated-span REMOVAL — the span detector's plan
+        # plus the per-doc doomed-start aggregation and the map-side
+        # merged-interval rewrite; the same persist/checkpoint shape,
+        # so the plan variant keeps the lazy tree
+        "dedup_span_removal": {
+            "run": lambda: dedup.remove_duplicate_spans(docs, window=5),
+            "plan": lambda: dedup.remove_duplicate_spans(
+                docs, window=5, materialize=False
+            ),
+        },
         # char-trigram LM: train on the corpus, score every doc — the
         # CCNet perplexity-filter shape. Gram dictionary shuffles (not
         # the corpus); the scorer broadcast-joins the model. Fused
@@ -196,6 +206,18 @@ def family_ops(docs, vecs, queries, srcd, centroids):
         # learn_bpe's per-round cost is vocab-sized, not corpus-sized;
         # what runs at corpus scale is the Arrow-batched encoder)
         "tokenize_bpe_encode": lambda: _bpe_encode_op(docs),
+        # round-5: CCNet head/middle/tail bucketing isolated from the
+        # LM — rank on a cheap deterministic score so this row measures
+        # the two-phase range-partition ranking itself (the LM's cost
+        # is text_char_lm_score above). The op collects one row per
+        # partition for the rank offsets, so it is run-only (the plan
+        # snapshot still captures the final stamped tree).
+        "text_ccnet_buckets": lambda: text.ccnet_buckets(
+            docs.select(
+                "doc_id",
+                (F.xxhash64("text") / 1e18).alias("logprob_per_gram"),
+            )
+        ),
     }
 
 

@@ -169,6 +169,47 @@ def main(argv: list[str] | None = None) -> int:
     )
     tk.add_argument("--cpus", type=int, default=None)
 
+    pr = sub.add_parser(
+        "prepare",
+        help="one-call LLM training-data pipeline over a raw document "
+        "table: gopher quality filter -> corpus-wide line dedup -> "
+        "MinHash fuzzy dedup -> BPE tokenize -> sequence packing; "
+        "writes the packed tokens table and prints one JSON summary "
+        "line with per-stage surviving row counts and timings",
+    )
+    pr.add_argument("--input", required=True, help="parquet of documents")
+    pr.add_argument("--out", required=True, help="output parquet")
+    pr.add_argument("--text-col", default="text")
+    pr.add_argument("--id-col", default="doc_id")
+    pr.add_argument(
+        "--source-col",
+        default=None,
+        help="column copied through as 'source' (omitted if absent)",
+    )
+    pr.add_argument(
+        "--skip",
+        default="",
+        help="comma list of stages to skip: gopher,linededup,fuzzy,"
+        "tokenize,pack (skipping tokenize requires skipping pack)",
+    )
+    pr.add_argument(
+        "--gopher-threshold",
+        action="append",
+        default=[],
+        metavar="KEY=VALUE",
+        help="override a gopher_filter threshold (repeatable), e.g. "
+        "--gopher-threshold min_stop_words=0; unknown keys raise",
+    )
+    pr.add_argument("--merges", type=int, default=200)
+    pr.add_argument("--merge-batch", type=int, default=16)
+    pr.add_argument("--seq-len", type=int, default=2048)
+    pr.add_argument("--minhash-threshold", type=float, default=0.5)
+    pr.add_argument("--line-min-count", type=int, default=2)
+    pr.add_argument(
+        "--vocab-out", default=None, help="optional JSON file for the vocab + merges"
+    )
+    pr.add_argument("--cpus", type=int, default=None)
+
     q = sub.add_parser(
         "sql",
         help="ad-hoc Spark SQL over a directory of parquet tables "
@@ -409,6 +450,163 @@ def main(argv: list[str] | None = None) -> int:
                     "rows": n,
                     "n_merges": len(merges),
                     "vocab_size": len(vocab),
+                }
+            )
+        )
+        return 0
+
+    if args.cmd == "prepare":
+        import time as _time
+
+        from pyspark import StorageLevel
+
+        from kglids_spark.operators import dedup as DD
+        from kglids_spark.operators import text as TX
+        from kglids_spark.operators import tokenizer as TK
+        from kglids_spark.operators.packing import pack_sequences
+
+        STAGES = ("gopher", "linededup", "fuzzy", "tokenize", "pack")
+        skip = {s.strip() for s in args.skip.split(",") if s.strip()}
+        unknown = skip - set(STAGES)
+        if unknown:
+            raise SystemExit(
+                f"--skip: unknown stages {sorted(unknown)} "
+                f"(choose from {list(STAGES)})"
+            )
+        if "tokenize" in skip and "pack" not in skip:
+            raise SystemExit(
+                "--skip tokenize requires skipping pack too "
+                "(packing reads the tokens table)"
+            )
+
+        tcol, icol = args.text_col, args.id_col
+        df = spark.read.parquet(args.input)
+        base_cols = df.columns
+        counts: dict = {"input": df.count()}
+        timings: dict = {}
+
+        def _stage(name, fn, cur):
+            # persist-then-count per stage: each stage's lineage ends at
+            # the previous stage's materialized frame, so the per-stage
+            # counts (the pipeline's tuning surface) don't recompute the
+            # whole chain; the previous frame releases as soon as the
+            # next is counted
+            t0 = _time.time()
+            nxt = fn(cur).persist(StorageLevel.MEMORY_AND_DISK)
+            counts[name] = nxt.count()
+            timings[name] = round(_time.time() - t0, 2)
+            cur.unpersist()
+            return nxt
+
+        # NULL text carries no signal through any stage (gopher KEEPS
+        # null-text docs by contract, the dedups pass them through) — a
+        # training pipeline wants them gone, so prepare drops them
+        # first and reports the drop as its own stage count
+        cur = df.filter(F.col(tcol).isNotNull()).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        counts["non_null_text"] = cur.count()
+
+        gthresh: dict = {}
+        for spec in args.gopher_threshold:
+            k, sep, v = spec.partition("=")
+            if not sep:
+                raise SystemExit(
+                    f"--gopher-threshold {spec!r}: expected KEY=VALUE"
+                )
+            try:
+                gthresh[k.strip()] = float(v)
+            except ValueError:
+                raise SystemExit(
+                    f"--gopher-threshold {spec!r}: {v!r} is not a number"
+                )
+
+        if "gopher" not in skip:
+            try:
+                cur = _stage(
+                    "gopher",
+                    lambda d: TX.gopher_filter(
+                        d, text_col=tcol, thresholds=gthresh or None
+                    )
+                    .filter(F.col("keep"))
+                    .select(*base_cols),
+                    cur,
+                )
+            except ValueError as e:
+                # unknown threshold key — a usage error, not a crash
+                raise SystemExit(f"--gopher-threshold: {e}")
+        if "linededup" not in skip:
+
+            def _linededup(d):
+                rebuilt = TX.corpus_line_dedup(
+                    d,
+                    text_col=tcol,
+                    id_col=icol,
+                    min_count=args.line_min_count,
+                ).select(F.col(icol), F.col("text_clean").alias(tcol))
+                keep = [c for c in base_cols if c != tcol]
+                if keep == [icol]:
+                    return rebuilt.select(*base_cols)
+                # re-attach the passthrough columns; both sides are
+                # co-keyed on the id, one shuffle join
+                return d.select(*keep).join(rebuilt, icol).select(*base_cols)
+
+            cur = _stage("linededup", _linededup, cur)
+        if "fuzzy" not in skip:
+            cur = _stage(
+                "fuzzy",
+                lambda d: DD.fuzzy_dedup_survivors(
+                    d,
+                    text_col=tcol,
+                    id_col=icol,
+                    threshold=args.minhash_threshold,
+                ),
+                cur,
+            )
+
+        extra: dict = {}
+        if "tokenize" not in skip:
+            t0 = _time.time()
+            merges = TK.learn_bpe(
+                cur,
+                text_col=tcol,
+                n_merges=args.merges,
+                batch_size=args.merge_batch,
+            )
+            vocab = TK.bpe_vocab(merges, TK.corpus_alphabet(cur, tcol))
+            out_df = TK.text_to_tokens_table(
+                cur,
+                merges,
+                vocab,
+                text_col=tcol,
+                id_col=icol,
+                source_col=args.source_col,
+            )
+            if "pack" not in skip:
+                out_df = pack_sequences(out_df, args.seq_len)
+            out_df.write.mode("overwrite").parquet(args.out)
+            timings["tokenize_pack"] = round(_time.time() - t0, 2)
+            extra = {"n_merges": len(merges), "vocab_size": len(vocab)}
+            if args.vocab_out:
+                with open(args.vocab_out, "w") as f:
+                    json.dump(
+                        {"merges": [list(m) for m in merges], "vocab": vocab}, f
+                    )
+        else:
+            cur.write.mode("overwrite").parquet(args.out)
+        cur.unpersist()
+        out_back = spark.read.parquet(args.out)
+        n_out = out_back.count()
+        if "pack" not in skip and "tokenize" not in skip:
+            extra["n_bins"] = out_back.select("bin_id").distinct().count()
+        print(
+            json.dumps(
+                {
+                    "written": args.out,
+                    "rows": n_out,
+                    "stage_counts": counts,
+                    "stage_sec": timings,
+                    **extra,
                 }
             )
         )

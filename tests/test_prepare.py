@@ -1,0 +1,163 @@
+"""`cli prepare` — the one-call LLM training-data pipeline (round 5):
+gopher filter -> corpus line dedup -> MinHash fuzzy dedup -> BPE
+tokenize -> sequence packing, each stage observable through the JSON
+summary's per-stage counts. The fixture plants one casualty per stage
+so a pass proves every stage actually ran: a NULL-text doc (dropped by
+the explicit non-null filter), a 3-word doc (gopher min_words), a
+boilerplate line shared by several docs (line dedup keeps the first
+occurrence only), and an exact clone pair (fuzzy dedup keeps the min
+id)."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from kglids_spark.cli import main
+
+BOILER = "subscribe to the newsletter of the day and share it"
+
+# relaxed thresholds: the tiny fixture docs are short and repetitive by
+# construction; min_words stays binding so the gopher stage has a kill
+RELAX = [
+    "--gopher-threshold", "min_words=5",
+    "--gopher-threshold", "max_mean_word_len=30",
+    "--gopher-threshold", "max_dup_word_frac=1.0",
+    "--gopher-threshold", "max_top_word_frac=1.0",
+    "--gopher-threshold", "max_top_2gram_frac=1.0",
+    "--gopher-threshold", "min_alpha_word_frac=0.0",
+    "--gopher-threshold", "min_stop_words=0",
+]
+
+
+def _sentence(i: int, j: int) -> str:
+    return (
+        f"the quick document {i} line {j} speaks of data and tokens "
+        f"that have weight w{i}x{j} with meaning"
+    )
+
+
+@pytest.fixture(scope="module")
+def docs_path(spark, tmp_path_factory):
+    rows = []
+    for i in range(30):
+        body = "\n".join(_sentence(i, j) for j in range(4))
+        if i < 8:  # docs 0..7 share a boilerplate footer line
+            body = body + "\n" + BOILER
+        rows.append((f"doc{i:03d}", body, f"src{i % 3}"))
+    # near-clone pair: SINGLE-line docs differing by one appended word,
+    # so corpus line dedup keeps both (the lines are distinct) while
+    # the word-shingle Jaccard is 58/59 — fuzzy dedup keeps the min id
+    clone = " ".join(f"q{k}" for k in range(60))
+    rows.append(("clone_a", clone, "src0"))
+    rows.append(("clone_b", clone + " extraword", "src1"))
+    # gopher casualty: 3 words < min_words=5
+    rows.append(("tiny", "the of and", "src2"))
+    # dropped before any stage by the explicit non-null filter
+    rows.append(("nulldoc", None, "src0"))
+    df = spark.createDataFrame(rows, "doc_id string, text string, source string")
+    p = str(tmp_path_factory.mktemp("prep") / "docs")
+    df.coalesce(2).write.mode("overwrite").parquet(p)
+    return p
+
+
+def _run(docs_path, tmp_path, capsys, *extra):
+    out = str(tmp_path / "out")
+    rc = main(
+        [
+            "prepare",
+            "--input", docs_path,
+            "--out", out,
+            "--source-col", "source",
+            "--merges", "12",
+            "--seq-len", "64",
+            # the fixture docs share a sentence template (true Jaccard
+            # ~0.4); 0.8 keeps 64-perm estimation noise from promoting
+            # template pairs while the planted EXACT clone still trips
+            "--minhash-threshold", "0.8",
+            *RELAX,
+            *extra,
+        ]
+    )
+    assert rc == 0
+    line = capsys.readouterr().out.strip().splitlines()[-1]
+    return out, json.loads(line)
+
+
+def test_prepare_end_to_end(spark, docs_path, tmp_path, capsys):
+    out, summary = _run(docs_path, tmp_path, capsys)
+    c = summary["stage_counts"]
+    # one planted casualty per stage
+    assert c["input"] == 34
+    assert c["non_null_text"] == 33     # nulldoc gone
+    assert c["gopher"] == 32            # tiny gone
+    assert c["linededup"] == 32         # rewrites text, drops no doc
+    assert c["fuzzy"] == 31             # clone_b gone
+    assert summary["rows"] == 31
+    assert summary["n_merges"] == 12
+    assert summary["vocab_size"] > 12   # alphabet + merge symbols
+    assert summary["n_bins"] >= 1
+
+    rows = {r.doc_id: r for r in spark.read.parquet(out).collect()}
+    assert set(rows) == {f"doc{i:03d}" for i in range(30)} | {"clone_a"}
+    assert sorted(spark.read.parquet(out).columns) == sorted(
+        ["doc_id", "tokens", "n_tok", "source", "pack_offset", "bin_id", "bin_pos"]
+    )
+    for r in rows.values():
+        assert r.n_tok == len(r.tokens) > 0
+        assert all(isinstance(t, int) for t in r.tokens)
+        # packing invariants: bin derives exactly from the offset
+        assert r.bin_id == r.pack_offset // 64
+        assert r.bin_pos == r.pack_offset % 64
+    # greedy packing is gapless: offsets tile the token stream
+    offs = sorted((r.pack_offset, r.n_tok) for r in rows.values())
+    assert offs[0][0] == 0
+    for (o1, n1), (o2, _) in zip(offs, offs[1:]):
+        assert o2 == o1 + n1
+
+
+def test_prepare_line_dedup_rewrites_boilerplate(spark, docs_path, tmp_path, capsys):
+    # skip tokenize+pack: the output is the cleaned DOCUMENT table, so
+    # the line-dedup rewrite is directly inspectable
+    out, summary = _run(docs_path, tmp_path, capsys, "--skip", "tokenize,pack")
+    assert "n_merges" not in summary
+    rows = {r.doc_id: r.text for r in spark.read.parquet(out).collect()}
+    assert sorted(spark.read.parquet(out).columns) == ["doc_id", "source", "text"]
+    keepers = [d for d, t in rows.items() if BOILER in t]
+    # exactly one of the 8 boilerplate-carrying docs keeps the line —
+    # the first occurrence (min doc_id, min line pos)
+    assert keepers == ["doc000"]
+
+
+def test_prepare_skip_stages(spark, docs_path, tmp_path, capsys):
+    out, summary = _run(
+        docs_path, tmp_path, capsys, "--skip", "gopher,fuzzy,tokenize,pack"
+    )
+    c = summary["stage_counts"]
+    assert "gopher" not in c and "fuzzy" not in c
+    assert c["linededup"] == 33  # only the null drop before it
+    assert summary["rows"] == 33
+
+
+@pytest.mark.parametrize(
+    "extra,msg",
+    [
+        (["--skip", "tokenize"], "requires skipping pack"),
+        (["--skip", "nosuchstage"], "unknown stages"),
+        (["--gopher-threshold", "min_words"], "KEY=VALUE"),
+        (["--gopher-threshold", "min_words=abc"], "not a number"),
+        (["--gopher-threshold", "no_such_rule=1"], "unknown gopher threshold"),
+    ],
+)
+def test_prepare_usage_errors(docs_path, tmp_path, extra, msg):
+    with pytest.raises(SystemExit) as ei:
+        main(
+            [
+                "prepare",
+                "--input", docs_path,
+                "--out", str(tmp_path / "out"),
+                *extra,
+            ]
+        )
+    assert msg in str(ei.value)
