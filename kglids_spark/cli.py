@@ -208,6 +208,15 @@ def main(argv: list[str] | None = None) -> int:
     pr.add_argument(
         "--vocab-out", default=None, help="optional JSON file for the vocab + merges"
     )
+    pr.add_argument(
+        "--stage-dir",
+        default=None,
+        help="directory for per-stage parquet checkpoints; a re-run "
+        "reads a stage's completed checkpoint (atomic _SUCCESS marker) "
+        "instead of recomputing it, making the pipeline resumable "
+        "stage-by-stage; the run configuration is pinned in the "
+        "directory and a mismatched re-run is refused",
+    )
     pr.add_argument("--cpus", type=int, default=None)
 
     q = sub.add_parser(
@@ -480,32 +489,6 @@ def main(argv: list[str] | None = None) -> int:
             )
 
         tcol, icol = args.text_col, args.id_col
-        df = spark.read.parquet(args.input)
-        base_cols = df.columns
-        counts: dict = {"input": df.count()}
-        timings: dict = {}
-
-        def _stage(name, fn, cur):
-            # persist-then-count per stage: each stage's lineage ends at
-            # the previous stage's materialized frame, so the per-stage
-            # counts (the pipeline's tuning surface) don't recompute the
-            # whole chain; the previous frame releases as soon as the
-            # next is counted
-            t0 = _time.time()
-            nxt = fn(cur).persist(StorageLevel.MEMORY_AND_DISK)
-            counts[name] = nxt.count()
-            timings[name] = round(_time.time() - t0, 2)
-            cur.unpersist()
-            return nxt
-
-        # NULL text carries no signal through any stage (gopher KEEPS
-        # null-text docs by contract, the dedups pass them through) — a
-        # training pipeline wants them gone, so prepare drops them
-        # first and reports the drop as its own stage count
-        cur = df.filter(F.col(tcol).isNotNull()).persist(
-            StorageLevel.MEMORY_AND_DISK
-        )
-        counts["non_null_text"] = cur.count()
 
         gthresh: dict = {}
         for spec in args.gopher_threshold:
@@ -520,6 +503,78 @@ def main(argv: list[str] | None = None) -> int:
                 raise SystemExit(
                     f"--gopher-threshold {spec!r}: {v!r} is not a number"
                 )
+
+        resumed: list = []
+        if args.stage_dir:
+            # pin the run configuration in the checkpoint directory —
+            # the validate ledger's constraint-hash discipline: resuming
+            # a stage under different parameters would silently serve
+            # stale data, so a mismatched re-run is refused instead
+            import os
+
+            os.makedirs(args.stage_dir, exist_ok=True)
+            conf = {
+                "input": args.input,
+                "text_col": tcol,
+                "id_col": icol,
+                "skip": sorted(skip),
+                "gopher_thresholds": {k: gthresh[k] for k in sorted(gthresh)},
+                "line_min_count": args.line_min_count,
+                "minhash_threshold": args.minhash_threshold,
+                "merges": args.merges,
+            }
+            conf_path = os.path.join(args.stage_dir, "_PREPARE_CONF.json")
+            if os.path.exists(conf_path):
+                with open(conf_path) as f:
+                    prior = json.load(f)
+                if prior != conf:
+                    raise SystemExit(
+                        f"--stage-dir {args.stage_dir!r} holds checkpoints "
+                        "for a different configuration; clear it or point "
+                        "at a fresh directory"
+                    )
+            else:
+                with open(conf_path, "w") as f:
+                    json.dump(conf, f)
+
+        df = spark.read.parquet(args.input)
+        base_cols = df.columns
+        counts: dict = {"input": df.count()}
+        timings: dict = {}
+
+        def _stage(name, fn, cur):
+            # persist-then-count per stage: each stage's lineage ends at
+            # the previous stage's materialized frame, so the per-stage
+            # counts (the pipeline's tuning surface) don't recompute the
+            # whole chain; the previous frame releases as soon as the
+            # next is counted. With --stage-dir the stage materializes
+            # to parquet instead and a completed checkpoint is READ on
+            # re-run, not recomputed.
+            t0 = _time.time()
+            if args.stage_dir:
+                import os
+
+                path = os.path.join(args.stage_dir, name)
+                if os.path.exists(os.path.join(path, "_SUCCESS")):
+                    resumed.append(name)
+                else:
+                    fn(cur).write.mode("overwrite").parquet(path)
+                nxt = spark.read.parquet(path)
+            else:
+                nxt = fn(cur).persist(StorageLevel.MEMORY_AND_DISK)
+            counts[name] = nxt.count()
+            timings[name] = round(_time.time() - t0, 2)
+            cur.unpersist()
+            return nxt
+
+        # NULL text carries no signal through any stage (gopher KEEPS
+        # null-text docs by contract, the dedups pass them through) — a
+        # training pipeline wants them gone, so prepare drops them
+        # first and reports the drop as its own stage count
+        cur = df.filter(F.col(tcol).isNotNull()).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        counts["non_null_text"] = cur.count()
 
         if "gopher" not in skip:
             try:
@@ -566,14 +621,39 @@ def main(argv: list[str] | None = None) -> int:
 
         extra: dict = {}
         if "tokenize" not in skip:
+            import os
+
             t0 = _time.time()
-            merges = TK.learn_bpe(
-                cur,
-                text_col=tcol,
-                n_merges=args.merges,
-                batch_size=args.merge_batch,
+            vocab_ckpt = (
+                os.path.join(args.stage_dir, "vocab.json")
+                if args.stage_dir
+                else None
             )
-            vocab = TK.bpe_vocab(merges, TK.corpus_alphabet(cur, tcol))
+            if vocab_ckpt and os.path.exists(vocab_ckpt):
+                # the learned model is the expensive driver-loop half of
+                # tokenization — resume it like any other stage
+                with open(vocab_ckpt) as f:
+                    vj = json.load(f)
+                merges = [tuple(m) for m in vj["merges"]]
+                vocab = vj["vocab"]
+                resumed.append("bpe_learn")
+            else:
+                merges = TK.learn_bpe(
+                    cur,
+                    text_col=tcol,
+                    n_merges=args.merges,
+                    batch_size=args.merge_batch,
+                )
+                vocab = TK.bpe_vocab(merges, TK.corpus_alphabet(cur, tcol))
+                if vocab_ckpt:
+                    with open(vocab_ckpt, "w") as f:
+                        json.dump(
+                            {
+                                "merges": [list(m) for m in merges],
+                                "vocab": vocab,
+                            },
+                            f,
+                        )
             out_df = TK.text_to_tokens_table(
                 cur,
                 merges,
@@ -599,6 +679,8 @@ def main(argv: list[str] | None = None) -> int:
         n_out = out_back.count()
         if "pack" not in skip and "tokenize" not in skip:
             extra["n_bins"] = out_back.select("bin_id").distinct().count()
+        if args.stage_dir:
+            extra["stages_resumed"] = resumed
         print(
             json.dumps(
                 {

@@ -140,6 +140,32 @@ def test_prepare_skip_stages(spark, docs_path, tmp_path, capsys):
     assert summary["rows"] == 33
 
 
+def test_prepare_stage_dir_resume(spark, docs_path, tmp_path, capsys):
+    sd = str(tmp_path / "stages")
+    out1, s1 = _run(docs_path, tmp_path, capsys, "--stage-dir", sd)
+    assert s1["stages_resumed"] == []
+    rows1 = {(r.doc_id, tuple(r.tokens)) for r in spark.read.parquet(out1).collect()}
+
+    out2, s2 = _run(docs_path, tmp_path, capsys, "--stage-dir", sd)
+    # every checkpointed stage (and the learned BPE model) is READ, not
+    # recomputed; counts and output are byte-identical
+    assert s2["stages_resumed"] == ["gopher", "linededup", "fuzzy", "bpe_learn"]
+    assert s2["stage_counts"] == s1["stage_counts"]
+    rows2 = {(r.doc_id, tuple(r.tokens)) for r in spark.read.parquet(out2).collect()}
+    assert rows2 == rows1
+
+
+def test_prepare_stage_dir_refuses_config_mismatch(docs_path, tmp_path, capsys):
+    sd = str(tmp_path / "stages")
+    _run(docs_path, tmp_path, capsys, "--stage-dir", sd)
+    with pytest.raises(SystemExit) as ei:
+        _run(
+            docs_path, tmp_path, capsys,
+            "--stage-dir", sd, "--minhash-threshold", "0.9",
+        )
+    assert "different configuration" in str(ei.value)
+
+
 @pytest.mark.parametrize(
     "extra,msg",
     [
