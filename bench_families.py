@@ -101,7 +101,20 @@ def family_ops(docs, vecs, queries, srcd, centroids):
     each op's plan and diff it against bench_plans/ (VERDICT r3 #8)."""
     from pyspark.sql import functions as F
 
-    from kglids_spark.operators import ann, dedup, frequency, sampling, text
+    from kglids_spark.operators import (
+        ann,
+        dedup,
+        dsir,
+        frequency,
+        quality_classifier,
+        sampling,
+        text,
+    )
+
+    # fixed synthetic LR model for the scoring bench: training cost is
+    # this same plan iterated (bounded iters, dictionary-sized state);
+    # what runs at corpus scale per pass is featurize + broadcast score
+    qlr_model = {i: ((i * 37) % 101 - 50) / 100.0 for i in range(8192)}
 
     return {
         "dedup_exact": lambda: dedup.exact_duplicates(docs),
@@ -202,6 +215,21 @@ def family_ops(docs, vecs, queries, srcd, centroids):
             "run": lambda: text.char_lm_train_score(docs),
             "plan": lambda: text.char_lm_score(docs, text.char_lm_counts(docs)),
         },
+        # round-5: DSIR importance weighting (production xxhash64 path,
+        # 8192 buckets): one map-side gram->bucket stream, a
+        # dictionary-sized conditional-agg shuffle, a broadcast
+        # log-ratio join back onto the stream, and a map-side-combined
+        # per-doc sum — the corpus itself never shuffles
+        "select_dsir_weights": lambda: dsir.dsir_doc_weights(
+            docs, target=F.pmod(F.col("doc_id"), F.lit(10)) < 3, buckets=8192
+        ),
+        # round-5: quality-LR scoring under a fixed 8192-bucket model —
+        # the per-epoch corpus-scale cost of the classifier (featurize
+        # + broadcast-model margin); training iterates this same plan
+        # with dictionary-sized driver state
+        "classify_quality_lr": lambda: quality_classifier.score_quality_lr(
+            docs, qlr_model, -0.1, buckets=8192
+        ),
         # BPE encode throughput (the model is learned once, offline —
         # learn_bpe's per-round cost is vocab-sized, not corpus-sized;
         # what runs at corpus scale is the Arrow-batched encoder)

@@ -3855,6 +3855,162 @@ def bpe_token_counts(spark, sf_dir):
 
 
 # =====================================================================
+# DSIR importance resampling (Xie et al. 2023) — data selection
+# =====================================================================
+
+# Shared feature pipeline of both DSIR oracles: hashed uni+bigram
+# buckets (md5 2-hex-char twin, 256 buckets), target = lang 'en',
+# add-1 smoothing — mirrors operators/dsir.py exactly.
+_DSIR_CTES = r"""
+    WITH norm AS (
+      SELECT doc_id, lang,
+             trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+      FROM documents),
+    words AS (
+      SELECT doc_id, lang,
+             list_filter(string_split(t, ' '), w -> w <> '') AS ws
+      FROM norm),
+    grams AS (
+      SELECT doc_id, lang, unnest(ws) AS g FROM words
+      UNION ALL
+      SELECT doc_id, lang, ws[i] || ' ' || ws[i + 1] AS g
+      FROM words, unnest(range(1, len(ws))) u(i)
+      WHERE len(ws) >= 2),
+    feats AS (SELECT doc_id, lang, substr(md5(g), 1, 2) AS b FROM grams),
+    cnt AS (
+      SELECT b,
+             SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS t_ct,
+             COUNT(*) AS r_ct
+      FROM feats GROUP BY b),
+    tot AS (SELECT SUM(t_ct) AS tt, SUM(r_ct) AS tr FROM cnt),
+    dict AS (
+      SELECT b,
+             ln((t_ct + 1.0) / (tt + 256.0)) - ln((r_ct + 1.0) / (tr + 256.0)) AS lr
+      FROM cnt, tot),
+    per AS (
+      SELECT doc_id, COUNT(*)::BIGINT AS n_feats, SUM(lr) AS w
+      FROM feats JOIN dict USING (b) GROUP BY doc_id)
+"""
+
+_DSIR_WEIGHTS_SQL = _DSIR_CTES + r"""
+    SELECT d.doc_id, COALESCE(p.n_feats, 0)::BIGINT AS n_feats,
+           round(p.w, 6) AS logw
+    FROM documents d LEFT JOIN per p USING (doc_id)
+"""
+
+_DSIR_RESAMPLE_SQL = _DSIR_CTES + r""",
+    keyed AS (
+      SELECT doc_id, w,
+             w + (-ln(-ln((CAST(('0x' || substring(md5('dsir:7' || chr(31)
+                 || CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) + 0.5)
+                 / 4294967296.0))) AS key
+      FROM per)
+    SELECT doc_id, round(w, 6) AS logw, round(key, 6) AS resample_key
+    FROM keyed ORDER BY key DESC, doc_id LIMIT 50
+"""
+
+
+@register("dsir_doc_weights_docs", _DSIR_WEIGHTS_SQL)
+def dsir_doc_weights_docs(spark, sf_dir):
+    """DSIR importance weights (Xie et al. 2023): hashed uni+bigram
+    bucket log-ratio of the lang='en' target distribution vs the raw
+    corpus, add-1 smoothed. Value-exact on the md5-bucket twin; the
+    production xxhash64 path is lockstep-pinned by tests/test_dsir.py.
+    Closest reference analogue: the score-then-threshold column
+    ranking of kg_governor/data_global_schema_builder/workers.py
+    :60-135 — kglids has no corpus-selection stage at all."""
+    from kglids_spark.operators import dsir
+
+    d = _t(spark, sf_dir, "documents")
+    w = dsir.dsir_doc_weights(
+        d, target=F.col("lang") == "en", hasher="md5", md5_width=2
+    )
+    return w.select("doc_id", "n_feats", F.round("logw", 6).alias("logw"))
+
+
+@register("dsir_resample_topk", _DSIR_RESAMPLE_SQL)
+def dsir_resample_topk(spark, sf_dir):
+    """Gumbel top-k importance resampling over the DSIR weights —
+    the published exact without-replacement sampler (key = logw +
+    Gumbel noise, keep the k largest), with the repo's deterministic
+    md5 hash-fraction standing in for the RNG so the draw is
+    reproducible across engines and partitionings."""
+    from kglids_spark.operators import dsir
+
+    d = _t(spark, sf_dir, "documents")
+    w = dsir.dsir_doc_weights(
+        d, target=F.col("lang") == "en", hasher="md5", md5_width=2
+    )
+    s = dsir.dsir_resample(w, k=50, seed=7)
+    return s.select(
+        "doc_id",
+        F.round("logw", 6).alias("logw"),
+        F.round("resample_key", 6).alias("resample_key"),
+    )
+
+
+# =====================================================================
+# Quality classifier (hashed-n-gram logistic regression)
+# =====================================================================
+
+_QLR_GRADIENT_SQL = _DSIR_CTES + r""",
+    docfeat AS (
+      SELECT doc_id, b, COUNT(*) AS c FROM feats GROUP BY doc_id, b),
+    doctot AS (SELECT doc_id, SUM(c) AS n FROM docfeat GROUP BY doc_id),
+    xs AS (
+      SELECT f.doc_id, f.b, f.c::DOUBLE / t.n AS x
+      FROM docfeat f JOIN doctot t USING (doc_id)),
+    ys AS (
+      SELECT doc_id, CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+      FROM documents),
+    nn AS (SELECT COUNT(*) AS n FROM doctot)
+    SELECT xs.b AS bucket,
+           round(SUM((0.5 - ys.y) * xs.x) / (SELECT n FROM nn), 6) AS grad
+    FROM xs JOIN ys USING (doc_id)
+    GROUP BY xs.b
+"""
+
+
+@register("quality_lr_gradient_step", _QLR_GRADIENT_SQL)
+def quality_lr_gradient_step(spark, sf_dir):
+    """The quality classifier's first full-batch gradient (zero model,
+    labels = lang='en'): at w=0 the residual is exactly 0.5 - y, so
+    the per-bucket gradient of the logistic loss is pure SQL — the
+    value-exact handle on the trainer's distributable core (the
+    ivf_train_iteration precedent). Feature space: L1-normalized
+    hashed uni+bigram tf on the md5 twin (256 buckets)."""
+    from kglids_spark.operators import quality_classifier as QC
+
+    d = _t(spark, sf_dir, "documents")
+    feats = QC.quality_features(d, hasher="md5", md5_width=2)
+    labels = d.select(
+        F.col("doc_id").alias("id"),
+        (F.col("lang") == "en").cast("double").alias("y"),
+    )
+    n = feats.join(labels, "id").select("id").distinct().count()
+    g = QC.quality_lr_gradient_frame(feats, labels, n)
+    return g.select("bucket", F.round("grad", 6).alias("grad"))
+
+
+@register("quality_lr_scores")
+def quality_lr_scores(spark, sf_dir):
+    """Documents scored by the trained classifier (8 GD steps, labels
+    = lang='en'): (doc_id, quality_prob). Rows-only at the driver —
+    the trained weights are an iterative fixpoint DuckDB cannot
+    express — and lockstep-pinned against an independent numpy
+    implementation of the same GD by tests/test_quality_classifier.py."""
+    from kglids_spark.operators import quality_classifier as QC
+
+    d = _t(spark, sf_dir, "documents")
+    w, b = QC.train_quality_lr(
+        d, F.col("lang") == "en", hasher="md5", md5_width=2, iters=8
+    )
+    return QC.score_quality_lr(d, w, b, hasher="md5", md5_width=2).select(
+        "doc_id", F.round("quality_prob", 6).alias("quality_prob")
+    )
+
+
+# =====================================================================
 # Driver registration order
 # =====================================================================
 # The driver records CORRECTNESS rows for only the FIRST 50 registered
@@ -3902,8 +4058,18 @@ _DRIVER_PRIORITY = [
     "corpus_line_dedup_docs", "duplicate_spans_docs",
     "dup_span_fraction_docs", "fuzzy_dedup_survivors_docs",
     "documents_to_tokens", "bpe_token_counts",
-    # (b) new in round 5
+    # (b) new in round 5. The four NEW operator-family queries (DSIR
+    # weights + resample, quality-LR gradient + scores) displace four
+    # (d) entries whose families keep fresh driver rows elsewhere —
+    # group_count_customers_per_nation (A11 rides the r4-benched suite
+    # and per_source_stats below), topk_orders_per_priority (W1 has
+    # r4-green topk_revenue_customers), md5_column_ids (F3 has
+    # r4-green doc_digest), histogram_n_chars (A14 has r4-green
+    # drift_ks/drift_psi) — and all four displaced queries stay
+    # DuckDB-checked by tests/test_entry.py on every pytest run.
     "remove_duplicate_spans_docs", "ccnet_bucket_assignment",
+    "dsir_doc_weights_docs", "dsir_resample_topk",
+    "quality_lr_gradient_step", "quality_lr_scores",
     # (c) last checked in round 2
     "ann_bruteforce_topk", "pipeline_top_used_libraries",
     "pipelines_by_tags", "pipelines_for_deep_learning",
@@ -3912,16 +4078,16 @@ _DRIVER_PRIORITY = [
     "c4_line_filtering", "constraints_suite_extended",
     "correlation_profile_lineitem", "csv_na_scan", "dedup_clusters",
     "dedup_ngram_jaccard", "eda_operations", "float_bit_decomposition",
-    "global_shuffle_positions", "group_count_customers_per_nation",
-    "histogram_n_chars", "intersect_except_keys", "ivf_train_iteration",
+    "global_shuffle_positions",
+    "intersect_except_keys", "ivf_train_iteration",
     "join_multiway_region", "json_extract_props", "label_generation",
-    "md5_column_ids", "na_coercion_cast", "pack_sequences_bins",
+    "na_coercion_cast", "pack_sequences_bins",
     "per_source_stats", "pii_redaction", "rdf_ntriples_similarity",
     "rdf_turtle_source_types", "score_normalized_events",
     "sentence_embedding_labels", "shipdate_year_counts",
     "similarity_scores_reference", "split_assignment_sources",
     "stratified_sample_sources", "text_repetition_signals",
-    "topk_orders_per_priority", "union_distinct_sources_langs",
+    "union_distinct_sources_langs",
     "vocab_top_tokens",
 ]
 

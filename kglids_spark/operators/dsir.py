@@ -1,0 +1,222 @@
+"""DSIR-style data selection: hashed n-gram importance resampling.
+
+Implements the published Data Selection with Importance Resampling
+recipe (Xie et al., NeurIPS 2023): featurize every document as a bag
+of hashed word uni+bigrams, fit bucket multinomials for a TARGET
+corpus (the distribution you want more of — e.g. one language, one
+source, a curated split) and for the RAW corpus, score each raw
+document with the log importance ratio sum_g [log p_target(b(g)) -
+log p_raw(b(g))], and resample k documents via Gumbel top-k — an
+exact without-replacement sample proportional to the (softmax of the)
+importance weights.
+
+This is an operator family the reference lacks entirely (kglids
+profiles and links tables; it has no corpus-selection stage), added
+per the training-data-pipeline mandate; the closest reference
+analogue is its per-column content scoring used for ranking
+(kg_governor/data_global_schema_builder/workers.py:60-135), which is
+likewise a score-then-threshold pipeline.
+
+Scale shape (the part that must survive 100 TB):
+- the gram stream is built MAP-SIDE with the `_zip_ngrams` zip-slice
+  discipline (the text is referenced a constant number of times) and
+  immediately reduced to bucket ids — the only shuffle is the bucket
+  DICTIONARY groupBy, <= ``buckets`` rows regardless of corpus size;
+- target and raw statistics come out of ONE conditional aggregation
+  over one scan (no second corpus pass when the target is a predicate
+  on the raw corpus);
+- the per-bucket log-ratio dictionary is broadcast back onto the
+  stream, and the per-document sum is a map-side-combinable groupBy
+  on doc id;
+- Gumbel top-k is a TakeOrdered (per-partition heap + driver merge of
+  k rows), never a global sort.
+
+Hash paths follow the repo's twin convention (VERDICT r3/r4): the
+production path buckets with int64 ``xxhash64 mod buckets``; the
+``hasher='md5'`` twin buckets on the first ``md5_width`` hex chars of
+md5 (16^width buckets), which DuckDB reproduces bit-for-bit for the
+value-exact oracle. Both paths are pinned against each other and
+against an independent pure-Python reference by tests/test_dsir.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from kglids_spark.operators.dedup import _BIG, _zip_ngrams, split_words
+
+__all__ = [
+    "dsir_gram_buckets",
+    "dsir_doc_weights",
+    "dsir_resample",
+]
+
+
+def _grams_expr(text_col) -> Column:
+    """array<string> of word unigrams + bigrams (bag semantics — DSIR
+    features are counts, so no dedup). Empty words from normalization
+    are dropped; docs with <2 words contribute unigrams only; NULL
+    text yields NULL (the doc re-enters via the all-ids left join with
+    n_feats 0, the char_lm_score convention)."""
+    ws = F.filter(split_words(text_col), lambda w: w != "")
+    bigrams = F.when(
+        F.size(ws) >= 2,
+        F.transform(_zip_ngrams(ws, 2), lambda s: F.concat_ws(" ", s["0"], s["1"])),
+    ).otherwise(F.array().cast("array<string>"))
+    return F.concat(ws, bigrams)
+
+
+def _bucket_expr(gram: Column, hasher: str, buckets: int, md5_width: int) -> Column:
+    if hasher == "xxhash64":
+        return F.pmod(F.xxhash64(gram), F.lit(buckets)).cast("bigint")
+    if hasher == "md5":
+        return F.substring(F.md5(gram), 1, md5_width)
+    raise ValueError(f"unknown hasher {hasher!r} (use 'xxhash64' or 'md5')")
+
+
+def dsir_gram_buckets(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hasher: str = "xxhash64",
+    buckets: int = 8192,
+    md5_width: int = 2,
+) -> DataFrame:
+    """(id, bucket) hashed-n-gram feature stream, one row per gram
+    occurrence — built entirely map-side."""
+    return (
+        df.select(F.col(id_col).alias("id"), F.explode(_grams_expr(text_col)).alias("_g"))
+        .select("id", _bucket_expr(F.col("_g"), hasher, buckets, md5_width).alias("bucket"))
+    )
+
+
+def dsir_doc_weights(
+    df: DataFrame,
+    target: Column | None = None,
+    target_df: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hasher: str = "xxhash64",
+    buckets: int = 8192,
+    md5_width: int = 2,
+    alpha: float = 1.0,
+) -> DataFrame:
+    """(doc_id, n_feats, logw): per-document log importance ratio.
+
+    The target corpus is either a boolean ``target`` predicate over
+    ``df`` (one scan, conditional aggregation) or a separate
+    ``target_df`` (its grams feed only the target statistics). Bucket
+    probabilities are add-``alpha`` smoothed over the FIXED bucket
+    domain (``buckets`` for xxhash64, 16^``md5_width`` for md5), so
+    buckets unseen in either corpus are still defined. Documents with
+    no grams (empty/NULL text) keep a row: n_feats 0, logw NULL.
+    """
+    if (target is None) == (target_df is None):
+        raise ValueError("pass exactly one of target= (Column) or target_df=")
+    n_buckets = buckets if hasher == "xxhash64" else 16 ** md5_width
+
+    def stream(frame: DataFrame, is_target, is_raw) -> DataFrame:
+        # the flags are evaluated in the SAME projection as the explode
+        # (they may reference frame columns the gram stream drops)
+        return frame.select(
+            F.col(id_col).alias("id"),
+            is_target.alias("_t"),
+            is_raw.alias("_r"),
+            F.explode(_grams_expr(text_col)).alias("_g"),
+        ).select(
+            "id",
+            "_t",
+            "_r",
+            _bucket_expr(F.col("_g"), hasher, buckets, md5_width).alias("bucket"),
+        )
+
+    if target is not None:
+        feats = stream(df, target.cast("boolean"), F.lit(True))
+        score_feats = feats
+    else:
+        raw = stream(df, F.lit(False), F.lit(True))
+        tgt = stream(target_df, F.lit(True), F.lit(False))
+        feats = raw.unionByName(tgt)
+        score_feats = raw
+
+    counts = feats.groupBy("bucket").agg(
+        F.sum(F.when(F.col("_t"), 1).otherwise(0)).alias("t_ct"),
+        F.sum(F.when(F.col("_r"), 1).otherwise(0)).alias("r_ct"),
+    )
+    totals = counts.agg(
+        F.sum("t_ct").alias("T_t"), F.sum("r_ct").alias("T_r")
+    )
+    a = F.lit(float(alpha))
+    aB = F.lit(float(alpha) * n_buckets)
+    lr_dict = (
+        counts.crossJoin(F.broadcast(totals))
+        .select(
+            "bucket",
+            (
+                F.log((F.col("t_ct") + a) / (F.col("T_t") + aB))
+                - F.log((F.col("r_ct") + a) / (F.col("T_r") + aB))
+            ).alias("lr"),
+        )
+    )
+    # every score-side bucket exists in the dict (the dict is grouped
+    # over a superset of the score stream), so an inner broadcast join
+    # loses nothing
+    per_doc = (
+        score_feats.select("id", "bucket")
+        .join(F.broadcast(lr_dict), "bucket")
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_feats"), F.sum("lr").alias("logw"))
+    )
+    all_ids = df.select(F.col(id_col).alias("id"))
+    return all_ids.join(per_doc, "id", "left").select(
+        F.col("id").alias(id_col),
+        F.coalesce("n_feats", F.lit(0)).alias("n_feats"),
+        F.col("logw"),
+    )
+
+
+def dsir_resample(
+    weights: DataFrame,
+    k: int,
+    seed: int = 0,
+    id_col: str = "doc_id",
+    weight_col: str = "logw",
+) -> DataFrame:
+    """Gumbel top-k resampling: k documents without replacement with
+    probability proportional to exp(logw) — the exact published
+    equivalence (key_i = logw_i + Gumbel_i; take the k largest).
+
+    The Gumbel draw is DETERMINISTIC — -ln(-ln(u)) with u from the
+    engine's md5 hash-fraction convention (sampling._hash_u domain
+    separation), offset by half a step so u is never 0 — making the
+    sample reproducible across engines, runs, and partitionings, and
+    oracle-checkable. Docs with NULL weight (no features) are
+    excluded. Returns (id, logw, resample_key), the k largest keys;
+    ties (measure-zero) break on id. orderBy+limit compiles to
+    TakeOrdered — no global sort at scale.
+    """
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "\x1f", F.lit(f"dsir:{seed}"), F.col(id_col).cast("string")
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("double")
+    u = (h + F.lit(0.5)) / F.lit(float(1 << 32))
+    key = F.col(weight_col) + (-F.log(-F.log(u)))
+    return (
+        weights.filter(F.col(weight_col).isNotNull())
+        .withColumn("resample_key", key)
+        .orderBy(F.desc("resample_key"), F.asc(id_col))
+        .limit(k)
+        .select(id_col, weight_col, "resample_key")
+    )
