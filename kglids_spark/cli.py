@@ -173,7 +173,8 @@ def main(argv: list[str] | None = None) -> int:
         "prepare",
         help="one-call LLM training-data pipeline over a raw document "
         "table: gopher quality filter -> corpus-wide line dedup -> "
-        "MinHash fuzzy dedup -> BPE tokenize -> sequence packing; "
+        "MinHash fuzzy dedup -> optional CCNet tertile quality filter "
+        "(--drop-quality-buckets) -> BPE tokenize -> sequence packing; "
         "writes the packed tokens table and prints one JSON summary "
         "line with per-stage surviving row counts and timings",
     )
@@ -199,6 +200,17 @@ def main(argv: list[str] | None = None) -> int:
         metavar="KEY=VALUE",
         help="override a gopher_filter threshold (repeatable), e.g. "
         "--gopher-threshold min_stop_words=0; unknown keys raise",
+    )
+    pr.add_argument(
+        "--drop-quality-buckets",
+        default="",
+        metavar="BUCKETS",
+        help="comma list of CCNet quality buckets to drop (from "
+        "head,middle,tail); non-empty enables the optional ccnet stage "
+        "after fuzzy dedup: train a char-trigram LM on the surviving "
+        "corpus, score every document, rank into equal-count tertiles, "
+        "and drop the listed buckets (Wenzek et al. 2020 keep "
+        "head/middle by dropping tail)",
     )
     pr.add_argument("--merges", type=int, default=200)
     pr.add_argument("--merge-batch", type=int, default=16)
@@ -488,6 +500,21 @@ def main(argv: list[str] | None = None) -> int:
                 "(packing reads the tokens table)"
             )
 
+        drop_buckets = {
+            b.strip() for b in args.drop_quality_buckets.split(",") if b.strip()
+        }
+        bad_buckets = drop_buckets - {"head", "middle", "tail"}
+        if bad_buckets:
+            raise SystemExit(
+                f"--drop-quality-buckets: unknown buckets {sorted(bad_buckets)} "
+                "(choose from head,middle,tail)"
+            )
+        if drop_buckets == {"head", "middle", "tail"}:
+            raise SystemExit(
+                "--drop-quality-buckets: dropping all three buckets would "
+                "empty the corpus"
+            )
+
         tcol, icol = args.text_col, args.id_col
 
         gthresh: dict = {}
@@ -522,11 +549,15 @@ def main(argv: list[str] | None = None) -> int:
                 "line_min_count": args.line_min_count,
                 "minhash_threshold": args.minhash_threshold,
                 "merges": args.merges,
+                "drop_quality_buckets": sorted(drop_buckets),
             }
             conf_path = os.path.join(args.stage_dir, "_PREPARE_CONF.json")
             if os.path.exists(conf_path):
                 with open(conf_path) as f:
                     prior = json.load(f)
+                # a stage dir pinned before the ccnet stage existed is
+                # equivalent to running with the stage off
+                prior.setdefault("drop_quality_buckets", [])
                 if prior != conf:
                     raise SystemExit(
                         f"--stage-dir {args.stage_dir!r} holds checkpoints "
@@ -618,6 +649,21 @@ def main(argv: list[str] | None = None) -> int:
                 ),
                 cur,
             )
+        if drop_buckets:
+            # CCNet quality stage (opt-in): self-train a char-trigram
+            # LM on the corpus that SURVIVED dedup (training on dups
+            # would bias the model toward boilerplate), rank docs into
+            # equal-count tertiles by mean logprob, keep the others
+            def _ccnet(d):
+                scored = TX.char_lm_train_score(d, text_col=tcol, id_col=icol)
+                bucketed = TX.ccnet_buckets(scored, id_col=icol)
+                keep_ids = bucketed.filter(
+                    ~F.col("bucket_label").isin(sorted(drop_buckets))
+                ).select(icol)
+                # both sides key on the doc id — one co-keyed join
+                return d.join(keep_ids, icol).select(*base_cols)
+
+            cur = _stage("ccnet", _ccnet, cur)
 
         extra: dict = {}
         if "tokenize" not in skip:
