@@ -4011,6 +4011,55 @@ def quality_lr_scores(spark, sf_dir):
 
 
 # =====================================================================
+# Embedding moments / PCA
+# =====================================================================
+
+
+@register(
+    "embedding_covariance",
+    """
+    WITH e AS (
+      SELECT vec_id,
+             CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS i,
+             unnest(embedding)::DOUBLE AS x
+      FROM embeddings)
+    SELECT a.i AS i, b.i AS j, round(covar_pop(a.x, b.x), 6) AS cov
+    FROM e a JOIN e b ON a.vec_id = b.vec_id AND a.i <= b.i
+    GROUP BY 1, 2
+    """,
+)
+def embedding_covariance(spark, sf_dir):
+    """Population covariance of the embedding column (upper triangle),
+    from ONE map-side numpy moments pass (n, sum, sum-of-outer-
+    products folded per partition over Arrow batches; the corpus never
+    shuffles) — the sufficient statistics behind PCA/whitening.
+    Value-exact to 6 dp against DuckDB's covar_pop."""
+    from kglids_spark.operators import pca
+
+    e = _t(spark, sf_dir, "embeddings")
+    c = pca.covariance_frame(e)
+    return c.select("i", "j", F.round("cov", 6).alias("cov"))
+
+
+@register("embedding_pca_projection")
+def embedding_pca_projection(spark, sf_dir):
+    """4-component PCA projection of the embeddings (centering +
+    sign-fixed eigenvectors from the distributed moments pass,
+    broadcast into an Arrow-batched projection UDF). Rows-only at the
+    driver — the eigendecomposition is not SQL-expressible — and
+    lockstep-pinned against a pure-numpy PCA by tests/test_pca.py."""
+    from kglids_spark.operators import pca
+
+    e = _t(spark, sf_dir, "embeddings")
+    model = pca.pca_fit(e, k=4)
+    proj = pca.pca_project(e, model)
+    return proj.select(
+        "vec_id",
+        F.transform("components", lambda x: F.round(x, 6)).alias("components"),
+    )
+
+
+# =====================================================================
 # Driver registration order
 # =====================================================================
 # The driver records CORRECTNESS rows for only the FIRST 50 registered
@@ -4070,13 +4119,19 @@ _DRIVER_PRIORITY = [
     "remove_duplicate_spans_docs", "ccnet_bucket_assignment",
     "dsir_doc_weights_docs", "dsir_resample_topk",
     "quality_lr_gradient_step", "quality_lr_scores",
+    # (the embedding-PCA pair displaces anti_join_customers_no_orders —
+    # the anti-join/RI family keeps r4-green constraints_documents,
+    # whose referential check IS a broadcast-bloom anti-join — and
+    # csv_na_scan, whose NA-coercion semantics stay pinned in-window by
+    # na_coercion_cast plus the round-4 pytest rows)
+    "embedding_covariance", "embedding_pca_projection",
     # (c) last checked in round 2
     "ann_bruteforce_topk", "pipeline_top_used_libraries",
     "pipelines_by_tags", "pipelines_for_deep_learning",
     # (d) last checked in round 3
-    "anti_join_customers_no_orders", "benchmark_contamination",
+    "benchmark_contamination",
     "c4_line_filtering", "constraints_suite_extended",
-    "correlation_profile_lineitem", "csv_na_scan", "dedup_clusters",
+    "correlation_profile_lineitem", "dedup_clusters",
     "dedup_ngram_jaccard", "eda_operations", "float_bit_decomposition",
     "global_shuffle_positions",
     "intersect_except_keys", "ivf_train_iteration",
