@@ -220,9 +220,19 @@ def family_ops(docs, vecs, queries, srcd, centroids):
         # dictionary-sized conditional-agg shuffle, a broadcast
         # log-ratio join back onto the stream, and a map-side-combined
         # per-doc sum — the corpus itself never shuffles
-        "select_dsir_weights": lambda: dsir.dsir_doc_weights(
-            docs, target=F.pmod(F.col("doc_id"), F.lit(10)) < 3, buckets=8192
-        ),
+        # eagerly checkpoints (persisted gram stream feeds two
+        # consumers), so the plan variant keeps the lazy tree
+        "select_dsir_weights": {
+            "run": lambda: dsir.dsir_doc_weights(
+                docs, target=F.pmod(F.col("doc_id"), F.lit(10)) < 3, buckets=8192
+            ),
+            "plan": lambda: dsir.dsir_doc_weights(
+                docs,
+                target=F.pmod(F.col("doc_id"), F.lit(10)) < 3,
+                buckets=8192,
+                materialize=False,
+            ),
+        },
         # round-5: quality-LR scoring under a fixed 8192-bucket model —
         # the per-epoch corpus-scale cost of the classifier (featurize
         # + broadcast-model margin); training iterates this same plan

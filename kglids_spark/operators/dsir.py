@@ -101,6 +101,7 @@ def dsir_doc_weights(
     buckets: int = 8192,
     md5_width: int = 2,
     alpha: float = 1.0,
+    materialize: bool = True,
 ) -> DataFrame:
     """(doc_id, n_feats, logw): per-document log importance ratio.
 
@@ -111,6 +112,15 @@ def dsir_doc_weights(
     domain (``buckets`` for xxhash64, 16^``md5_width`` for md5), so
     buckets unseen in either corpus are still defined. Documents with
     no grams (empty/NULL text) keep a row: n_feats 0, logw NULL.
+
+    The gram stream feeds TWO consumers — the bucket dictionary and
+    the per-doc weight sum — so with ``materialize`` (default) it is
+    persisted (MEMORY_AND_DISK) for the run and released after the
+    doc-count-sized result eagerly checkpoints; without it each
+    consumer re-explodes the corpus (the duplicate_spans/char-LM
+    persisted-stream discipline — measured 1.7x at 500k docs).
+    ``materialize=False`` keeps the plan lazy (plan snapshots,
+    composition into larger uncollected plans).
     """
     if (target is None) == (target_df is None):
         raise ValueError("pass exactly one of target= (Column) or target_df=")
@@ -133,12 +143,17 @@ def dsir_doc_weights(
 
     if target is not None:
         feats = stream(df, target.cast("boolean"), F.lit(True))
-        score_feats = feats
     else:
-        raw = stream(df, F.lit(False), F.lit(True))
-        tgt = stream(target_df, F.lit(True), F.lit(False))
-        feats = raw.unionByName(tgt)
-        score_feats = raw
+        feats = stream(df, F.lit(False), F.lit(True)).unionByName(
+            stream(target_df, F.lit(True), F.lit(False))
+        )
+    if materialize:
+        from pyspark import StorageLevel
+
+        feats = feats.persist(StorageLevel.MEMORY_AND_DISK)
+    # in target_df mode only the raw side is scored (and it reads off
+    # the same persisted stream)
+    score_feats = feats if target is not None else feats.filter(F.col("_r"))
 
     counts = feats.groupBy("bucket").agg(
         F.sum(F.when(F.col("_t"), 1).otherwise(0)).alias("t_ct"),
@@ -169,11 +184,15 @@ def dsir_doc_weights(
         .agg(F.count(F.lit(1)).alias("n_feats"), F.sum("lr").alias("logw"))
     )
     all_ids = df.select(F.col(id_col).alias("id"))
-    return all_ids.join(per_doc, "id", "left").select(
+    out = all_ids.join(per_doc, "id", "left").select(
         F.col("id").alias(id_col),
         F.coalesce("n_feats", F.lit(0)).alias("n_feats"),
         F.col("logw"),
     )
+    if materialize:
+        out = out.localCheckpoint(eager=True)
+        feats.unpersist()
+    return out
 
 
 def dsir_resample(

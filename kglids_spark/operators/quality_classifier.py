@@ -14,21 +14,28 @@ learned components ship as absent .pt checkpoints —
 /root/reference/.MISSING_LARGE_BLOBS).
 
 Scale shape:
-- the feature stream is ONE map-side pass (explode → bucket →
-  per-(doc,bucket) tf), persisted across iterations;
-- each GD iteration is two bounded shuffles over doc-count-sized
-  data (margin groupBy id, gradient join on id) plus a
-  dictionary-sized gradient groupBy (<= buckets+1 rows) whose
+- featurization is ONE map-side explode into a (doc, bucket) count
+  aggregation; the per-doc total rides in via a partition-local
+  window over the same id partitioning (no totals self-join, no
+  second corpus pass — Catalyst reuses the id exchange for every
+  downstream per-doc aggregation);
+- each GD iteration is bounded shuffles over doc-count-sized frames
+  plus a dictionary-sized gradient groupBy (<= buckets+1 rows) whose
   collect is bounded by the feature dimension — the
   ivf_train_iteration discipline (iterative, driver holds only the
-  model);
-- the model rides back into scoring as a broadcast join.
+  model); the compact counts frame persists once across iterations;
+- the model rides into every margin/score computation as a broadcast
+  join.
+
+Feature x_db = c_db / n_d (L1-normalized term frequency), carried as
+the raw count c and doc total n so every consumer can fold the
+division into its own aggregation: sum_b (c/n)·w = (sum_b c·w)/n.
 
 Gradient math (standard L2-regularized logistic loss, mean over N
-labeled docs): grad_w[b] = (1/N) sum_d (sigmoid(m_d) - y_d) x_db
+labeled docs): grad_w[b] = (1/N) sum_d (sigmoid(m_d) - y_d) c_db/n_d
 + lam*w[b]; grad_b0 = (1/N) sum_d (sigmoid(m_d) - y_d). At w=0 the
 sigmoid is exactly 0.5, which makes the FIRST step's gradient pure
-SQL — the value-exact oracle (entry_queries.quality_lr_gradient).
+SQL — the value-exact oracle (entry_queries.quality_lr_gradient_step).
 """
 
 from __future__ import annotations
@@ -37,12 +44,14 @@ import math
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from kglids_spark.operators.dsir import _bucket_expr, _grams_expr
 
 __all__ = [
     "quality_features",
     "quality_lr_gradient",
+    "quality_lr_gradient_frame",
     "train_quality_lr",
     "score_quality_lr",
 ]
@@ -56,8 +65,9 @@ def quality_features(
     buckets: int = 8192,
     md5_width: int = 2,
 ) -> DataFrame:
-    """(id, bucket, x): L1-normalized hashed-n-gram term frequencies,
-    one row per (document, bucket) — x sums to 1 within a doc.
+    """(id, bucket, c, n): hashed-n-gram counts per (document, bucket)
+    with the document's total gram count n on every row — the
+    L1-normalized feature is x = c/n (sums to 1 within a doc).
     Documents with no grams (empty/NULL text) produce no rows; they
     score through `score_quality_lr` at the bias-only probability."""
     feats = df.select(
@@ -65,10 +75,32 @@ def quality_features(
     ).select(
         "id", _bucket_expr(F.col("_g"), hasher, buckets, md5_width).alias("bucket")
     )
-    counts = feats.groupBy("id", "bucket").agg(F.count(F.lit(1)).alias("_c"))
-    totals = counts.groupBy("id").agg(F.sum("_c").alias("_n"))
-    return counts.join(totals, "id").select(
-        "id", "bucket", (F.col("_c") / F.col("_n")).alias("x")
+    counts = feats.groupBy("id", "bucket").agg(F.count(F.lit(1)).alias("c"))
+    # partition-local total: one id exchange that every downstream
+    # per-doc aggregation then reuses (vs a totals self-join, which
+    # recomputes the corpus-sized count aggregation twice)
+    return counts.withColumn("n", F.sum("c").over(Window.partitionBy("id")))
+
+
+def _margin_frame(
+    features: DataFrame, weights: dict | None, bias: float
+) -> DataFrame:
+    """(id, m): m = w·x + bias per doc with features. The model enters
+    as a broadcast join (dictionary-sized); w=None means the zero
+    model."""
+    if weights:
+        w_df = features.sparkSession.createDataFrame(
+            [(k, float(v)) for k, v in weights.items()], ["bucket", "w"]
+        )
+        withw = features.join(F.broadcast(w_df), "bucket", "left").withColumn(
+            "w", F.coalesce("w", F.lit(0.0))
+        )
+    else:
+        withw = features.withColumn("w", F.lit(0.0))
+    return withw.groupBy("id").agg(
+        (
+            F.sum(F.col("c") * F.col("w")) / F.first("n") + F.lit(float(bias))
+        ).alias("m")
     )
 
 
@@ -79,21 +111,9 @@ def _residual_frame(
     bias: float,
 ) -> DataFrame:
     """(id, r): r = sigmoid(w·x + bias) - y per labeled doc with
-    features. The model enters as a broadcast join (dictionary-
-    sized); w=None means the zero model (sigmoid(bias) everywhere)."""
-    labeled = features.join(labels.select("id", "y"), "id")
-    if weights:
-        w_df = features.sparkSession.createDataFrame(
-            [(k, float(v)) for k, v in weights.items()], ["bucket", "w"]
-        )
-        withw = labeled.join(F.broadcast(w_df), "bucket", "left").withColumn(
-            "w", F.coalesce("w", F.lit(0.0))
-        )
-    else:
-        withw = labeled.withColumn("w", F.lit(0.0))
-    margins = withw.groupBy("id").agg(
-        (F.sum(F.col("x") * F.col("w")) + F.lit(float(bias))).alias("m"),
-        F.first("y").alias("y"),
+    features."""
+    margins = _margin_frame(features, weights, bias).join(
+        labels.select("id", "y"), "id"
     )
     return margins.select(
         "id", (F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("m"))) - F.col("y")).alias("r")
@@ -114,7 +134,12 @@ def quality_lr_gradient_frame(
     return (
         features.join(resid, "id")
         .groupBy("bucket")
-        .agg((F.sum(F.col("r") * F.col("x")) / F.lit(float(n_docs))).alias("grad"))
+        .agg(
+            (
+                F.sum(F.col("r") * F.col("c") / F.col("n"))
+                / F.lit(float(n_docs))
+            ).alias("grad")
+        )
     )
 
 
@@ -162,8 +187,8 @@ def train_quality_lr(
     lam: float = 1e-4,
 ) -> tuple[dict, float]:
     """Fit the classifier: ``label`` is a boolean Column over ``df``
-    (e.g. F.col('lang') == 'en'). Returns (weights, bias). The
-    feature stream is persisted once and reused across the bounded
+    (e.g. F.col('lang') == 'en'). Returns (weights, bias). The compact
+    counts frame is persisted once and reused across the bounded
     ``iters`` gradient steps; only dictionary-sized state crosses the
     driver each step."""
     from pyspark import StorageLevel
@@ -204,22 +229,11 @@ def score_quality_lr(
     """(doc_id, quality_prob): sigmoid(w·x + b) per document. The
     model joins in as a broadcast (dictionary-sized); featureless
     docs (empty/NULL text) score sigmoid(bias) — the prior."""
-    spark = df.sparkSession
     feats = quality_features(
         df, text_col, id_col, hasher=hasher, buckets=buckets, md5_width=md5_width
     )
-    if weights:
-        w_df = spark.createDataFrame(
-            [(k, float(v)) for k, v in weights.items()], ["bucket", "w"]
-        )
-        scored = feats.join(F.broadcast(w_df), "bucket", "left").withColumn(
-            "w", F.coalesce("w", F.lit(0.0))
-        )
-    else:
-        scored = feats.withColumn("w", F.lit(0.0))
-    margins = scored.groupBy("id").agg(F.sum(F.col("x") * F.col("w")).alias("m"))
+    margins = _margin_frame(feats, weights, 0.0)
     all_ids = df.select(F.col(id_col).alias("id"))
-    prior = float(bias)
     return (
         all_ids.join(margins, "id", "left")
         .select(
@@ -228,7 +242,9 @@ def score_quality_lr(
                 F.lit(1.0)
                 / (
                     F.lit(1.0)
-                    + F.exp(-(F.coalesce(F.col("m"), F.lit(0.0)) + F.lit(prior)))
+                    + F.exp(
+                        -(F.coalesce(F.col("m"), F.lit(0.0)) + F.lit(float(bias)))
+                    )
                 )
             ).alias("quality_prob"),
         )

@@ -150,6 +150,11 @@ def test_classifier_actually_separates(spark, docs):
 
 def test_features_l1_normalized(spark, docs):
     feats = QC.quality_features(docs, hasher="md5", md5_width=2)
-    sums = feats.groupBy("id").agg(F.sum("x").alias("s")).collect()
+    sums = feats.groupBy("id").agg(
+        F.sum(F.col("c") / F.col("n")).alias("s"),
+        F.sum("c").alias("tot"),
+        F.first("n").alias("n"),
+    ).collect()
     for r in sums:
         assert r["s"] == pytest.approx(1.0, abs=1e-12)
+        assert r["tot"] == r["n"]
