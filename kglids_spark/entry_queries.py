@@ -4011,6 +4011,92 @@ def quality_lr_scores(spark, sf_dir):
 
 
 # =====================================================================
+# Token-level decontamination + mixture planning
+# =====================================================================
+
+_TOKENS_DECON_SQL = r"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_transform(
+               list_filter(
+                 string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+                 w -> w <> ''),
+               w -> CAST(('0x' || substring(md5(w), 1, 8)) AS BIGINT)) AS t
+      FROM documents),
+    grams AS (
+      SELECT DISTINCT doc_id, t[i:i+7] AS g
+      FROM toks, unnest(range(1, len(t) - 8 + 2)) u(i)
+      WHERE len(t) >= 8),
+    bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0),
+    pg AS (SELECT doc_id, COUNT(*)::BIGINT AS n_grams FROM grams GROUP BY doc_id),
+    m AS (
+      SELECT doc_id, COUNT(*)::BIGINT AS n_matched
+      FROM grams JOIN bench USING (g) GROUP BY doc_id)
+    SELECT d.doc_id,
+           COALESCE(pg.n_grams, 0)::BIGINT AS n_grams,
+           COALESCE(m.n_matched, 0)::BIGINT AS n_matched,
+           COALESCE(m.n_matched, 0) > 0 AS contaminated
+    FROM documents d
+    LEFT JOIN pg USING (doc_id) LEFT JOIN m USING (doc_id)
+"""
+
+
+@register("tokens_decontamination", _TOKENS_DECON_SQL)
+def tokens_decontamination(spark, sf_dir):
+    """Decontamination on the engine's own tokens shape: 8-token-gram
+    overlap between a corpus and a benchmark of pre-tokenized
+    sequences (here: documents tokenized with cross-engine md5-hash
+    word ids; the pseudo eval set is every 97th doc, so overlap
+    provably exists). Production joins on xxhash64 of the gram array;
+    the oracle joins the literal arrays — identical counts modulo
+    64-bit collisions (the char-LM hashed-keys convention)."""
+    d = _t(spark, sf_dir, "documents")
+    ws = F.filter(dedup.split_words("text"), lambda w: w != "")
+    tokens = F.transform(
+        ws,
+        lambda w: F.conv(F.substring(F.md5(w), 1, 8), 16, 10).cast("bigint"),
+    )
+    toks = d.select("doc_id", tokens.alias("tokens"))
+    bench = toks.filter(F.col("doc_id") % 97 == 0)
+    return dedup.token_ngram_contamination(toks, bench, n=8)
+
+
+@register(
+    "mixture_plan_sources",
+    """
+    WITH obs AS (SELECT source, COUNT(*)::BIGINT AS n_rows FROM documents GROUP BY source),
+    tot AS (SELECT SUM(n_rows)::DOUBLE AS t FROM obs),
+    tgt(source, target_share) AS (VALUES
+      ('src0', 0.3), ('src1', 0.3), ('src2', 0.2), ('src3', 0.1), ('src4', 0.1))
+    SELECT o.source, o.n_rows, round(o.n_rows / tot.t, 6) AS share,
+           COALESCE(g.target_share, 0.0) AS target_share,
+           round(COALESCE(g.target_share, 0.0) * tot.t / o.n_rows, 6) AS factor
+    FROM obs o LEFT JOIN tgt g USING (source), tot
+    """,
+)
+def mixture_plan_sources(spark, sf_dir):
+    """Data-mixture planning: per-source epoch factors that turn the
+    observed mixture into a target share vector at the input's size —
+    the number epoch_upsample consumes. One groupBy over the corpus;
+    everything else is broadcast arithmetic."""
+    from kglids_spark.operators import sampling
+
+    d = _t(spark, sf_dir, "documents")
+    plan = sampling.mixture_plan(
+        d,
+        "source",
+        {"src0": 0.3, "src1": 0.3, "src2": 0.2, "src3": 0.1, "src4": 0.1},
+    )
+    return plan.select(
+        "source",
+        "n_rows",
+        F.round("share", 6).alias("share"),
+        "target_share",
+        F.round("factor", 6).alias("factor"),
+    )
+
+
+# =====================================================================
 # Embedding moments / PCA
 # =====================================================================
 
@@ -4125,11 +4211,17 @@ _DRIVER_PRIORITY = [
     # csv_na_scan, whose NA-coercion semantics stay pinned in-window by
     # na_coercion_cast plus the round-4 pytest rows)
     "embedding_covariance", "embedding_pca_projection",
+    # (tokens_decontamination displaces benchmark_contamination — same
+    # published protocol, the new query exercises it on the tokens
+    # shape while the text variant stays r3-green and pytest-oracled;
+    # mixture_plan_sources displaces stratified_sample_sources — the
+    # P11 family keeps r4-green sample_deterministic_hash plus
+    # split_assignment_sources and global_shuffle_positions in-window)
+    "tokens_decontamination", "mixture_plan_sources",
     # (c) last checked in round 2
     "ann_bruteforce_topk", "pipeline_top_used_libraries",
     "pipelines_by_tags", "pipelines_for_deep_learning",
     # (d) last checked in round 3
-    "benchmark_contamination",
     "c4_line_filtering", "constraints_suite_extended",
     "correlation_profile_lineitem", "dedup_clusters",
     "dedup_ngram_jaccard", "eda_operations", "float_bit_decomposition",
@@ -4141,7 +4233,7 @@ _DRIVER_PRIORITY = [
     "rdf_turtle_source_types", "score_normalized_events",
     "sentence_embedding_labels", "shipdate_year_counts",
     "similarity_scores_reference", "split_assignment_sources",
-    "stratified_sample_sources", "text_repetition_signals",
+    "text_repetition_signals",
     "union_distinct_sources_langs",
     "vocab_top_tokens",
 ]

@@ -27,6 +27,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from kglids_spark.functions.scalar import cosine_similarity
 
@@ -745,6 +746,75 @@ def benchmark_contamination(
         )
         .withColumn(
             "frac_bench", F.col("n_common") / F.col("bench_ngrams")
+        )
+    )
+
+
+def token_ngram_contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+    hash_grams: bool = True,
+) -> DataFrame:
+    """Decontamination at the TOKEN level — the published protocol for
+    pre-tokenized corpora (n-gram overlap on token ids, n=8..13),
+    operating directly on the engine's (id, tokens:array<int>) input
+    shape instead of text. Returns one row per corpus doc:
+    (doc_id, n_grams, n_matched, contaminated) where n_grams counts
+    the doc's DISTINCT token n-grams and n_matched those appearing
+    anywhere in the benchmark; docs shorter than n tokens (or with
+    NULL tokens) keep a row with both counts 0.
+
+    Scale shape: grams build map-side by slicing the token array
+    (array_distinct BEFORE the explode, so duplicate windows never
+    leave the row); the benchmark's distinct gram set broadcasts
+    (eval suites are tiny against a trillion-sequence corpus); the
+    only corpus-wide shuffle is the map-side-combined per-doc count.
+    ``hash_grams`` keys the join on ``xxhash64`` of the gram array
+    (8-byte broadcast keys, production default); ``False`` joins the
+    literal int arrays — what the DuckDB oracle mirrors."""
+    elem = None
+    for f in corpus.schema.fields:
+        if f.name == tokens_col:
+            elem = f.dataType
+    if elem is None:
+        raise ValueError(f"column {tokens_col!r} not in corpus")
+
+    def gram_stream(df: DataFrame) -> DataFrame:
+        t = F.col(tokens_col)
+        windows = F.when(
+            F.size(t) >= n,
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(0), F.size(t) - n),
+                    lambda i: F.slice(t, i + 1, n),
+                )
+            ),
+        ).otherwise(F.array().cast(T.ArrayType(elem)))
+        out = df.select(F.col(id_col).alias("id"), F.explode(windows).alias("g"))
+        if hash_grams:
+            out = out.select("id", F.xxhash64("g").alias("g"))
+        return out
+
+    bench_grams = gram_stream(benchmark).select("g").distinct()
+    c_grams = gram_stream(corpus)
+    per_doc = c_grams.groupBy("id").agg(F.count(F.lit(1)).alias("n_grams"))
+    matched = (
+        c_grams.join(F.broadcast(bench_grams), "g")
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_matched"))
+    )
+    all_ids = corpus.select(F.col(id_col).alias("id"))
+    return (
+        all_ids.join(per_doc, "id", "left")
+        .join(matched, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+            F.coalesce("n_matched", F.lit(0)).alias("n_matched"),
+            (F.coalesce("n_matched", F.lit(0)) > 0).alias("contaminated"),
         )
     )
 

@@ -273,6 +273,60 @@ def epoch_upsample(
     )
 
 
+def mixture_plan(
+    df: DataFrame,
+    strata_col: str,
+    target_shares: dict,
+    total_rows: int | None = None,
+) -> DataFrame:
+    """Plan a data mixture: per stratum, the epoch factor that turns
+    the observed mixture into ``target_shares`` at an output size of
+    ``total_rows`` (default: the input size) — factor = target_share *
+    total / n_rows, the number feeding epoch_upsample directly.
+    Returns (stratum, n_rows, share, target_share, factor); strata
+    absent from ``target_shares`` get factor 0 (dropped by
+    epoch_upsample), target strata absent from the data raise (no
+    amount of upsampling makes rows from nothing). Shares must sum to
+    1 (±1e-6). Driver math over the mixture_counts aggregate — the
+    corpus contributes one groupBy."""
+    s = sum(float(v) for v in target_shares.values())
+    if abs(s - 1.0) > 1e-6:
+        raise ValueError(f"target_shares sum to {s}, expected 1.0")
+    if any(float(v) < 0 for v in target_shares.values()):
+        raise ValueError("target_shares must be non-negative")
+    obs = mixture_counts(df, strata_col)
+    spark = df.sparkSession
+    s_type = df.schema[strata_col].dataType.simpleString()
+    tgt = F.broadcast(
+        spark.createDataFrame(
+            [(k, float(v)) for k, v in target_shares.items()],
+            f"{strata_col} {s_type}, target_share double",
+        )
+    )
+    joined = obs.join(tgt, strata_col, "full_outer")
+    missing = [
+        r[strata_col]
+        for r in joined.filter(F.col("n_rows").isNull()).collect()
+    ]
+    if missing:
+        raise ValueError(
+            f"target strata absent from the data: {sorted(missing)}"
+        )
+    total = F.lit(float(total_rows)) if total_rows is not None else None
+    if total is None:
+        tot = obs.agg(F.sum("n_rows").alias("t")).collect()[0]["t"]
+        total = F.lit(float(tot))
+    return joined.select(
+        strata_col,
+        "n_rows",
+        "share",
+        F.coalesce("target_share", F.lit(0.0)).alias("target_share"),
+        (
+            F.coalesce("target_share", F.lit(0.0)) * total / F.col("n_rows")
+        ).alias("factor"),
+    )
+
+
 def mixture_counts(df: DataFrame, strata_col: str) -> DataFrame:
     """Observed mixture: rows and share per stratum (the input to
     choosing quotas). The total comes from a broadcast 1-row aggregate,

@@ -1,0 +1,138 @@
+"""Unit tests for the round-5 additions: token-level n-gram
+decontamination (dedup.token_ngram_contamination) and data-mixture
+planning (sampling.mixture_plan)."""
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from kglids_spark.operators import dedup, sampling
+
+_TOK_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("tokens", ArrayType(IntegerType())),
+    ]
+)
+
+
+@pytest.fixture(scope="module")
+def tok_corpus(spark):
+    rows = [
+        (1, [1, 2, 3, 4, 5]),  # shares the gram [2,3,4] with bench doc 10
+        (2, [9, 9, 9, 9]),  # grams [9,9,9] x2 -> distinct 1, no overlap
+        (3, [7, 8]),  # shorter than n: zero grams
+        (4, None),  # NULL tokens: zero grams
+        (5, [2, 3, 4]),  # exactly one gram, contaminated
+    ]
+    return spark.createDataFrame(rows, _TOK_SCHEMA)
+
+
+@pytest.fixture(scope="module")
+def tok_bench(spark):
+    return spark.createDataFrame([(10, [0, 2, 3, 4])], _TOK_SCHEMA)
+
+
+def test_token_contamination_hand_computed(tok_corpus, tok_bench):
+    out = {
+        r["doc_id"]: r
+        for r in dedup.token_ngram_contamination(
+            tok_corpus, tok_bench, n=3
+        ).collect()
+    }
+    assert set(out) == {1, 2, 3, 4, 5}
+    # doc 1: distinct grams [1,2,3],[2,3,4],[3,4,5] -> 3; one matches
+    assert (out[1]["n_grams"], out[1]["n_matched"]) == (3, 1)
+    assert out[1]["contaminated"]
+    # doc 2: [9,9,9] twice -> 1 distinct, no match
+    assert (out[2]["n_grams"], out[2]["n_matched"]) == (1, 0)
+    assert not out[2]["contaminated"]
+    for short_id in (3, 4):
+        assert (out[short_id]["n_grams"], out[short_id]["n_matched"]) == (0, 0)
+        assert not out[short_id]["contaminated"]
+    assert (out[5]["n_grams"], out[5]["n_matched"]) == (1, 1)
+
+
+def test_token_contamination_hash_twin_lockstep(tok_corpus, tok_bench):
+    a = dedup.token_ngram_contamination(
+        tok_corpus, tok_bench, n=3, hash_grams=True
+    ).collect()
+    b = dedup.token_ngram_contamination(
+        tok_corpus, tok_bench, n=3, hash_grams=False
+    ).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_token_contamination_self_benchmark(tok_corpus):
+    """Every doc with >= n tokens is contaminated against itself."""
+    out = dedup.token_ngram_contamination(
+        tok_corpus, tok_corpus, n=3
+    ).collect()
+    for r in out:
+        assert r["contaminated"] == (r["n_grams"] > 0)
+        assert r["n_matched"] == r["n_grams"]
+
+
+_SRC_SCHEMA = StructType(
+    [StructField("doc_id", LongType()), StructField("source", StringType())]
+)
+
+
+@pytest.fixture(scope="module")
+def srcs(spark):
+    rows = [(i, f"s{i % 4}") for i in range(100)]  # 25 rows per stratum
+    return spark.createDataFrame(rows, _SRC_SCHEMA)
+
+
+def test_mixture_plan_hand_math(srcs):
+    plan = {
+        r["source"]: r
+        for r in sampling.mixture_plan(
+            srcs, "source", {"s0": 0.5, "s1": 0.5}
+        ).collect()
+    }
+    assert set(plan) == {"s0", "s1", "s2", "s3"}
+    for s in ("s0", "s1"):
+        assert plan[s]["n_rows"] == 25
+        assert plan[s]["share"] == pytest.approx(0.25)
+        assert plan[s]["target_share"] == 0.5
+        assert plan[s]["factor"] == pytest.approx(0.5 * 100 / 25)  # 2 epochs
+    for s in ("s2", "s3"):
+        assert plan[s]["target_share"] == 0.0
+        assert plan[s]["factor"] == 0.0
+
+
+def test_mixture_plan_explicit_total_and_epoch_composition(srcs):
+    plan = sampling.mixture_plan(
+        srcs, "source", {"s0": 0.75, "s1": 0.25}, total_rows=50
+    ).collect()
+    factors = {r["source"]: r["factor"] for r in plan}
+    assert factors["s0"] == pytest.approx(0.75 * 50 / 25)  # 1.5
+    assert factors["s1"] == pytest.approx(0.25 * 50 / 25)  # 0.5
+    # feed epoch_upsample: full copies per whole epoch + hash-fraction
+    up = sampling.epoch_upsample(srcs, "source", factors, ["doc_id"])
+    counts = {
+        r["source"]: r["n"]
+        for r in up.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    # s0: 25 full + ~half extra; s1: ~half of 25 — deterministic given
+    # the hash, bounded around the target
+    assert 25 <= counts["s0"] <= 50
+    assert 1 <= counts["s1"] <= 24
+    assert set(counts) == {"s0", "s1"}
+
+
+def test_mixture_plan_validation(srcs):
+    with pytest.raises(ValueError, match="sum to"):
+        sampling.mixture_plan(srcs, "source", {"s0": 0.5, "s1": 0.4})
+    with pytest.raises(ValueError, match="non-negative"):
+        sampling.mixture_plan(srcs, "source", {"s0": 1.5, "s1": -0.5})
+    with pytest.raises(ValueError, match="absent from the data"):
+        sampling.mixture_plan(srcs, "source", {"s0": 0.5, "nope": 0.5})
