@@ -228,7 +228,27 @@ def score_quality_lr(
 ) -> DataFrame:
     """(doc_id, quality_prob): sigmoid(w·x + b) per document. The
     model joins in as a broadcast (dictionary-sized); featureless
-    docs (empty/NULL text) score sigmoid(bias) — the prior."""
+    docs (empty/NULL text) score sigmoid(bias) — the prior.
+
+    The model's bucket keys must live in the SAME feature space the
+    scorer hashes into (train and score with the same hasher/buckets/
+    md5_width) — a key-type mismatch is refused up front rather than
+    silently scoring every doc at the prior (or failing inside an
+    ANSI cast deep in the join)."""
+    if weights:
+        k = next(iter(weights))
+        if hasher == "xxhash64" and isinstance(k, str):
+            raise ValueError(
+                "model bucket keys are strings but hasher='xxhash64' "
+                "produces int64 buckets — score with the hasher the "
+                "model was trained with (hasher='md5'?)"
+            )
+        if hasher == "md5" and not isinstance(k, str):
+            raise ValueError(
+                "model bucket keys are ints but hasher='md5' produces "
+                "hex-string buckets — score with the hasher the model "
+                "was trained with (hasher='xxhash64'?)"
+            )
     feats = quality_features(
         df, text_col, id_col, hasher=hasher, buckets=buckets, md5_width=md5_width
     )

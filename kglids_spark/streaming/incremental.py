@@ -225,6 +225,91 @@ def fd_monitor_stream(
     )
 
 
+def quality_filter_stream(
+    spark: SparkSession,
+    input_dir: str,
+    weights: dict,
+    bias: float,
+    out_dir: str,
+    checkpoint_dir: str,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hasher: str = "xxhash64",
+    buckets: int = 8192,
+    md5_width: int = 2,
+    trigger_once: bool = True,
+):
+    """Streaming quality gate: each ingestion micro-batch is scored
+    under a FIXED pre-trained hashed-n-gram LR model
+    (quality_classifier.score_quality_lr — the model was fit offline
+    by train_quality_lr and broadcasts into every batch), surviving
+    documents (quality_prob >= threshold) land under
+    ``out_dir``/docs and a one-row verdict (epoch, n_docs, n_kept,
+    mean_prob) under ``out_dir``/verdicts — so a quality regression is
+    localized to the ingestion batch that shipped it, which the batch
+    scorer (a whole-table statement) cannot do.
+
+    foreachBatch keeps the scoring in the batch engine (the per-doc
+    aggregation is map-side-combined; no streaming state grows), and
+    both writes use dynamic epoch-partition overwrite so an
+    at-least-once batch replay replaces its own output instead of
+    duplicating it (the drift_monitor_stream discipline)."""
+    from kglids_spark.operators.quality_classifier import score_quality_lr
+
+    schema = spark.read.parquet(input_dir).schema
+    stream = spark.readStream.schema(schema).parquet(input_dir)
+
+    def process(batch_df: DataFrame, epoch_id: int) -> None:
+        sess = batch_df.sparkSession
+        scored = score_quality_lr(
+            batch_df,
+            weights,
+            bias,
+            text_col=text_col,
+            id_col=id_col,
+            hasher=hasher,
+            buckets=buckets,
+            md5_width=md5_width,
+        )
+        joined = batch_df.join(scored, id_col)
+        kept = joined.filter(F.col("quality_prob") >= threshold).withColumn(
+            "epoch", F.lit(int(epoch_id))
+        )
+        kept.write.mode("overwrite").option(
+            "partitionOverwriteMode", "dynamic"
+        ).partitionBy("epoch").parquet(f"{out_dir}/docs")
+        row = joined.agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(
+                (F.col("quality_prob") >= threshold).cast("long")
+            ).alias("n_kept"),
+            F.avg("quality_prob").alias("mean_prob"),
+        ).collect()[0]
+        sess.createDataFrame(
+            [
+                (
+                    int(epoch_id),
+                    int(row.n_docs),
+                    int(row.n_kept or 0),
+                    float(row.mean_prob) if row.mean_prob is not None else None,
+                )
+            ],
+            "epoch long, n_docs long, n_kept long, mean_prob double",
+        ).write.mode("overwrite").option(
+            "partitionOverwriteMode", "dynamic"
+        ).partitionBy("epoch").parquet(f"{out_dir}/verdicts")
+
+    writer = (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def drift_monitor_stream(
     spark: SparkSession,
     input_dir: str,

@@ -1,6 +1,7 @@
 """Structured Streaming: incremental validation via foreachBatch into
 the shared ledger, and watermarked window aggregation smoke."""
 
+import pytest
 from pyspark.sql import functions as F
 
 from kglids_spark.operators import constraints as C
@@ -237,3 +238,65 @@ def test_fd_monitor_stream_matches_batch_and_crosses_batches(spark, tmp_path):
     assert {d for d, v in got.items() if v} == want_bad
     assert got.get("b") is False and got.get("d") is False
     assert "c" not in got  # all-null dependent: no FD evidence
+
+
+def test_quality_filter_stream_matches_batch_twin(spark, tmp_path):
+    """The streaming quality gate keeps exactly the docs the batch
+    scorer keeps, and the per-epoch verdict stats equal the batch
+    computation over the same rows."""
+    from kglids_spark.operators.quality_classifier import (
+        score_quality_lr,
+        train_quality_lr,
+    )
+    from kglids_spark.streaming.incremental import quality_filter_stream
+
+    rows = [
+        (i, ("the cat sat on mat " * 5) if i % 2 == 0 else ("xz qq vv " * 4), i % 2 == 0)
+        for i in range(200)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, is_good boolean")
+    w, b = train_quality_lr(docs, F.col("is_good"), hasher="md5", iters=4)
+
+    src = str(tmp_path / "q_in")
+    docs.coalesce(1).write.mode("overwrite").parquet(src)
+    out = str(tmp_path / "q_out")
+    q = quality_filter_stream(
+        spark,
+        src,
+        w,
+        b,
+        out,
+        checkpoint_dir=str(tmp_path / "q_ckpt"),
+        threshold=0.5,
+        hasher="md5",
+    )
+    q.awaitTermination(300)
+
+    kept = spark.read.parquet(f"{out}/docs")
+    verd = spark.read.parquet(f"{out}/verdicts").collect()
+    # batch twin: same model, same threshold
+    scored = score_quality_lr(docs, w, b, hasher="md5")
+    want_kept = {
+        r["doc_id"] for r in scored.filter(F.col("quality_prob") >= 0.5).collect()
+    }
+    got_kept = {r["doc_id"] for r in kept.collect()}
+    assert got_kept == want_kept
+    # the trained model actually separates: only the good half survives
+    assert got_kept == {i for i in range(200) if i % 2 == 0}
+    assert sum(r.n_docs for r in verd) == 200
+    assert sum(r.n_kept for r in verd) == len(want_kept)
+    mean_want = scored.agg(F.avg("quality_prob")).collect()[0][0]
+    if len(verd) == 1:
+        assert verd[0].mean_prob == pytest.approx(mean_want, abs=1e-9)
+
+
+def test_quality_filter_stream_refuses_hasher_mismatch(spark):
+    from kglids_spark.operators.quality_classifier import score_quality_lr
+
+    docs = spark.createDataFrame(
+        [(1, "some text")], "doc_id long, text string"
+    )
+    with pytest.raises(ValueError, match="trained with"):
+        score_quality_lr(docs, {"ab": 0.5}, 0.0, hasher="xxhash64")
+    with pytest.raises(ValueError, match="trained with"):
+        score_quality_lr(docs, {7: 0.5}, 0.0, hasher="md5")
