@@ -4096,6 +4096,61 @@ def mixture_plan_sources(spark, sf_dir):
     )
 
 
+@register(
+    "unicode_normalize_docs",
+    """
+    SELECT doc_id, nfc_normalize(text) AS text_norm,
+           nfc_normalize(text) IS DISTINCT FROM text AS changed
+    FROM documents
+    """,
+)
+def unicode_normalize_docs(spark, sf_dir):
+    """Unicode NFC normalization of every document (the CCNet-style
+    cleanup stage; Arrow-batched stdlib unicodedata — Spark has no
+    codegen NFC expression). Value-exact against DuckDB's
+    nfc_normalize: both implement the Unicode canonical-composition
+    standard. The NFKC/lowercase/strip-accent variants are pinned by
+    hand-computed pytest cases."""
+    d = _t(spark, sf_dir, "documents")
+    return text.normalize_unicode(d, form="NFC").select(
+        "doc_id", "text_norm", "changed"
+    )
+
+
+@register(
+    "incremental_exact_dedup",
+    r"""
+    WITH dg AS (
+      SELECT doc_id, source, lang,
+             md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS d
+      FROM documents),
+    prior AS (
+      SELECT DISTINCT d FROM dg WHERE doc_id % 2 = 0 AND d IS NOT NULL),
+    newb AS (SELECT * FROM dg WHERE doc_id % 2 = 1),
+    winners AS (
+      SELECT d, MIN(doc_id) AS doc_id FROM newb
+      WHERE d IS NOT NULL GROUP BY d)
+    SELECT n.doc_id, n.source, n.lang
+    FROM newb n JOIN winners w ON n.d = w.d AND n.doc_id = w.doc_id
+    WHERE n.d NOT IN (SELECT d FROM prior)
+    UNION ALL
+    SELECT doc_id, source, lang FROM newb WHERE d IS NULL
+    """,
+)
+def incremental_exact_dedup(spark, sf_dir):
+    """Incremental-crawl exact dedup: the odd-id half of the corpus
+    arrives as a NEW batch and is deduped against the even-id half's
+    digest ledger — survivors are batch-minimum-id per digest AND
+    absent from the ledger; NULL-text docs carry no content evidence
+    and survive. One digest-keyed min aggregation + semi-join + one
+    ledger anti-join."""
+    d = _t(spark, sf_dir, "documents")
+    prior = dedup.exact_dedup_ledger(d.filter(F.col("doc_id") % 2 == 0))
+    newb = d.filter(F.col("doc_id") % 2 == 1)
+    out = dedup.incremental_dedup_exact(newb, prior)
+    return out.select("doc_id", "source", "lang")
+
+
 # =====================================================================
 # Embedding moments / PCA
 # =====================================================================
@@ -4218,6 +4273,12 @@ _DRIVER_PRIORITY = [
     # P11 family keeps r4-green sample_deterministic_hash plus
     # split_assignment_sources and global_shuffle_positions in-window)
     "tokens_decontamination", "mixture_plan_sources",
+    # (unicode_normalize_docs + incremental_exact_dedup displace
+    # global_shuffle_positions and union_distinct_sources_langs — the
+    # sampling family keeps split_assignment_sources in-window plus
+    # r4-green sample_deterministic_hash, and the set-ops family keeps
+    # intersect_except_keys in-window)
+    "unicode_normalize_docs", "incremental_exact_dedup",
     # (c) last checked in round 2
     "ann_bruteforce_topk", "pipeline_top_used_libraries",
     "pipelines_by_tags", "pipelines_for_deep_learning",
@@ -4225,7 +4286,6 @@ _DRIVER_PRIORITY = [
     "c4_line_filtering", "constraints_suite_extended",
     "correlation_profile_lineitem", "dedup_clusters",
     "dedup_ngram_jaccard", "eda_operations", "float_bit_decomposition",
-    "global_shuffle_positions",
     "intersect_except_keys", "ivf_train_iteration",
     "join_multiway_region", "json_extract_props", "label_generation",
     "na_coercion_cast", "pack_sequences_bins",
@@ -4234,7 +4294,6 @@ _DRIVER_PRIORITY = [
     "sentence_embedding_labels", "shipdate_year_counts",
     "similarity_scores_reference", "split_assignment_sources",
     "text_repetition_signals",
-    "union_distinct_sources_langs",
     "vocab_top_tokens",
 ]
 

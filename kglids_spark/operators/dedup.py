@@ -750,6 +750,60 @@ def benchmark_contamination(
     )
 
 
+def incremental_dedup_exact(
+    new_docs: DataFrame,
+    prior_digests: DataFrame | None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact dedup of a NEW ingestion batch against a previously
+    processed corpus — the incremental-crawl discipline: a restarted
+    or continuing pipeline must not reprocess (or re-admit) content it
+    already shipped. Survivors are the new docs whose normalized-
+    content digest (a) is absent from ``prior_digests`` (a one-column
+    ``digest`` ledger frame, e.g. the output of
+    ``exact_dedup_ledger``) and (b) is the batch-minimum id for that
+    digest (within-batch exact dedup, keep-min-id — the
+    fuzzy_dedup_survivors keeper convention). Docs with NULL text
+    carry no content evidence and all survive.
+
+    Plan: one digest projection, a digest-keyed min-id aggregation
+    (map-side combined), a semi-join of winners, and one anti-join
+    against the ledger — at 10^12 rows the ledger side is the big
+    one, and the anti-join shuffles both sides by an 8-byte-hashable
+    digest key (or broadcast when the ledger fits); the batch never
+    shuffles whole except keyed by digest."""
+    # local import: text.py imports from this module at module level
+    from kglids_spark.operators.text import content_digest_expr
+
+    d = new_docs.withColumn("_dg", content_digest_expr(text_col))
+    nulls = d.filter(F.col("_dg").isNull()).drop("_dg")
+    hasdg = d.filter(F.col("_dg").isNotNull())
+    winners = hasdg.groupBy("_dg").agg(F.min(id_col).alias(id_col))
+    kept = hasdg.join(winners, ["_dg", id_col], "left_semi")
+    if prior_digests is not None:
+        ledger = prior_digests.select(F.col("digest").alias("_dg"))
+        kept = kept.join(ledger, "_dg", "left_anti")
+    return kept.drop("_dg").unionByName(nulls)
+
+
+def exact_dedup_ledger(
+    df: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """(digest): the distinct normalized-content digests of a corpus —
+    the ledger incremental_dedup_exact anti-joins future batches
+    against. Append each processed batch's ledger to the store (a
+    digest is 32 hex chars; 10^12 docs ≈ tens of TB raw, bucketable
+    by digest prefix for file-pruned anti-joins)."""
+    from kglids_spark.operators.text import content_digest_expr
+
+    return (
+        df.select(content_digest_expr(text_col).alias("digest"))
+        .filter(F.col("digest").isNotNull())
+        .distinct()
+    )
+
+
 def token_ngram_contamination(
     corpus: DataFrame,
     benchmark: DataFrame,

@@ -878,6 +878,55 @@ def ccnet_buckets(
     return out
 
 
+def normalize_unicode(
+    df: DataFrame,
+    text_col: str = "text",
+    form: str = "NFKC",
+    lowercase: bool = False,
+    strip_accents: bool = False,
+    out_col: str = "text_norm",
+) -> DataFrame:
+    """Unicode normalization of a text column (the CCNet/ftfy-adjacent
+    cleanup stage: canonical composition plus optional compatibility
+    folding, case folding, and accent stripping) — appended as
+    ``out_col`` with a ``changed`` flag. NULL text stays NULL.
+
+    Spark has no codegen NFC/NFKC expression, so this is the
+    documented Arrow-batched exception: one pandas_udf over the
+    stdlib's unicodedata (pure map-side, no shuffle, no external
+    model). ``strip_accents`` decomposes to NFD, drops combining
+    marks, then re-applies ``form``. The NFC path is pinned
+    value-exact against DuckDB's nfc_normalize (both implement the
+    Unicode standard); NFKC/case/accent behavior is pinned by
+    hand-computed pytest cases."""
+    import unicodedata
+
+    if form not in ("NFC", "NFKC", "NFD", "NFKD"):
+        raise ValueError(f"unknown normalization form {form!r}")
+
+    @F.pandas_udf("string")
+    def norm(s):
+        import pandas as pd
+
+        def one(t):
+            if t is None:
+                return None
+            if strip_accents:
+                t = "".join(
+                    ch
+                    for ch in unicodedata.normalize("NFD", t)
+                    if not unicodedata.combining(ch)
+                )
+            t = unicodedata.normalize(form, t)
+            return t.lower() if lowercase else t
+
+        return pd.Series([one(t) for t in s])
+
+    return df.withColumn(out_col, norm(F.col(text_col))).withColumn(
+        "changed", ~F.col(out_col).eqNullSafe(F.col(text_col))
+    )
+
+
 def analyze_documents(df: DataFrame, text_col: str = "text") -> DataFrame:
     """One-pass text-analysis projection: language, token counts,
     quality features, fingerprints."""

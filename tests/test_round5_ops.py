@@ -136,3 +136,73 @@ def test_mixture_plan_validation(srcs):
         sampling.mixture_plan(srcs, "source", {"s0": 1.5, "s1": -0.5})
     with pytest.raises(ValueError, match="absent from the data"):
         sampling.mixture_plan(srcs, "source", {"s0": 0.5, "nope": 0.5})
+
+
+def test_normalize_unicode_forms(spark):
+    from kglids_spark.operators import text as TX
+
+    rows = [
+        (1, "café"),  # precomposed e-acute: NFC no-op
+        (2, "café"),  # decomposed: NFC composes to café
+        (3, "ﬁle ①"),  # fi-ligature + circled 1: NFKC folds
+        (4, None),
+        (5, "STRASSE Ü"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    nfc = {
+        r["doc_id"]: (r["text_norm"], r["changed"])
+        for r in TX.normalize_unicode(docs, form="NFC").collect()
+    }
+    assert nfc[1] == ("café", False)
+    assert nfc[2] == ("café", True)
+    assert nfc[3] == ("ﬁle ①", False)  # NFC keeps compatibility chars
+    assert nfc[4] == (None, False)
+    nfkc = {
+        r["doc_id"]: r["text_norm"]
+        for r in TX.normalize_unicode(docs, form="NFKC").collect()
+    }
+    assert nfkc[3] == "file 1"
+    low = {
+        r["doc_id"]: r["text_norm"]
+        for r in TX.normalize_unicode(
+            docs, form="NFKC", lowercase=True, strip_accents=True
+        ).collect()
+    }
+    assert low[1] == "cafe"
+    assert low[2] == "cafe"
+    assert low[5] == "strasse u"
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unknown normalization form"):
+        TX.normalize_unicode(docs, form="NFX")
+
+
+def test_incremental_exact_dedup_semantics(spark):
+    from kglids_spark.operators import dedup as DD
+
+    prior_docs = spark.createDataFrame(
+        [(100, "seen before"), (101, "other old text")],
+        "doc_id long, text string",
+    )
+    ledger = DD.exact_dedup_ledger(prior_docs)
+    new = spark.createDataFrame(
+        [
+            (1, "seen before"),  # in ledger: dropped
+            (2, "brand new"),  # survives
+            (3, "brand  NEW"),  # same normalized content as 2: dropped
+            (4, None),  # null text: survives
+            (5, None),  # null text: survives (not collapsed with 4)
+            (6, "Seen  Before "),  # normalizes into the ledger: dropped
+        ],
+        "doc_id long, text string",
+    )
+    out = sorted(
+        r["doc_id"]
+        for r in DD.incremental_dedup_exact(new, ledger).collect()
+    )
+    assert out == [2, 4, 5]
+    # no ledger: pure within-batch exact dedup, keep-min-id
+    out2 = sorted(
+        r["doc_id"] for r in DD.incremental_dedup_exact(new, None).collect()
+    )
+    assert out2 == [1, 2, 4, 5]
