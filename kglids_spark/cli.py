@@ -173,10 +173,11 @@ def main(argv: list[str] | None = None) -> int:
         "prepare",
         help="one-call LLM training-data pipeline over a raw document "
         "table: gopher quality filter -> corpus-wide line dedup -> "
-        "MinHash fuzzy dedup -> optional CCNet tertile quality filter "
-        "(--drop-quality-buckets) -> BPE tokenize -> sequence packing; "
-        "writes the packed tokens table and prints one JSON summary "
-        "line with per-stage surviving row counts and timings",
+        "MinHash fuzzy dedup -> optional n-gram decontamination "
+        "(--decontaminate-against) -> optional CCNet tertile quality "
+        "filter (--drop-quality-buckets) -> BPE tokenize -> sequence "
+        "packing; writes the packed tokens table and prints one JSON "
+        "summary line with per-stage surviving row counts and timings",
     )
     pr.add_argument("--input", required=True, help="parquet of documents")
     pr.add_argument("--out", required=True, help="output parquet")
@@ -200,6 +201,28 @@ def main(argv: list[str] | None = None) -> int:
         metavar="KEY=VALUE",
         help="override a gopher_filter threshold (repeatable), e.g. "
         "--gopher-threshold min_stop_words=0; unknown keys raise",
+    )
+    pr.add_argument(
+        "--decontaminate-against",
+        default=None,
+        metavar="PARQUET",
+        help="optional benchmark/eval document table (parquet with a "
+        "text column); enables a decontamination stage after fuzzy "
+        "dedup that drops every document sharing >=1 word n-gram with "
+        "any benchmark document (the published n-gram-overlap "
+        "protocol; the benchmark gram set broadcasts, the corpus "
+        "never shuffles)",
+    )
+    pr.add_argument(
+        "--decon-ngram",
+        type=int,
+        default=8,
+        help="n-gram size for --decontaminate-against (default 8)",
+    )
+    pr.add_argument(
+        "--bench-text-col",
+        default="text",
+        help="text column of the --decontaminate-against table",
     )
     pr.add_argument(
         "--drop-quality-buckets",
@@ -550,14 +573,18 @@ def main(argv: list[str] | None = None) -> int:
                 "minhash_threshold": args.minhash_threshold,
                 "merges": args.merges,
                 "drop_quality_buckets": sorted(drop_buckets),
+                "decontaminate_against": args.decontaminate_against,
+                "decon_ngram": args.decon_ngram,
             }
             conf_path = os.path.join(args.stage_dir, "_PREPARE_CONF.json")
             if os.path.exists(conf_path):
                 with open(conf_path) as f:
                     prior = json.load(f)
-                # a stage dir pinned before the ccnet stage existed is
-                # equivalent to running with the stage off
+                # a stage dir pinned before the ccnet/decontamination
+                # stages existed is equivalent to running with them off
                 prior.setdefault("drop_quality_buckets", [])
+                prior.setdefault("decontaminate_against", None)
+                prior.setdefault("decon_ngram", args.decon_ngram)
                 if prior != conf:
                     raise SystemExit(
                         f"--stage-dir {args.stage_dir!r} holds checkpoints "
@@ -649,6 +676,26 @@ def main(argv: list[str] | None = None) -> int:
                 ),
                 cur,
             )
+        if args.decontaminate_against:
+            bench_df = spark.read.parquet(args.decontaminate_against)
+
+            def _decon(d):
+                hits = (
+                    DD.benchmark_contamination(
+                        d,
+                        bench_df,
+                        corpus_text=tcol,
+                        corpus_id=icol,
+                        bench_text=args.bench_text_col,
+                        bench_id=args.bench_text_col,  # any column works as id
+                        n=args.decon_ngram,
+                    )
+                    .select(F.col("doc_id").alias(icol))
+                    .distinct()
+                )
+                return d.join(hits, icol, "left_anti")
+
+            cur = _stage("decontaminate", _decon, cur)
         if drop_buckets:
             # CCNet quality stage (opt-in): self-train a char-trigram
             # LM on the corpus that SURVIVED dedup (training on dups

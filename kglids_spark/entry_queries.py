@@ -4097,6 +4097,44 @@ def mixture_plan_sources(spark, sf_dir):
 
 
 @register(
+    "grouped_verdicts_sources",
+    """
+    WITH g AS (
+      SELECT source, COUNT(*)::BIGINT AS n_checked,
+             SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END)::BIGINT AS v0,
+             SUM(CASE WHEN n_chars IS NOT NULL
+                       AND (n_chars < 1 OR n_chars > 100000)
+                      THEN 1 ELSE 0 END)::BIGINT AS v1,
+             SUM(CASE WHEN lang IS NOT NULL
+                       AND lang NOT IN ('en', 'de', 'fr', 'es', 'zh')
+                      THEN 1 ELSE 0 END)::BIGINT AS v2
+      FROM documents GROUP BY source)
+    SELECT source, 'not_null(text)' AS constraint_id,
+           n_checked, v0 AS n_violations, v0 = 0 AS passed FROM g
+    UNION ALL
+    SELECT source, 'range(n_chars)', n_checked, v1, v1 = 0 FROM g
+    UNION ALL
+    SELECT source, 'referential(lang)', n_checked, v2, v2 = 0 FROM g
+    """,
+)
+def grouped_verdicts_sources(spark, sf_dir):
+    """Per-source constraint verdicts in ONE scan: every row-level
+    constraint becomes a conditional-sum aggregate in a single
+    map-side-combined groupBy(source), unpivoted in-plan — the
+    per-data-feed face of the validation engine (validate() localizes
+    failures to resumable buckets; this localizes them to a feed)."""
+    from kglids_spark.operators import constraints as C
+
+    d = _t(spark, sf_dir, "documents")
+    cs = [
+        C.not_null("text"),
+        C.in_range("n_chars", 1, 100000),
+        C.referential("lang", ["en", "de", "fr", "es", "zh"]),
+    ]
+    return C.grouped_verdicts(d, cs, "source")
+
+
+@register(
     "unicode_normalize_docs",
     """
     SELECT doc_id, nfc_normalize(text) AS text_norm,
@@ -4279,11 +4317,15 @@ _DRIVER_PRIORITY = [
     # r4-green sample_deterministic_hash, and the set-ops family keeps
     # intersect_except_keys in-window)
     "unicode_normalize_docs", "incremental_exact_dedup",
+    # (grouped_verdicts_sources displaces constraints_suite_extended —
+    # the constraints family keeps r4-green constraints_documents,
+    # constraints_fd_volume and fd_violating_groups)
+    "grouped_verdicts_sources",
     # (c) last checked in round 2
     "ann_bruteforce_topk", "pipeline_top_used_libraries",
     "pipelines_by_tags", "pipelines_for_deep_learning",
     # (d) last checked in round 3
-    "c4_line_filtering", "constraints_suite_extended",
+    "c4_line_filtering",
     "correlation_profile_lineitem", "dedup_clusters",
     "dedup_ngram_jaccard", "eda_operations", "float_bit_decomposition",
     "intersect_except_keys", "ivf_train_iteration",

@@ -379,6 +379,55 @@ def row_constraints(constraints: list[Constraint]) -> list[Constraint]:
     return [c for c in constraints if c.kind in ROW_LEVEL_KINDS]
 
 
+def grouped_verdicts(
+    df: DataFrame, constraints: list[Constraint], group_col: str
+) -> DataFrame:
+    """(group, constraint_id, n_checked, n_violations, passed): every
+    ROW-LEVEL constraint evaluated per value of ``group_col`` — the
+    per-source/per-crawl verdict a multi-feed pipeline needs (the
+    whole-table validate() localizes failures to resumable buckets;
+    this localizes them to a data feed).
+
+    One scan: each constraint is a conditional-sum aggregate in a
+    single groupBy (map-side combined — the shuffle carries one row
+    per group per partition), then the wide verdict row unpivots via
+    an in-plan struct explode (no SQL-string stack, so constraint ids
+    need no escaping). Non-row-level kinds (unique, drift, fd, volume,
+    metric) are refused — they have whole-table semantics that a
+    per-group conditional sum cannot express."""
+    rows_c = row_constraints(constraints)
+    bad = [c.cid for c in constraints if c not in rows_c]
+    if bad:
+        raise ValueError(
+            f"grouped_verdicts takes row-level constraints only; got {bad}"
+        )
+    if not rows_c:
+        raise ValueError("no row-level constraints given")
+    aggs = [F.count(F.lit(1)).alias("_n")] + [
+        F.sum(violation_expr(c, df).cast("long")).alias(f"_v{i}")
+        for i, c in enumerate(rows_c)
+    ]
+    wide = df.groupBy(group_col).agg(*aggs)
+    pairs = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(c.cid).alias("constraint_id"),
+                    F.col(f"_v{i}").alias("n_violations"),
+                )
+                for i, c in enumerate(rows_c)
+            ]
+        )
+    )
+    return wide.select(group_col, F.col("_n").alias("n_checked"), pairs.alias("_p")).select(
+        group_col,
+        F.col("_p.constraint_id").alias("constraint_id"),
+        "n_checked",
+        F.col("_p.n_violations").alias("n_violations"),
+        (F.col("_p.n_violations") == 0).alias("passed"),
+    )
+
+
 def fd_violating_groups(df: DataFrame, c: Constraint) -> DataFrame:
     """Determinant groups violating FD constraint ``c``: one row per
     determinant-value combination with >=2 distinct non-null dependent

@@ -206,3 +206,36 @@ def test_incremental_exact_dedup_semantics(spark):
         r["doc_id"] for r in DD.incremental_dedup_exact(new, None).collect()
     )
     assert out2 == [1, 2, 4, 5]
+
+
+def test_grouped_verdicts_hand_computed(spark):
+    from kglids_spark.operators import constraints as C
+
+    rows = [
+        (1, "a", "ok", 5),
+        (2, "a", None, 5),  # not_null(text) violation in group a
+        (3, "a", "ok", -1),  # range violation in group a
+        (4, "b", "ok", 5),
+        (5, "b", "ok", None),  # NULL n_chars: range does not fire
+    ]
+    d = spark.createDataFrame(
+        rows, "doc_id long, source string, text string, n_chars long"
+    )
+    cs = [C.not_null("text"), C.in_range("n_chars", 0, 100)]
+    out = {
+        (r["source"], r["constraint_id"]): r
+        for r in C.grouped_verdicts(d, cs, "source").collect()
+    }
+    assert len(out) == 4  # 2 groups x 2 constraints
+    a_nn = out[("a", "not_null(text)")]
+    assert (a_nn["n_checked"], a_nn["n_violations"], a_nn["passed"]) == (3, 1, False)
+    a_rg = out[("a", "range(n_chars)")]
+    assert (a_rg["n_violations"], a_rg["passed"]) == (1, False)
+    for cid in ("not_null(text)", "range(n_chars)"):
+        b = out[("b", cid)]
+        assert (b["n_checked"], b["n_violations"], b["passed"]) == (2, 0, True)
+    # non-row-level kinds refused
+    with pytest.raises(ValueError, match="row-level"):
+        C.grouped_verdicts(d, [C.unique("doc_id")], "source")
+    with pytest.raises(ValueError, match="no row-level"):
+        C.grouped_verdicts(d, [], "source")
