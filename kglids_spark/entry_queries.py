@@ -4097,6 +4097,38 @@ def mixture_plan_sources(spark, sf_dir):
 
 
 @register(
+    "dedup_lines_within_doc",
+    r"""
+    WITH l AS (
+      SELECT doc_id, string_split(text, chr(10)) AS lns FROM documents),
+    k AS (
+      SELECT doc_id, lns,
+             list_filter(lns, (ln, i) -> list_position(lns, ln) = i) AS kept
+      FROM l)
+    SELECT doc_id,
+           array_to_string(kept, chr(10)) AS text_clean,
+           len(lns)::BIGINT AS n_lines,
+           (len(lns) - len(kept))::BIGINT AS n_removed
+    FROM k
+    """,
+)
+def dedup_lines_within_doc_docs(spark, sf_dir):
+    """In-document line dedup (keep first occurrence, order preserved)
+    as a zero-shuffle map-side array expression — the within-doc half
+    of the C4/Dolma line-dedup pair (corpus_line_dedup is the
+    cross-doc half). Value-exact incl. the rebuilt text and NULL-text
+    passthrough."""
+    d = _t(spark, sf_dir, "documents")
+    out = text.dedup_lines_within_doc(d)
+    return out.select(
+        "doc_id",
+        "text_clean",
+        F.col("n_lines").cast("bigint").alias("n_lines"),
+        F.col("n_removed").cast("bigint").alias("n_removed"),
+    )
+
+
+@register(
     "grouped_verdicts_sources",
     """
     WITH g AS (
@@ -4321,11 +4353,14 @@ _DRIVER_PRIORITY = [
     # the constraints family keeps r4-green constraints_documents,
     # constraints_fd_volume and fd_violating_groups)
     "grouped_verdicts_sources",
+    # (dedup_lines_within_doc displaces c4_line_filtering — the line
+    # family keeps corpus_line_dedup_docs at the head of this window
+    # and c4 stays r3-green + pytest-oracled)
+    "dedup_lines_within_doc",
     # (c) last checked in round 2
     "ann_bruteforce_topk", "pipeline_top_used_libraries",
     "pipelines_by_tags", "pipelines_for_deep_learning",
     # (d) last checked in round 3
-    "c4_line_filtering",
     "correlation_profile_lineitem", "dedup_clusters",
     "dedup_ngram_jaccard", "eda_operations", "float_bit_decomposition",
     "intersect_except_keys", "ivf_train_iteration",

@@ -878,6 +878,33 @@ def ccnet_buckets(
     return out
 
 
+def dedup_lines_within_doc(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """In-document line dedup (the Dolma/C4-adjacent within-doc half of
+    corpus_line_dedup): each document keeps only the FIRST occurrence
+    of every exact line, order preserved. Returns
+    (id, text_clean, n_lines, n_removed); NULL text stays NULL with
+    NULL counts.
+
+    Pure map-side array expression — zero shuffle: lines split ONCE
+    into their own projection (the split_words discipline — inlining
+    the split into the higher-order lambda would re-split per
+    element), then a position-indexed filter keeps line i iff
+    array_position (the first index of that value) equals i."""
+    base = df.select(F.col(id_col), F.split(F.col(text_col), "\n").alias("_lns"))
+    lines = F.col("_lns")
+    kept = F.filter(lines, lambda ln, i: F.array_position(lines, ln) == i + 1)
+    return base.select(
+        F.col(id_col),
+        F.array_join(kept, "\n").alias("text_clean"),
+        F.when(lines.isNotNull(), F.size(lines)).alias("n_lines"),
+        F.when(lines.isNotNull(), F.size(lines) - F.size(kept)).alias(
+            "n_removed"
+        ),
+    )
+
+
 def normalize_unicode(
     df: DataFrame,
     text_col: str = "text",

@@ -239,3 +239,27 @@ def test_grouped_verdicts_hand_computed(spark):
         C.grouped_verdicts(d, [C.unique("doc_id")], "source")
     with pytest.raises(ValueError, match="no row-level"):
         C.grouped_verdicts(d, [], "source")
+
+
+def test_dedup_lines_within_doc(spark):
+    from kglids_spark.operators import text as TX
+
+    rows = [
+        (1, "a\nb\na\nc\nb"),  # dups of a and b removed
+        (2, "x"),
+        (3, None),
+        (4, "same\nsame\nsame"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in TX.dedup_lines_within_doc(d).collect()}
+    assert out[1]["text_clean"] == "a\nb\nc"
+    assert (out[1]["n_lines"], out[1]["n_removed"]) == (5, 2)
+    assert out[2]["text_clean"] == "x"
+    assert (out[2]["n_lines"], out[2]["n_removed"]) == (1, 0)
+    assert out[3]["text_clean"] is None
+    assert out[3]["n_lines"] is None and out[3]["n_removed"] is None
+    assert out[4]["text_clean"] == "same"
+    assert (out[4]["n_lines"], out[4]["n_removed"]) == (3, 2)
+    # zero-shuffle plan
+    plan = TX.dedup_lines_within_doc(d)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
