@@ -4097,6 +4097,48 @@ def mixture_plan_sources(spark, sf_dir):
 
 
 @register(
+    "pareto_quality_sample",
+    """
+    WITH s AS (
+      SELECT doc_id,
+             1.0 / (1.0 + exp(-(n_chars - 500.0) / 200.0)) AS quality_prob
+      FROM documents),
+    k AS (
+      SELECT doc_id, quality_prob,
+             pow((CAST(('0x' || substring(md5('pareto:3' || chr(31)
+                 || CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) + 0.5)
+                 / 4294967296.0, -1.0 / 9.0) - 1.0 AS pareto_draw
+      FROM s)
+    SELECT doc_id, round(quality_prob, 6) AS quality_prob,
+           round(pareto_draw, 6) AS pareto_draw
+    FROM k WHERE pareto_draw > 1.0 - quality_prob
+    """,
+)
+def pareto_quality_sample(spark, sf_dir):
+    """GPT-3 Appendix A Pareto quality sampling (keep iff
+    Pareto(9) draw > 1 - score) on a deterministic SQL-expressible
+    quality score, so the stochastic-keep decision itself is
+    value-exact cross-engine; the trained-classifier composition is
+    covered by quality_lr_scores + tests."""
+    from kglids_spark.operators import quality_classifier as QC
+
+    d = _t(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id",
+        (
+            F.lit(1.0)
+            / (F.lit(1.0) + F.exp(-(F.col("n_chars") - 500.0) / 200.0))
+        ).alias("quality_prob"),
+    )
+    out = QC.pareto_sample(scored, alpha=9.0, seed=3)
+    return out.select(
+        "doc_id",
+        F.round("quality_prob", 6).alias("quality_prob"),
+        F.round("pareto_draw", 6).alias("pareto_draw"),
+    )
+
+
+@register(
     "dedup_lines_within_doc",
     r"""
     WITH l AS (
@@ -4355,8 +4397,10 @@ _DRIVER_PRIORITY = [
     "grouped_verdicts_sources",
     # (dedup_lines_within_doc displaces c4_line_filtering — the line
     # family keeps corpus_line_dedup_docs at the head of this window
-    # and c4 stays r3-green + pytest-oracled)
-    "dedup_lines_within_doc",
+    # and c4 stays r3-green + pytest-oracled; pareto_quality_sample
+    # displaces rdf_turtle_source_types — the RDF family keeps
+    # rdf_ntriples_similarity below)
+    "dedup_lines_within_doc", "pareto_quality_sample",
     # (c) last checked in round 2
     "ann_bruteforce_topk", "pipeline_top_used_libraries",
     "pipelines_by_tags", "pipelines_for_deep_learning",
@@ -4367,7 +4411,7 @@ _DRIVER_PRIORITY = [
     "join_multiway_region", "json_extract_props", "label_generation",
     "na_coercion_cast", "pack_sequences_bins",
     "per_source_stats", "pii_redaction", "rdf_ntriples_similarity",
-    "rdf_turtle_source_types", "score_normalized_events",
+    "score_normalized_events",
     "sentence_embedding_labels", "shipdate_year_counts",
     "similarity_scores_reference", "split_assignment_sources",
     "text_repetition_signals",

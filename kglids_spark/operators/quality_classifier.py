@@ -271,6 +271,47 @@ def score_quality_lr(
     )
 
 
+def pareto_sample(
+    scored: DataFrame,
+    alpha: float = 9.0,
+    seed: int = 0,
+    id_col: str = "doc_id",
+    score_col: str = "quality_prob",
+) -> DataFrame:
+    """GPT-3-style (Brown et al. 2020, Appendix A) stochastic quality
+    sampling: keep a document iff a Pareto(alpha) draw exceeds
+    1 - score — high-quality docs almost always survive, low-quality
+    docs survive occasionally (preserving tail diversity a hard
+    threshold destroys). The draw is DETERMINISTIC via the engine's
+    md5 hash-fraction convention (inverse-CDF u^(-1/alpha) - 1 with
+    u = (h + 0.5)/2^32, never 0), so the sample is reproducible
+    across engines, runs, and partitionings. Pure map-side filter —
+    zero shuffle. Returns the surviving rows plus the draw as
+    ``pareto_draw``. NULL scores are dropped (no quality evidence)."""
+    if alpha <= 0:
+        raise ValueError(f"alpha must be positive, got {alpha}")
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "\x1f", F.lit(f"pareto:{seed}"), F.col(id_col).cast("string")
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("double")
+    u = (h + F.lit(0.5)) / F.lit(float(1 << 32))
+    draw = F.pow(u, F.lit(-1.0 / alpha)) - F.lit(1.0)
+    return (
+        scored.filter(F.col(score_col).isNotNull())
+        .withColumn("pareto_draw", draw)
+        .filter(F.col("pareto_draw") > (F.lit(1.0) - F.col(score_col)))
+    )
+
+
 def sigmoid(x: float) -> float:
     """Driver-side reference sigmoid (tests, thresholds)."""
     return 1.0 / (1.0 + math.exp(-x))

@@ -158,3 +158,31 @@ def test_features_l1_normalized(spark, docs):
     for r in sums:
         assert r["s"] == pytest.approx(1.0, abs=1e-12)
         assert r["tot"] == r["n"]
+
+
+def test_pareto_sample_deterministic_and_monotone(spark):
+    import hashlib
+
+    rows = [(i, i / 100.0) for i in range(100)] + [(100, None)]
+    scored = spark.createDataFrame(rows, "doc_id long, quality_prob double")
+    s1 = QC.pareto_sample(scored, alpha=9.0, seed=3).collect()
+    s2 = QC.pareto_sample(scored, alpha=9.0, seed=3).collect()
+    assert sorted(r["doc_id"] for r in s1) == sorted(r["doc_id"] for r in s2)
+    kept = {r["doc_id"] for r in s1}
+    assert 100 not in kept  # NULL score dropped
+    # independent reference: same hash-fraction inverse-CDF
+    want = set()
+    for i in range(100):
+        h = int(hashlib.md5(f"pareto:3\x1f{i}".encode()).hexdigest()[:8], 16)
+        u = (h + 0.5) / 2.0 ** 32
+        if u ** (-1.0 / 9.0) - 1.0 > 1.0 - i / 100.0:
+            want.add(i)
+    assert kept == want
+    # a perfect score always survives (draw > 0 almost surely), and
+    # high scores survive at a much higher rate than low scores
+    lo = sum(1 for i in kept if i < 50)
+    hi = sum(1 for i in kept if i >= 50)
+    assert hi > lo
+    assert 99 in kept
+    with pytest.raises(ValueError, match="positive"):
+        QC.pareto_sample(scored, alpha=0.0)
