@@ -4097,6 +4097,50 @@ def mixture_plan_sources(spark, sf_dir):
 
 
 @register(
+    "chunk_token_sequences",
+    r"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_transform(
+               list_filter(
+                 string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+                 w -> w <> ''),
+               w -> CAST(('0x' || substring(md5(w), 1, 8)) AS BIGINT)) AS t
+      FROM documents),
+    starts AS (
+      SELECT doc_id, t, unnest(range(0, len(t), 8)) AS s
+      FROM toks WHERE len(t) >= 1),
+    ch AS (
+      SELECT doc_id, s, t[s + 1 : s + 16] AS tokens FROM starts
+      WHERE len(t[s + 1 : s + 16]) >= 4)
+    SELECT doc_id,
+           CAST(row_number() OVER (PARTITION BY doc_id ORDER BY s) - 1 AS INT)
+             AS chunk_id,
+           tokens, len(tokens)::INT AS n_tok
+    FROM ch
+    """,
+)
+def chunk_token_sequences(spark, sf_dir):
+    """Fixed-length chunking with overlap (max_len 16, stride 8,
+    min_len 4) over md5-word-id token sequences — the universal
+    pre-packing step for documents longer than the model context,
+    as a zero-shuffle map-side slice/explode."""
+    from kglids_spark.operators.packing import chunk_sequences
+
+    d = _t(spark, sf_dir, "documents")
+    ws = F.filter(dedup.split_words("text"), lambda w: w != "")
+    tokens = F.transform(
+        ws,
+        lambda w: F.conv(F.substring(F.md5(w), 1, 8), 16, 10).cast("bigint"),
+    )
+    toks = d.select("doc_id", tokens.alias("tokens"))
+    out = chunk_sequences(toks, max_len=16, stride=8, min_len=4)
+    return out.select(
+        "doc_id", "chunk_id", "tokens", F.col("n_tok").cast("int").alias("n_tok")
+    )
+
+
+@register(
     "pareto_quality_sample",
     """
     WITH s AS (
@@ -4399,8 +4443,11 @@ _DRIVER_PRIORITY = [
     # family keeps corpus_line_dedup_docs at the head of this window
     # and c4 stays r3-green + pytest-oracled; pareto_quality_sample
     # displaces rdf_turtle_source_types — the RDF family keeps
-    # rdf_ntriples_similarity below)
+    # rdf_ntriples_similarity below; chunk_token_sequences displaces
+    # pack_sequences_bins — the sequence-shaping family's new chunker
+    # takes the slot, packing stays r3-green + prefix-sum-pytest-pinned)
     "dedup_lines_within_doc", "pareto_quality_sample",
+    "chunk_token_sequences",
     # (c) last checked in round 2
     "ann_bruteforce_topk", "pipeline_top_used_libraries",
     "pipelines_by_tags", "pipelines_for_deep_learning",
@@ -4409,7 +4456,7 @@ _DRIVER_PRIORITY = [
     "dedup_ngram_jaccard", "eda_operations", "float_bit_decomposition",
     "intersect_except_keys", "ivf_train_iteration",
     "join_multiway_region", "json_extract_props", "label_generation",
-    "na_coercion_cast", "pack_sequences_bins",
+    "na_coercion_cast",
     "per_source_stats", "pii_redaction", "rdf_ntriples_similarity",
     "score_normalized_events",
     "sentence_embedding_labels", "shipdate_year_counts",

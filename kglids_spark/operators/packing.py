@@ -138,3 +138,52 @@ def bin_fill_stats(packed: DataFrame, seq_len: int) -> DataFrame:
         )
         .withColumn("capacity", F.lit(seq_len))
     )
+
+
+def chunk_sequences(
+    df: DataFrame,
+    max_len: int,
+    stride: int | None = None,
+    min_len: int = 1,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+) -> DataFrame:
+    """Split each token sequence into fixed-length windows — the
+    universal pre-packing step for documents longer than the model
+    context (disjoint chunks at the default stride = max_len;
+    overlapping sliding windows at stride < max_len, the standard
+    eval/perplexity protocol). Returns
+    (id, chunk_id, tokens, n_tok) with chunk_id 0-based in document
+    order; trailing chunks shorter than ``min_len`` are dropped.
+    NULL/empty token arrays yield no chunks.
+
+    Pure map-side expression — chunk starts come from ``sequence``
+    over the ONCE-projected token array (the split_words discipline),
+    each chunk is a ``slice``, and the explode emits rows where the
+    input partition lives. Zero shuffle."""
+    if max_len <= 0:
+        raise ValueError(f"max_len must be positive, got {max_len}")
+    if stride is None:
+        stride = max_len
+    if stride <= 0:
+        raise ValueError(f"stride must be positive, got {stride}")
+    if not 1 <= min_len <= max_len:
+        raise ValueError(f"min_len must be in [1, {max_len}], got {min_len}")
+    base = df.select(F.col(id_col).alias("id"), F.col(tokens_col).alias("_t"))
+    t = F.col("_t")
+    starts = F.when(
+        F.size(t) >= 1, F.sequence(F.lit(0), F.size(t) - 1, F.lit(stride))
+    ).otherwise(F.array().cast("array<int>"))
+    chunks = F.filter(
+        F.transform(starts, lambda s: F.slice(t, s + 1, max_len)),
+        lambda c: F.size(c) >= min_len,
+    )
+    out = base.select(
+        "id", F.posexplode(chunks).alias("chunk_id", tokens_col)
+    )
+    return out.select(
+        F.col("id").alias(id_col),
+        "chunk_id",
+        tokens_col,
+        F.size(tokens_col).alias("n_tok"),
+    )

@@ -150,3 +150,55 @@ def test_dup_clusters_no_pinned_rdds(spark):
     after = jsc.getPersistentRDDs().size()
     # only the returned frame's own checkpoint blocks may remain
     assert after <= before + 1
+
+
+def test_chunk_sequences_hand_computed(spark):
+    from kglids_spark.operators.packing import chunk_sequences
+
+    rows = [
+        (1, list(range(10))),  # max 4 stride 4: [0..3],[4..7],[8,9]
+        (2, [1, 2]),  # one short chunk
+        (3, []),  # empty: no chunks
+        (4, None),  # null: no chunks
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, tokens array<int>")
+    out = sorted(
+        (r["doc_id"], r["chunk_id"], r["tokens"], r["n_tok"])
+        for r in chunk_sequences(d, max_len=4).collect()
+    )
+    assert out == [
+        (1, 0, [0, 1, 2, 3], 4),
+        (1, 1, [4, 5, 6, 7], 4),
+        (1, 2, [8, 9], 2),
+        (2, 0, [1, 2], 2),
+    ]
+    # min_len drops the short tail; chunk_id stays dense among kept
+    out2 = sorted(
+        (r["doc_id"], r["chunk_id"], r["n_tok"])
+        for r in chunk_sequences(d, max_len=4, min_len=3).collect()
+    )
+    assert out2 == [(1, 0, 4), (1, 1, 4)]
+    # overlapping stride: starts 0,3,6,9
+    out3 = [
+        r["tokens"]
+        for r in chunk_sequences(d.filter("doc_id = 1"), max_len=4, stride=3)
+        .orderBy("chunk_id")
+        .collect()
+    ]
+    assert out3 == [[0, 1, 2, 3], [3, 4, 5, 6], [6, 7, 8, 9], [9]]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="max_len"):
+        chunk_sequences(d, max_len=0)
+    with _pytest.raises(ValueError, match="stride"):
+        chunk_sequences(d, max_len=4, stride=-1)
+    with _pytest.raises(ValueError, match="min_len"):
+        chunk_sequences(d, max_len=4, min_len=5)
+    # zero-shuffle plan
+    plan = (
+        chunk_sequences(d, max_len=4)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
