@@ -240,6 +240,12 @@ def family_ops(docs, vecs, queries, srcd, centroids):
         "classify_quality_lr": lambda: quality_classifier.score_quality_lr(
             docs, qlr_model, -0.1, buckets=8192
         ),
+        # round-5: token-level decontamination at corpus scale — the
+        # benchmark gram set (0.2% of docs) broadcasts; the corpus
+        # gram stream is map-side slices of a map-side tokenization
+        "decon_token_ngrams": lambda: _token_decon_op(docs),
+        # round-5: fixed-length chunking (zero-shuffle slice/explode)
+        "shape_chunk_sequences": lambda: _chunk_op(docs),
         # BPE encode throughput (the model is learned once, offline —
         # learn_bpe's per-round cost is vocab-sized, not corpus-sized;
         # what runs at corpus scale is the Arrow-batched encoder)
@@ -257,6 +263,36 @@ def family_ops(docs, vecs, queries, srcd, centroids):
             )
         ),
     }
+
+
+def _tokenize_hash(docs):
+    """Map-side xxhash64-word tokenization of the hash-soup corpus —
+    the cheap stand-in for a learned tokenizer when the op under test
+    consumes (doc_id, tokens:array<long>)."""
+    from pyspark.sql import functions as F
+
+    from kglids_spark.operators.dedup import split_words
+
+    ws = F.filter(split_words("text"), lambda w: w != "")
+    return docs.select(
+        "doc_id", F.transform(ws, lambda w: F.xxhash64(w)).alias("tokens")
+    )
+
+
+def _token_decon_op(docs):
+    from pyspark.sql import functions as F
+
+    from kglids_spark.operators import dedup
+
+    toks = _tokenize_hash(docs)
+    bench = toks.filter(F.col("doc_id") % 500 == 0)  # ~1k eval docs
+    return dedup.token_ngram_contamination(toks, bench, n=8)
+
+
+def _chunk_op(docs):
+    from kglids_spark.operators.packing import chunk_sequences
+
+    return chunk_sequences(_tokenize_hash(docs), max_len=32, stride=32)
 
 
 def _bpe_encode_op(docs):
