@@ -246,6 +246,9 @@ def family_ops(docs, vecs, queries, srcd, centroids):
         "decon_token_ngrams": lambda: _token_decon_op(docs),
         # round-5: fixed-length chunking (zero-shuffle slice/explode)
         "shape_chunk_sequences": lambda: _chunk_op(docs),
+        # round-5: per-row token-array parity vs a perturbed twin —
+        # the one corpus×corpus id join in the engine
+        "validate_token_parity": lambda: _parity_op(docs),
         # BPE encode throughput (the model is learned once, offline —
         # learn_bpe's per-round cost is vocab-sized, not corpus-sized;
         # what runs at corpus scale is the Arrow-batched encoder)
@@ -293,6 +296,22 @@ def _chunk_op(docs):
     from kglids_spark.operators.packing import chunk_sequences
 
     return chunk_sequences(_tokenize_hash(docs), max_len=32, stride=32)
+
+
+def _parity_op(docs):
+    from pyspark.sql import functions as F
+
+    from kglids_spark.operators import parity
+
+    toks = _tokenize_hash(docs)
+    right = toks.filter(F.col("doc_id") % 50 != 0).withColumn(
+        "tokens",
+        F.when(
+            F.col("doc_id") % 37 == 1,
+            F.concat("tokens", F.array(F.lit(7).cast("long"))),
+        ).otherwise(F.col("tokens")),
+    )
+    return parity.token_equality_diff(toks, right)
 
 
 def _bpe_encode_op(docs):

@@ -97,6 +97,15 @@ def main(argv: list[str] | None = None) -> int:
         "or 'a,b -> c' (determinants -> dependent); repeatable",
     )
     v.add_argument(
+        "--element-range",
+        action="append",
+        default=[],
+        metavar="COL LO HI",
+        help="array-element bounds constraint, e.g. 'tokens 0 50256' — "
+        "every element non-NULL and within [LO, HI] (the token-id-vs-"
+        "vocabulary check); repeatable",
+    )
+    v.add_argument(
         "--volume",
         default=None,
         metavar="LO[:HI]",
@@ -140,6 +149,22 @@ def main(argv: list[str] | None = None) -> int:
     p = sub.add_parser("profile", help="single-pass column profiles")
     p.add_argument("--input", required=True)
     p.add_argument("--exact", action="store_true")
+
+    dp = sub.add_parser(
+        "diff",
+        help="per-row token-array equality between two tokenized tables "
+        "(the reference-parity invariant): verdict summary as JSON; "
+        "exit 2 on any non-match with --fail-on-diff",
+    )
+    dp.add_argument("--left", required=True, help="parquet tokens table")
+    dp.add_argument("--right", required=True, help="parquet tokens table")
+    dp.add_argument("--id-col", default="doc_id")
+    dp.add_argument("--tokens-col", default="tokens")
+    dp.add_argument(
+        "--out", default=None, help="write the per-row diff (only non-match rows) here"
+    )
+    dp.add_argument("--fail-on-diff", action="store_true")
+    dp.add_argument("--cpus", type=int, default=None)
 
     tk = sub.add_parser(
         "tokenize",
@@ -381,6 +406,22 @@ def main(argv: list[str] | None = None) -> int:
                     "(exactly one '->')"
                 )
             suite.append(C.functional_dependency(dets, dep))
+        for spec in args.element_range:
+            parts = spec.split()
+            if len(parts) != 3:
+                raise SystemExit(
+                    f"--element-range {spec!r}: expected 'COL LO HI' "
+                    "(e.g. 'tokens 0 50256')"
+                )
+            col, lo_s, hi_s = parts
+            try:
+                lo_i, hi_i = int(lo_s), int(hi_s)
+            except ValueError:
+                raise SystemExit(
+                    f"--element-range {spec!r}: bounds must be integers, "
+                    f"got {lo_s!r} {hi_s!r}"
+                )
+            suite.append(C.element_range(col, lo_i, hi_i))
         if args.volume is not None:
             lo_s, _, hi_s = args.volume.partition(":")
             try:
@@ -785,6 +826,34 @@ def main(argv: list[str] | None = None) -> int:
                 }
             )
         )
+        return 0
+
+    if args.cmd == "diff":
+        from kglids_spark.operators import parity
+
+        d = parity.token_equality_diff(
+            spark.read.parquet(args.left),
+            spark.read.parquet(args.right),
+            id_col=args.id_col,
+            tokens_col=args.tokens_col,
+        )
+        if args.out:
+            # persist so the summary and the non-match extraction share
+            # one join, then release before the session ends
+            d = d.persist()
+        summary = {
+            r["verdict"]: r["n_rows"]
+            for r in parity.token_equality_summary(d).collect()
+        }
+        if args.out:
+            d.filter(F.col("verdict") != "match").write.mode("overwrite").parquet(
+                args.out
+            )
+            d.unpersist()
+        n_bad = sum(v for k, v in summary.items() if k != "match")
+        print(json.dumps({"verdicts": summary, "n_non_match": n_bad}))
+        if args.fail_on_diff and n_bad:
+            return 2
         return 0
 
     if args.cmd == "profile":

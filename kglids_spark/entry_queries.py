@@ -4357,6 +4357,150 @@ def embedding_pca_projection(spark, sf_dir):
 
 
 # =====================================================================
+# Token-array parity + element-bounds validation (round 5)
+# =====================================================================
+
+# the cross-engine deterministic tokens recipe (md5-hash word ids) —
+# the tokens_decontamination convention
+_MD5_TOKS_CTE = r"""
+    toks AS (
+      SELECT doc_id,
+             list_transform(
+               list_filter(
+                 string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+                 w -> w <> ''),
+               w -> CAST(('0x' || substring(md5(w), 1, 8)) AS BIGINT)) AS t
+      FROM documents)
+"""
+
+
+def _md5_tokens(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    ws = F.filter(dedup.split_words("text"), lambda w: w != "")
+    tokens = F.transform(
+        ws,
+        lambda w: F.conv(F.substring(F.md5(w), 1, 8), 16, 10).cast("bigint"),
+    )
+    return d.select("doc_id", tokens.alias("tokens"))
+
+
+_TOKEN_PARITY_SQL = (
+    "WITH "
+    + _MD5_TOKS_CTE
+    + r""",
+    l AS (SELECT doc_id, t FROM toks WHERE doc_id % 19 <> 1),
+    r AS (
+      SELECT doc_id,
+             CASE
+               WHEN doc_id % 23 = 2 THEN list_concat(t, [CAST(42 AS BIGINT)])
+               WHEN doc_id % 29 = 3 AND len(t) >= 3
+                 THEN list_concat(list_concat(t[1:2], [CAST(-7 AS BIGINT)]), t[4:])
+               ELSE t
+             END AS t
+      FROM toks WHERE doc_id % 17 <> 0)
+    SELECT COALESCE(l.doc_id, r.doc_id) AS doc_id,
+           CASE WHEN l.doc_id IS NULL THEN 'right_only'
+                WHEN r.doc_id IS NULL THEN 'left_only'
+                WHEN l.t IS NOT DISTINCT FROM r.t THEN 'match'
+                ELSE 'mismatch' END AS verdict,
+           CASE WHEN l.doc_id IS NOT NULL THEN len(l.t) END::INTEGER AS n_tok_left,
+           CASE WHEN r.doc_id IS NOT NULL THEN len(r.t) END::INTEGER AS n_tok_right,
+           CASE WHEN l.doc_id IS NOT NULL AND r.doc_id IS NOT NULL
+                 AND NOT (l.t IS NOT DISTINCT FROM r.t)
+                 AND l.t IS NOT NULL AND r.t IS NOT NULL THEN
+             list_position(
+               list_transform(range(1, greatest(len(l.t), len(r.t)) + 1),
+                              i -> l.t[i] IS NOT DISTINCT FROM r.t[i]),
+               false)
+           END::BIGINT AS first_diff_pos
+    FROM l FULL OUTER JOIN r ON l.doc_id = r.doc_id
+"""
+)
+
+
+@register("token_parity_diff", _TOKEN_PARITY_SQL)
+def token_parity_diff(spark, sf_dir):
+    """Per-row token-array byte-equality between two tokenized tables
+    (the north star's per-row invariant vs the reference, as a
+    first-class operator): documents md5-tokenized, then a perturbed
+    twin — every 17th doc missing on the right (left_only), every 19th
+    missing on the left (right_only), every 23rd appended-to (length
+    diff at min(len)+1), every 29th with element 3 replaced (diff at
+    pos 3). Verdict + first differing position, value-exact."""
+    from kglids_spark.operators import parity
+
+    toks = _md5_tokens(spark, sf_dir)
+    left = toks.filter(F.col("doc_id") % 19 != 1)
+    t = F.col("tokens")
+    right = toks.filter(F.col("doc_id") % 17 != 0).withColumn(
+        "tokens",
+        F.when(
+            F.col("doc_id") % 23 == 2,
+            F.concat(t, F.array(F.lit(42).cast("bigint"))),
+        )
+        .when(
+            (F.col("doc_id") % 29 == 3) & (F.size(t) >= 3),
+            F.concat(
+                F.slice(t, 1, 2),
+                F.array(F.lit(-7).cast("bigint")),
+                F.slice(t, 4, F.size(t) - 3),
+            ),
+        )
+        .otherwise(t),
+    )
+    return parity.token_equality_diff(left, right)
+
+
+_ELEMENT_RANGE_SQL = (
+    "WITH "
+    + _MD5_TOKS_CTE
+    + r""",
+    planted AS (
+      SELECT doc_id,
+             CASE
+               WHEN doc_id % 23 = 1 THEN list_concat(t, [CAST(-5 AS BIGINT)])
+               WHEN doc_id % 29 = 2 THEN list_concat(t, [NULL::BIGINT])
+               ELSE t
+             END AS t
+      FROM toks)
+    SELECT doc_id,
+           len(list_filter(t, x -> x IS NULL OR x < 0 OR x > 4294967295)) > 0
+             AS violates
+    FROM planted
+"""
+)
+
+
+@register("element_range_check", _ELEMENT_RANGE_SQL)
+def element_range_check(spark, sf_dir):
+    """The element_range constraint's exists-probe (token ids non-NULL
+    and within the 32-bit md5 id range) over a corpus with planted
+    element violations: every 23rd doc gains an out-of-range id, every
+    29th a NULL element. Pins constraints.violation_expr — the exact
+    production expression the validate suite compiles — value-exact
+    per doc."""
+    from kglids_spark.operators import constraints as C
+
+    toks = _md5_tokens(spark, sf_dir)
+    t = F.col("tokens")
+    planted = toks.withColumn(
+        "tokens",
+        F.when(
+            F.col("doc_id") % 23 == 1, F.concat(t, F.array(F.lit(-5).cast("bigint")))
+        )
+        .when(
+            F.col("doc_id") % 29 == 2,
+            F.concat(t, F.array(F.lit(None).cast("bigint"))),
+        )
+        .otherwise(t),
+    )
+    c = C.element_range("tokens", 0, 4294967295)
+    return planted.select(
+        "doc_id", C.violation_expr(c, planted).alias("violates")
+    )
+
+
+# =====================================================================
 # Driver registration order
 # =====================================================================
 # The driver records CORRECTNESS rows for only the FIRST 50 registered
@@ -4384,18 +4528,19 @@ _DRIVER_PRIORITY = [
     # cannot express, lockstep-pinned by pytest), (b) the 2 queries
     # NEW in round 5 (duplicated-span removal, CCNet tertile buckets),
     # (c) the 4 r2-last stragglers displaced from the r4 window, and
-    # (d) 35 of the 49 queries whose last driver row is round 3. The
-    # 14 r3-green queries left out (ann_lsh_topk_md5 /
+    # (d) 33 of the 49 queries whose last driver row is round 3. The
+    # 16 r3-green queries left out (ann_lsh_topk_md5 /
     # dedup_minhash_lsh_md5 / dedup_simhash_md5 / doc_fingerprint_md5 —
     # md5 twins whose production xxhash paths got r4 rows and whose
     # equality is lockstep-pinned; eda_operations_iterative,
     # rdf_profile_export, temperature_sample_sources,
     # epoch_upsample_sources, semi_join_customers_with_orders,
     # group_max_rowcount, url_encoded_ids, true_ratio_returnflag,
-    # rolling_avg_events, token_array_ops — each family keeps >=1
+    # rolling_avg_events, token_array_ops, join_multiway_region,
+    # per_source_stats — each family keeps >=1
     # fresher row in this window) are re-oracled against DuckDB by
-    # tests/test_entry.py on every pytest run; with 113 registered
-    # queries and a 50-slot window, >=13 must sit two rounds back at
+    # tests/test_entry.py on every pytest run; with 131 registered
+    # queries and a 50-slot window, most must sit two rounds back at
     # any time — the exclusions are the most-redundantly-pinned ones.
     # sample_fraction (inherently no-oracle, r2 rows recorded) stays
     # outside per the round-3 precedent.
@@ -4448,6 +4593,13 @@ _DRIVER_PRIORITY = [
     # takes the slot, packing stays r3-green + prefix-sum-pytest-pinned)
     "dedup_lines_within_doc", "pareto_quality_sample",
     "chunk_token_sequences",
+    # (token_parity_diff + element_range_check displace
+    # join_multiway_region and per_source_stats — the BGP-join family
+    # keeps r4-green q3/q5/khop_nation_pairs_same_region and the
+    # grouped-stats family keeps r4-green profile_stats plus the new
+    # grouped_verdicts_sources above; both displaced queries stay
+    # DuckDB-checked by tests/test_entry.py on every pytest run)
+    "token_parity_diff", "element_range_check",
     # (c) last checked in round 2
     "ann_bruteforce_topk", "pipeline_top_used_libraries",
     "pipelines_by_tags", "pipelines_for_deep_learning",
@@ -4455,9 +4607,9 @@ _DRIVER_PRIORITY = [
     "correlation_profile_lineitem", "dedup_clusters",
     "dedup_ngram_jaccard", "eda_operations", "float_bit_decomposition",
     "intersect_except_keys", "ivf_train_iteration",
-    "join_multiway_region", "json_extract_props", "label_generation",
+    "json_extract_props", "label_generation",
     "na_coercion_cast",
-    "per_source_stats", "pii_redaction", "rdf_ntriples_similarity",
+    "pii_redaction", "rdf_ntriples_similarity",
     "score_normalized_events",
     "sentence_embedding_labels", "shipdate_year_counts",
     "similarity_scores_reference", "split_assignment_sources",

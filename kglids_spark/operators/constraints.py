@@ -73,6 +73,28 @@ def tok_len_consistency(
     )
 
 
+def element_range(
+    array_col: str, lo: int, hi: int, cid: str | None = None
+) -> Constraint:
+    """Every ELEMENT of ``array_col`` non-NULL and within ``[lo, hi]``
+    — the token-id-vs-vocabulary-bounds check for pre-tokenized
+    sequences (a corrupt shard, a truncated int32 column, or a
+    tokenizer/vocab mismatch shows up as out-of-range or NULL ids long
+    before a training job does). Row-level and zero-shuffle: the probe
+    compiles to a short-circuiting higher-order ArrayExists evaluated
+    inside the same single stats scan as every other row constraint,
+    and validate's slim projection materializes it ONCE so the wide
+    token array — the bulk of the bytes at 10^12 rows — is decoded
+    exactly once per run (the tok_len_consistency discipline). A NULL
+    array itself does not violate; that is ``not_null``'s job."""
+    return Constraint(
+        cid or f"element_range({array_col})",
+        "element_range",
+        array_col,
+        {"lo": int(lo), "hi": int(hi)},
+    )
+
+
 def referential(
     column: str,
     valid_values: list | None = None,
@@ -257,7 +279,7 @@ KNOWN_KINDS = frozenset(
     {
         "not_null", "unique", "range", "tok_len_consistency", "referential",
         "drift_ks", "drift_psi", "schema_type", "expression", "metric",
-        "fd", "volume",
+        "fd", "volume", "element_range",
     }
 )
 
@@ -305,6 +327,8 @@ ROW_LEVEL_KINDS = {
     "referential",
     "referential_flag",
     "expression",
+    "element_range",
+    "element_precomputed",
 }
 
 
@@ -372,6 +396,17 @@ def violation_expr(c: Constraint, df: DataFrame) -> Column:
         # violation iff the predicate is not TRUE (NULL -> violation)
         p = F.expr(c.params["predicate"])
         return F.coalesce(~p, F.lit(True))
+    if c.kind == "element_range":
+        arr = F.col(c.column)
+        lo, hi = F.lit(c.params["lo"]), F.lit(c.params["hi"])
+        # short-circuiting ArrayExists: NULL array is not_null's job
+        return arr.isNotNull() & F.exists(
+            arr, lambda x: x.isNull() | (x < lo) | (x > hi)
+        )
+    if c.kind == "element_precomputed":
+        # the exists-probe materialized once by validate.py's slim
+        # projection so the wide token array is decoded exactly once
+        return F.coalesce(F.col(c.params["flag"]), F.lit(False))
     raise ValueError(f"{c.cid}: kind {c.kind} is not row-level")
 
 

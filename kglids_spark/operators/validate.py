@@ -204,6 +204,25 @@ def _slim_projection(
                 C.Constraint(c.cid, "tok_len_precomputed", c.column, {"size_col": size_col})
             )
             cols[c.column] = None
+        elif c.kind == "element_range":
+            # materialize the exists-probe here so the wide token array
+            # never enters the slim frame — only a boolean rides along
+            # (cid-hashed name: two element_range constraints on the
+            # same column must not collide)
+            import hashlib
+
+            flag = f"__elemviol_{hashlib.md5(c.cid.encode()).hexdigest()[:8]}"
+            arr = F.col(c.column)
+            lo, hi = F.lit(c.params["lo"]), F.lit(c.params["hi"])
+            extra.append(
+                (
+                    arr.isNotNull()
+                    & F.exists(arr, lambda x: x.isNull() | (x < lo) | (x > hi))
+                ).alias(flag)
+            )
+            rewritten.append(
+                C.Constraint(c.cid, "element_precomputed", c.column, {"flag": flag})
+            )
         else:
             if c.column:
                 cols[c.column] = None

@@ -632,3 +632,81 @@ def test_max_violations_cap_holds_across_resumed_runs(fd_df, tmp_path):
                   max_violations_per_constraint=1, run_id="h2")
     n = r2.violations.filter(F.col("constraint_id") == "nn_dep").count()
     assert n <= 1, f"merged ledger read returned {n} rows despite cap=1"
+
+
+# ---------------------------------------------------------------------------
+# element_range: token-id-vs-vocabulary bounds (round 5)
+
+
+def test_element_range_counts_match_duckdb(tokens_df, duck):
+    """Fixture token ids are uniform in [0, 50257); tightening the
+    upper bound must flag exactly the docs DuckDB's list_filter sees."""
+    suite = C.default_suite(SOURCES) + [
+        C.element_range("tokens", 0, 49000, cid="tok_vocab"),
+        C.element_range("tokens", 0, 50256, cid="tok_vocab_full"),
+    ]
+    res = validate(tokens_df, suite, n_buckets=N_BUCKETS, extract_violation_rows=False)
+    got = {
+        r.constraint_id: r.total
+        for r in res.verdicts.groupBy("constraint_id")
+        .agg(F.sum("n_violations").alias("total"))
+        .collect()
+    }
+    want = duck.execute(
+        "SELECT count(*) FROM tokens WHERE tokens IS NOT NULL AND "
+        "len(list_filter(tokens, x -> x IS NULL OR x < 0 OR x > 49000)) > 0"
+    ).fetchone()[0]
+    assert got["tok_vocab"] == want > 0
+    assert got["tok_vocab_full"] == 0
+
+
+def test_element_range_null_semantics(spark):
+    """NULL element violates; NULL array does not (not_null's job);
+    empty array passes. Checked through BOTH compilation paths: the
+    raw violation_expr and validate's slim-projection rewrite."""
+    df = spark.createDataFrame(
+        [
+            ("a", [1, 2, 3]),
+            ("b", [1, None, 3]),
+            ("c", None),
+            ("d", []),
+            ("e", [1, 99]),
+        ],
+        "doc_id string, tokens array<int>",
+    )
+    c = C.element_range("tokens", 0, 10, cid="er")
+    flagged = {
+        r.doc_id
+        for r in df.filter(C.violation_expr(c, df)).select("doc_id").collect()
+    }
+    assert flagged == {"b", "e"}
+    res = validate(df, [c], key="doc_id", n_buckets=2)
+    verd = {
+        r.constraint_id: r.total
+        for r in res.verdicts.groupBy("constraint_id")
+        .agg(F.sum("n_violations").alias("total"))
+        .collect()
+    }
+    assert verd["er"] == 2
+    bad = {r.doc_id for r in res.violations.select("doc_id").collect()}
+    assert bad == {"b", "e"}
+
+
+def test_element_range_json_roundtrip_and_hash():
+    suite = [C.element_range("tokens", 0, 50256)]
+    back = C.suite_from_json(C.suite_to_json(suite))
+    assert C.constraint_set_hash(back) == C.constraint_set_hash(suite)
+    assert C.constraint_set_hash(
+        [C.element_range("tokens", 0, 99)]
+    ) != C.constraint_set_hash(suite)
+
+
+def test_element_range_grouped_verdicts(spark):
+    df = spark.createDataFrame(
+        [("a", [1], "s1"), ("b", [99], "s1"), ("c", [2], "s2")],
+        "doc_id string, tokens array<int>, source string",
+    )
+    g = C.grouped_verdicts(df, [C.element_range("tokens", 0, 10, cid="er")], "source")
+    rows = {(r.source, r.constraint_id): (r.n_violations, r.passed) for r in g.collect()}
+    assert rows[("s1", "er")] == (1, False)
+    assert rows[("s2", "er")] == (0, True)
