@@ -4357,6 +4357,83 @@ def embedding_pca_projection(spark, sf_dir):
 
 
 # =====================================================================
+# Per-group drift localization (round 5)
+# =====================================================================
+
+_GROUPED_DRIFT_SQL = """
+    WITH ev AS (
+      SELECT event_type,
+             CASE WHEN event_type = 'error' THEN value * 1.5 ELSE value END AS v
+      FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL),
+    binned AS (
+      SELECT event_type,
+             CASE WHEN v < 0.0 THEN -1
+                  WHEN v > 200.0 THEN 20
+                  ELSE least(CAST(floor(v / 10.0) AS INTEGER), 19) END AS b
+      FROM ev),
+    grps AS (SELECT DISTINCT event_type FROM binned),
+    spine AS (
+      SELECT g.event_type, u.b
+      FROM grps g CROSS JOIN (SELECT unnest(range(-1, 21)) AS b) u),
+    counts AS (SELECT event_type, b, count(*)::DOUBLE AS c FROM binned GROUP BY 1, 2),
+    h AS (
+      SELECT s.event_type, s.b, COALESCE(c.c, 0.0) AS c
+      FROM spine s LEFT JOIN counts c
+        ON s.event_type = c.event_type AND s.b = c.b),
+    base AS (SELECT b, sum(c) AS cb FROM h GROUP BY b),
+    tot AS (SELECT event_type, sum(c) AS n1 FROM h GROUP BY event_type),
+    n2t AS (SELECT sum(cb) AS n2 FROM base),
+    cum AS (
+      SELECT h.event_type, h.b, h.c, base.cb, tot.n1, n2t.n2,
+             sum(h.c / tot.n1) OVER (PARTITION BY h.event_type ORDER BY h.b) AS cdf1,
+             sum(base.cb / n2t.n2) OVER (PARTITION BY h.event_type ORDER BY h.b) AS cdf2
+      FROM h JOIN base USING (b) JOIN tot USING (event_type), n2t)
+    SELECT event_type,
+           any_value(n1)::BIGINT AS n_rows,
+           round(max(abs(cdf1 - cdf2)), 6) AS ks,
+           round(sum((greatest(c / n1, 1e-6) - greatest(cb / n2, 1e-6))
+                     * ln(greatest(c / n1, 1e-6) / greatest(cb / n2, 1e-6))), 6) AS psi,
+           max(abs(cdf1 - cdf2)) <= 0.1 AS ks_pass,
+           sum((greatest(c / n1, 1e-6) - greatest(cb / n2, 1e-6))
+               * ln(greatest(c / n1, 1e-6) / greatest(cb / n2, 1e-6))) <= 0.2 AS psi_pass
+    FROM cum GROUP BY event_type
+"""
+
+
+@register("grouped_drift_events", _GROUPED_DRIFT_SQL)
+def grouped_drift_events(spark, sf_dir):
+    """Per-group drift localization: KS + PSI per event_type against
+    the global value histogram, with 'error' values drifted ×1.5 so
+    exactly one feed fails the default thresholds. The per-group
+    histograms and both statistics reduce entirely in-plan (grouped
+    conditional-sum cells + zero-shuffle higher-order folds); the only
+    driver step is collecting the (nbins+2)-cell baseline row."""
+    from kglids_spark.operators import drift as D
+
+    e = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_type").isNotNull() & F.col("value").isNotNull())
+        .withColumn(
+            "value",
+            F.when(F.col("event_type") == "error", F.col("value") * 1.5).otherwise(
+                F.col("value")
+            ),
+        )
+    )
+    spec = D.HistSpec("value", lo=0.0, hi=200.0, nbins=20)
+    base = [int(v) for v in D.histogram_df(e, spec).collect()[0]["hist"]]
+    g = D.grouped_drift(e, spec, base, "event_type")
+    return g.select(
+        "event_type",
+        "n_rows",
+        F.round("ks", 6).alias("ks"),
+        F.round("psi", 6).alias("psi"),
+        "ks_pass",
+        "psi_pass",
+    )
+
+
+# =====================================================================
 # Token-array parity + element-bounds validation (round 5)
 # =====================================================================
 
@@ -4528,8 +4605,8 @@ _DRIVER_PRIORITY = [
     # cannot express, lockstep-pinned by pytest), (b) the 2 queries
     # NEW in round 5 (duplicated-span removal, CCNet tertile buckets),
     # (c) the 4 r2-last stragglers displaced from the r4 window, and
-    # (d) 33 of the 49 queries whose last driver row is round 3. The
-    # 16 r3-green queries left out (ann_lsh_topk_md5 /
+    # (d) 32 of the 49 queries whose last driver row is round 3. The
+    # 17 r3-green queries left out (ann_lsh_topk_md5 /
     # dedup_minhash_lsh_md5 / dedup_simhash_md5 / doc_fingerprint_md5 —
     # md5 twins whose production xxhash paths got r4 rows and whose
     # equality is lockstep-pinned; eda_operations_iterative,
@@ -4537,7 +4614,7 @@ _DRIVER_PRIORITY = [
     # epoch_upsample_sources, semi_join_customers_with_orders,
     # group_max_rowcount, url_encoded_ids, true_ratio_returnflag,
     # rolling_avg_events, token_array_ops, join_multiway_region,
-    # per_source_stats — each family keeps >=1
+    # per_source_stats, vocab_top_tokens — each family keeps >=1
     # fresher row in this window) are re-oracled against DuckDB by
     # tests/test_entry.py on every pytest run; with 131 registered
     # queries and a 50-slot window, most must sit two rounds back at
@@ -4600,6 +4677,11 @@ _DRIVER_PRIORITY = [
     # grouped_verdicts_sources above; both displaced queries stay
     # DuckDB-checked by tests/test_entry.py on every pytest run)
     "token_parity_diff", "element_range_check",
+    # (grouped_drift_events displaces vocab_top_tokens — the vocab
+    # histogram family keeps r4-green heavy_hitter_tokens, the same
+    # explode→count→top-k shape; the drift family's global verdicts
+    # are r4-green drift_ks_events/drift_psi_events)
+    "grouped_drift_events",
     # (c) last checked in round 2
     "ann_bruteforce_topk", "pipeline_top_used_libraries",
     "pipelines_by_tags", "pipelines_for_deep_learning",
@@ -4614,7 +4696,6 @@ _DRIVER_PRIORITY = [
     "sentence_embedding_labels", "shipdate_year_counts",
     "similarity_scores_reference", "split_assignment_sources",
     "text_repetition_signals",
-    "vocab_top_tokens",
 ]
 
 _missing = [n for n in _DRIVER_PRIORITY if n not in QUERIES]

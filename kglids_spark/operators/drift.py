@@ -124,3 +124,87 @@ def evaluate_drift(
         "ks_pass": ks <= ks_threshold,
         "psi_pass": p <= psi_threshold,
     }
+
+
+def grouped_drift(
+    df: DataFrame,
+    spec: HistSpec,
+    baseline_hist: list[int],
+    group_col: str,
+    ks_threshold: float = 0.1,
+    psi_threshold: float = 0.2,
+    eps: float = 1e-6,
+) -> DataFrame:
+    """Per-group KS + PSI of ``spec.column`` against a fixed baseline
+    histogram — drift failure LOCALIZATION: the global suite verdict
+    says *that* the mixture moved, this says *which feed* moved it
+    (north_star: the skewed `source` column is exactly the group you
+    want this over). Returns (group, n_rows, ks, psi, ks_pass,
+    psi_pass), one row per group, NULL groups included.
+
+    Scale shape: per-group histograms build in ONE map-side-combined
+    groupBy — the same sum-of-indicator cells as the global pass, no
+    explode; the baseline (nbins+2 longs, e.g. a ledger snapshot's
+    `histogram_array_expr` row) enters the plan as a literal; the KS
+    and PSI reductions are zero-shuffle higher-order ``F.aggregate``
+    folds over the zipped cell arrays, so results never leave the
+    executors — no per-group driver loop, fine at 10^6 groups.
+    ``evaluate_drift`` stays the right tool for the single global
+    verdict; this is its distributed many-groups sibling. Semantics
+    match evaluate_drift cell-for-cell: a group with zero in-range
+    rows reports ks=psi=0.0 (the n==0 convention), and the baseline
+    must come from the SAME HistSpec (length-mismatch raises)."""
+    if len(baseline_hist) != spec.n_cells:
+        raise ValueError(
+            f"baseline has {len(baseline_hist)} cells, spec wants {spec.n_cells}"
+        )
+    n2 = float(sum(baseline_hist))
+    if n2 <= 0:
+        raise ValueError("baseline histogram is empty")
+    base = F.array(*[F.lit(float(v)) for v in baseline_hist])
+
+    h = histogram_df(df, spec, group_cols=[group_col])
+    # a group whose every value is NULL aggregates NULL cells (sum over
+    # an empty set) — coalesce to 0 so it reports n_rows=0, not NULL
+    cells = F.transform("hist", lambda x: F.coalesce(x.cast("double"), F.lit(0.0)))
+    h = h.withColumn("__cells", cells).withColumn(
+        "__n1", F.aggregate("__cells", F.lit(0.0), lambda a, x: a + x)
+    )
+    n1 = F.col("__n1")
+    pairs = F.zip_with(
+        F.col("__cells"),
+        base,
+        lambda a, b: F.struct(a.alias("a"), b.alias("b")),
+    )
+    ks_fold = F.aggregate(
+        pairs,
+        F.struct(
+            F.lit(0.0).alias("c1"), F.lit(0.0).alias("c2"), F.lit(0.0).alias("d")
+        ),
+        lambda acc, p: F.struct(
+            (acc["c1"] + p["a"] / n1).alias("c1"),
+            (acc["c2"] + p["b"] / F.lit(n2)).alias("c2"),
+            F.greatest(
+                acc["d"],
+                F.abs((acc["c1"] + p["a"] / n1) - (acc["c2"] + p["b"] / F.lit(n2))),
+            ).alias("d"),
+        ),
+        lambda acc: acc["d"],
+    )
+    p1 = lambda p: F.greatest(p["a"] / n1, F.lit(eps))  # noqa: E731
+    p2 = lambda p: F.greatest(p["b"] / F.lit(n2), F.lit(eps))  # noqa: E731
+    psi_fold = F.aggregate(
+        pairs,
+        F.lit(0.0),
+        lambda acc, p: acc + (p1(p) - p2(p)) * F.log(p1(p) / p2(p)),
+    )
+    ks_c = F.when(n1 > 0, ks_fold).otherwise(F.lit(0.0))
+    psi_c = F.when(n1 > 0, psi_fold).otherwise(F.lit(0.0))
+    return h.select(
+        F.col(group_col),
+        n1.cast("long").alias("n_rows"),
+        ks_c.alias("ks"),
+        psi_c.alias("psi"),
+        (ks_c <= F.lit(ks_threshold)).alias("ks_pass"),
+        (psi_c <= F.lit(psi_threshold)).alias("psi_pass"),
+    )

@@ -135,3 +135,73 @@ def test_snapshot_baseline_time_travel(spark, tmp_path):
     }
     assert not glob3["drift_ks(n_tok)"]
     assert not glob3["drift_psi(n_tok)"]
+
+
+# ---------------------------------------------------------------------------
+# grouped_drift: per-group KS/PSI localization (round 5)
+
+
+def test_grouped_drift_matches_evaluate_drift(spark):
+    """The in-plan folds must agree with the driver-side reference
+    math (evaluate_drift) group by group, including pass booleans."""
+    import random
+
+    from kglids_spark.operators import drift as D
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(3000):
+        g = ("a", "b", "c")[i % 3]
+        v = rng.uniform(0, 80) if g != "c" else rng.uniform(40, 160)
+        rows.append((g, v))
+    df = spark.createDataFrame(rows, "grp string, value double")
+    spec = D.HistSpec("value", lo=0.0, hi=100.0, nbins=10)
+    base = [int(v) for v in D.histogram_df(df, spec).collect()[0]["hist"]]
+
+    got = {
+        r.grp: r for r in D.grouped_drift(df, spec, base, "grp").collect()
+    }
+    per_group = {
+        r.grp: list(r.hist)
+        for r in D.histogram_df(df, spec, group_cols=["grp"]).collect()
+    }
+    for g, hist in per_group.items():
+        want = D.evaluate_drift(hist, base)
+        assert abs(got[g].ks - want["ks"]) < 1e-9, g
+        assert abs(got[g].psi - want["psi"]) < 1e-9, g
+        assert got[g].ks_pass == want["ks_pass"]
+        assert got[g].psi_pass == want["psi_pass"]
+        assert got[g].n_rows == sum(hist)
+    # the drifted group diverges hardest from the global mixture (which
+    # itself contains c's shifted mass, so a and b diverge some too)
+    assert got["c"].ks > got["a"].ks and got["c"].ks > got["b"].ks
+
+
+def test_grouped_drift_null_group_and_empty_group(spark):
+    from kglids_spark.operators import drift as D
+
+    df = spark.createDataFrame(
+        [("a", 5.0), (None, 6.0), ("b", None)],
+        "grp string, value double",
+    )
+    spec = D.HistSpec("value", lo=0.0, hi=10.0, nbins=5)
+    base = [0, 1, 1, 0, 0, 0, 0]
+    out = {r.grp: r for r in D.grouped_drift(df, spec, base, "grp").collect()}
+    assert set(out) == {"a", None, "b"}
+    # group b has only a NULL value -> zero in-range rows -> the
+    # n==0 convention: ks = psi = 0.0, passes
+    assert out["b"].n_rows == 0 and out["b"].ks == 0.0 and out["b"].psi == 0.0
+    assert out["b"].ks_pass and out["b"].psi_pass
+
+
+def test_grouped_drift_baseline_validation(spark):
+    import pytest as _pt
+
+    from kglids_spark.operators import drift as D
+
+    df = spark.createDataFrame([("a", 1.0)], "grp string, value double")
+    spec = D.HistSpec("value", lo=0.0, hi=10.0, nbins=5)
+    with _pt.raises(ValueError, match="cells"):
+        D.grouped_drift(df, spec, [1, 2, 3], "grp")
+    with _pt.raises(ValueError, match="empty"):
+        D.grouped_drift(df, spec, [0] * spec.n_cells, "grp")
