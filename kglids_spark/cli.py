@@ -112,6 +112,24 @@ def main(argv: list[str] | None = None) -> int:
         help="table-level row-count bound, e.g. '--volume 1000' (at least) "
         "or '--volume 1000:2000000'",
     )
+    v.add_argument(
+        "--drift-by",
+        default=None,
+        metavar="COLUMN",
+        help="localize the drift verdict per value of this grouping "
+        "column (e.g. the skewed 'source' feed column): the JSON gains "
+        "a group_drift section with per-group counts and the worst "
+        "failing groups; requires a drift constraint in the suite",
+    )
+    v.add_argument(
+        "--drift-by-cap",
+        type=int,
+        default=20,
+        metavar="N",
+        help="max failing groups listed in group_drift (worst by PSI; "
+        "totals are always exact) — keeps the JSON line bounded at "
+        "millions of groups",
+    )
     v.add_argument("--no-violation-rows", action="store_true")
     v.add_argument(
         "--fail-on-violation",
@@ -449,7 +467,41 @@ def main(argv: list[str] | None = None) -> int:
             else None,
             extract_violation_rows=not args.no_violation_rows,
             max_violations_per_constraint=args.max_violations,
+            drift_by=args.drift_by,
         )
+        group_drift = None
+        if res.group_drift is not None:
+            # exact totals reduce in-plan to ONE row; only the <= cap
+            # worst failing groups are ever collected, so the JSON line
+            # stays bounded at millions of groups
+            gd = res.group_drift
+            tot = gd.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(
+                    (~F.col("ks_pass") | ~F.col("psi_pass")).cast("int")
+                ).alias("failed"),
+            ).collect()[0]
+            worst = (
+                gd.filter(~F.col("ks_pass") | ~F.col("psi_pass"))
+                .orderBy(F.desc("psi"))
+                .limit(args.drift_by_cap)
+                .collect()
+            )
+            group_drift = {
+                "group_col": args.drift_by,
+                "groups_total": int(tot.n),
+                "groups_failed": int(tot.failed or 0),
+                "failing": {
+                    str(r[args.drift_by]): {
+                        "n_rows": r.n_rows,
+                        "ks": round(r.ks, 6),
+                        "psi": round(r.psi, 6),
+                        "ks_pass": r.ks_pass,
+                        "psi_pass": r.psi_pass,
+                    }
+                    for r in worst
+                },
+            }
         summary = {
             r.constraint_id: {"violations": r.total, "passed": bool(r.ok)}
             for r in res.verdicts.groupBy("constraint_id")
@@ -465,7 +517,10 @@ def main(argv: list[str] | None = None) -> int:
             df.join(bad_keys, "doc_id", "left_semi").write.mode(
                 "overwrite"
             ).parquet(args.quarantine)
-        print(json.dumps({"metrics": res.metrics, "verdict_summary": summary}, default=str))
+        out = {"metrics": res.metrics, "verdict_summary": summary}
+        if group_drift is not None:
+            out["group_drift"] = group_drift
+        print(json.dumps(out, default=str))
         if args.fail_on_violation and any(not v["passed"] for v in summary.values()):
             return 2
         return 0

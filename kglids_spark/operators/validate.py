@@ -68,6 +68,8 @@ class ValidationResult:
     verdicts: DataFrame
     violations: DataFrame
     metrics: dict
+    # per-group drift localization — only when validate(..., drift_by=...)
+    group_drift: DataFrame | None = None
 
 
 def _stats_pass(
@@ -275,9 +277,24 @@ def _validate_impl(
     max_violations_per_constraint: int | None = None,
     dims: dict[str, DataFrame] | None = None,
     kll_col: str | None = "auto",
+    drift_by: str | None = None,
 ) -> ValidationResult:
     """``dims`` maps a referential constraint's dim_table name to its
     DataFrame for dim-table RI (vs a literal valid_values vocabulary).
+
+    ``drift_by`` localizes the drift verdict to a grouping column
+    (north_star: WHICH skewed ``source`` feed moved the n_tok mixture,
+    not just that it moved): ``result.group_drift`` holds one row per
+    group (group, n_rows, ks, psi, ks_pass, psi_pass) from
+    ``drift.grouped_drift`` against the SAME resolved baseline as the
+    global verdict — explicit ``baseline_hist`` > snapshot > self. Like
+    FD (a global property), it is recomputed over the full input each
+    run rather than per resumable bucket; per-group histograms and both
+    statistics reduce entirely in-plan, so the frame is lazy and safe
+    at millions of groups (the CLI caps what it collects). Under a
+    self-baseline the global verdict is trivially passing while groups
+    are compared to the run's own mixture — still the localization you
+    want. Requires a drift constraint in the suite.
 
     ``baseline_snapshot_id`` resolves the drift baseline from a
     ``bucket_stats`` table AS OF that snapshot (TableStore time travel
@@ -304,6 +321,15 @@ def _validate_impl(
     metric_cols = sorted({c.column for c in metric_cs})
     if drift_cs and drift_spec is None:
         drift_spec = D.HistSpec(column=drift_cs[0].column)
+    if drift_by is not None and not drift_cs:
+        raise ValueError("drift_by requires a drift_ks/drift_psi constraint in the suite")
+    # two-column projection captured BEFORE the RI flag joins below
+    # mutate df — the grouped pass needs neither the flags nor the key
+    drift_by_df = (
+        df.select(F.col(drift_by), F.col(drift_spec.column))
+        if drift_by is not None
+        else None
+    )
 
     # dim-table RI: pre-join a membership flag so the constraint stays a
     # row-level expression inside the single-pass aggregate. Catalyst
@@ -585,6 +611,26 @@ def _validate_impl(
             verdict_rows.append((GLOBAL_BUCKET, c.cid, n_rows_total, int(gstat > thr), gstat <= thr))
             drift_metrics[c.cid] = gstat
 
+    # per-group drift localization (drift_by): same resolved baseline,
+    # same thresholds as the global verdict; stays a lazy DataFrame —
+    # nothing per-group ever reaches the driver here
+    group_drift = None
+    if drift_by_df is not None and drift_cs and merged_hist:
+        ks_thr = next(
+            (c.params["threshold"] for c in drift_cs if c.kind == "drift_ks"), 0.1
+        )
+        psi_thr = next(
+            (c.params["threshold"] for c in drift_cs if c.kind == "drift_psi"), 0.2
+        )
+        group_drift = D.grouped_drift(
+            drift_by_df,
+            drift_spec,
+            baseline if baseline is not None else merged_hist,
+            drift_by,
+            ks_threshold=ks_thr,
+            psi_threshold=psi_thr,
+        )
+
     # schema constraints: table-level verdicts
     schema_fields = {f.name: f.dataType.simpleString() for f in df.schema.fields}
     for c in schema_cs:
@@ -711,4 +757,6 @@ def _validate_impl(
             "run_id string, constraint_hash string, n_buckets int, ts double, metrics string",
         )
         ledger.append("runs", lineage)
-    return ValidationResult(verdicts=verdicts, violations=viols, metrics=metrics)
+    return ValidationResult(
+        verdicts=verdicts, violations=viols, metrics=metrics, group_drift=group_drift
+    )

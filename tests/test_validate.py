@@ -710,3 +710,119 @@ def test_element_range_grouped_verdicts(spark):
     rows = {(r.source, r.constraint_id): (r.n_violations, r.passed) for r in g.collect()}
     assert rows[("s1", "er")] == (1, False)
     assert rows[("s2", "er")] == (0, True)
+
+
+# ---------------------------------------------------------------------------
+# drift_by: per-group drift localization on the validate surface (round 5)
+
+
+def test_drift_by_localizes_failing_source(spark):
+    """One feed's n_tok distribution shifts vs an explicit baseline:
+    the global verdict fails AND group_drift names exactly that feed;
+    per-group stats agree with the driver-side reference math."""
+    from kglids_spark.operators import drift as D
+
+    spec = D.HistSpec("n_tok", lo=0.0, hi=100.0, nbins=10)
+    rows = []
+    for i in range(3000):
+        src = ("web", "books", "code")[i % 3]
+        base_v = float(10 + (i * 7) % 60)  # in [10, 70) for all feeds
+        v = base_v + 60.0 if src == "code" else base_v  # code shifts right
+        rows.append((f"d{i}", [1, 2], v, src))
+    df = spark.createDataFrame(
+        rows, "doc_id string, tokens array<int>, n_tok double, source string"
+    )
+    # baseline = the UNdrifted mixture (same generator, no shift)
+    base_df = spark.createDataFrame(
+        [(r[0], r[1], float(10 + (i * 7) % 60), r[3]) for i, r in enumerate(rows)],
+        "doc_id string, tokens array<int>, n_tok double, source string",
+    )
+    baseline = [int(v) for v in D.histogram_df(base_df, spec).collect()[0]["hist"]]
+
+    res = validate(
+        df,
+        [C.drift_ks("n_tok"), C.drift_psi("n_tok")],
+        n_buckets=4,
+        baseline_hist=baseline,
+        drift_spec=spec,
+        drift_by="source",
+        extract_violation_rows=False,
+    )
+    assert res.group_drift is not None
+    got = {r.source: r for r in res.group_drift.collect()}
+    assert set(got) == {"web", "books", "code"}
+    assert not got["code"].ks_pass and not got["code"].psi_pass
+    assert got["web"].ks_pass and got["web"].psi_pass
+    assert got["books"].ks_pass and got["books"].psi_pass
+    # per-group stats match evaluate_drift on the per-group histograms
+    per_group = {
+        r.source: list(r.hist)
+        for r in D.histogram_df(df, spec, group_cols=["source"]).collect()
+    }
+    for g, hist in per_group.items():
+        want = D.evaluate_drift(hist, baseline)
+        assert abs(got[g].ks - want["ks"]) < 1e-9
+        assert abs(got[g].psi - want["psi"]) < 1e-9
+    # the global mixture moved too (one third of it shifted)
+    glob = {
+        r.constraint_id: r.passed
+        for r in res.verdicts.filter(F.col("bucket_id") == GLOBAL_BUCKET).collect()
+    }
+    assert not glob["drift_ks(n_tok)"]
+
+
+def test_drift_by_requires_drift_constraint(spark, tokens_df):
+    with pytest.raises(ValueError, match="drift_by"):
+        validate(
+            tokens_df,
+            [C.not_null("doc_id")],
+            n_buckets=4,
+            drift_by="source",
+            extract_violation_rows=False,
+        )
+
+
+def test_drift_by_absent_by_default(tokens_df):
+    res = validate(
+        tokens_df,
+        [C.drift_ks("n_tok")],
+        n_buckets=4,
+        extract_violation_rows=False,
+    )
+    assert res.group_drift is None
+
+
+def test_cli_drift_by_section(tmp_path):
+    """--drift-by adds a bounded group_drift section: exact totals,
+    failing groups capped; self-baseline run passes every feed."""
+    import json as J
+    import subprocess
+    import sys
+
+    gen = str(tmp_path / "gd_tokens")
+    r = subprocess.run(
+        [sys.executable, "-m", "kglids_spark.cli", "generate",
+         "--rows", "20000", "--out", gen, "--no-violations"],
+        capture_output=True, text=True,
+    )
+    assert r.returncode == 0
+    r = subprocess.run(
+        [sys.executable, "-m", "kglids_spark.cli", "validate",
+         "--input", gen, "--cpus", "4", "--no-violation-rows",
+         "--drift-by", "source", "--drift-by-cap", "3"],
+        capture_output=True, text=True,
+    )
+    assert r.returncode == 0, r.stdout[-500:] + r.stderr[-500:]
+    out = J.loads(r.stdout.strip().splitlines()[-1])
+    gd = out["group_drift"]
+    assert gd["group_col"] == "source"
+    assert gd["groups_total"] == len(SOURCES)
+    assert len(gd["failing"]) == min(gd["groups_failed"], 3)
+    # the dominant feed (~60% of the mixture) IS essentially the
+    # self-baseline; it must pass. Tiny feeds may trip PSI from
+    # epsilon-smoothed sampling noise alone (the recorded reason
+    # per-bucket drift verdicts don't exist), so no zero-failure
+    # assertion across all feeds
+    assert "web" not in gd["failing"]
+    # and the global self-baseline verdict is trivially green
+    assert out["verdict_summary"]["drift_psi(n_tok)"]["passed"]
