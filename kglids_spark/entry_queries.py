@@ -4616,7 +4616,7 @@ _DRIVER_PRIORITY = [
     # rolling_avg_events, token_array_ops, join_multiway_region,
     # per_source_stats, vocab_top_tokens — each family keeps >=1
     # fresher row in this window) are re-oracled against DuckDB by
-    # tests/test_entry.py on every pytest run; with 131 registered
+    # tests/test_entry.py on every pytest run; with 132 registered
     # queries and a 50-slot window, most must sit two rounds back at
     # any time — the exclusions are the most-redundantly-pinned ones.
     # sample_fraction (inherently no-oracle, r2 rows recorded) stays

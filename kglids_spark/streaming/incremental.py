@@ -320,6 +320,7 @@ def drift_monitor_stream(
     ks_threshold: float = 0.1,
     psi_threshold: float = 0.2,
     trigger_once: bool = True,
+    group_col: str | None = None,
 ):
     """Per-micro-batch distribution-drift monitor: each batch's
     histogram (one map-side indicator-sum aggregate, drift.py:39-60)
@@ -330,12 +331,30 @@ def drift_monitor_stream(
     WHICH ingestion batch drifted, which the batch validator — a
     whole-table statement — cannot localize.
 
+    ``group_col`` sharpens the localization one level further — WHICH
+    FEED inside the batch drifted: verdict rows become one per
+    (epoch, group) via drift.grouped_drift, whose KS/PSI folds reduce
+    entirely in-plan, so even a million-feed batch never collects
+    per-group rows to the driver (the parquet write streams from the
+    executors; semantics stay pinned to evaluate_drift by the batch
+    operator's tests).
+
     foreachBatch keeps the heavy work in the batch engine: the
     histogram aggregate is the same O(n_cells)-row reduction as the
     batch drift pass, so state never grows with the stream."""
     from kglids_spark.operators import drift as D
 
     stream = spark.readStream.schema(TOKENS_SCHEMA).parquet(input_dir)
+
+    def process_grouped(batch_df: DataFrame, epoch_id: int) -> None:
+        g = D.grouped_drift(
+            batch_df, spec, baseline_hist, group_col, ks_threshold, psi_threshold
+        ).withColumn("epoch", F.lit(int(epoch_id)).cast("long"))
+        # same idempotent replay discipline as the global path: the
+        # dynamic overwrite replaces exactly this epoch's partition
+        g.write.mode("overwrite").option(
+            "partitionOverwriteMode", "dynamic"
+        ).partitionBy("epoch").parquet(out_dir)
 
     def process(batch_df: DataFrame, epoch_id: int) -> None:
         sess = batch_df.sparkSession
@@ -367,7 +386,9 @@ def drift_monitor_stream(
         ).partitionBy("epoch").parquet(out_dir)
 
     writer = (
-        stream.writeStream.foreachBatch(process)
+        stream.writeStream.foreachBatch(
+            process if group_col is None else process_grouped
+        )
         .option("checkpointLocation", checkpoint_dir)
         .outputMode("update")
     )

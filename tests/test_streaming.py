@@ -300,3 +300,54 @@ def test_quality_filter_stream_refuses_hasher_mismatch(spark):
         score_quality_lr(docs, {"ab": 0.5}, 0.0, hasher="xxhash64")
     with pytest.raises(ValueError, match="trained with"):
         score_quality_lr(docs, {7: 0.5}, 0.0, hasher="md5")
+
+
+def test_drift_monitor_stream_grouped_localizes_feed(spark, tmp_path):
+    """group_col mode: one verdict row per (epoch, feed); a feed whose
+    n_tok doubled fails while the untouched feeds pass, and the stats
+    equal the batch grouped_drift on the same rows."""
+    from kglids_spark.operators import drift as D
+    from kglids_spark.streaming.incremental import drift_monitor_stream
+
+    spec = D.HistSpec(column="n_tok", lo=0.0, hi=2048.0, nbins=64)
+    clean = generate_tokens(spark, 12000, seed=3, plant_violations=False)
+    baseline = list(
+        clean.agg(D.histogram_array_expr(spec).alias("h")).collect()[0].h
+    )
+
+    batch = generate_tokens(spark, 12000, seed=4, plant_violations=False)
+    dtype = batch.schema["n_tok"].dataType
+    drifted = batch.withColumn(
+        "n_tok",
+        F.when(F.col("source") == "web", (F.col("n_tok") * 2).cast(dtype))
+        .otherwise(F.col("n_tok")),
+    )
+    src = str(tmp_path / "gdrift_in")
+    drifted.coalesce(1).write.mode("overwrite").parquet(src)
+
+    out = str(tmp_path / "gdrift_out")
+    q = drift_monitor_stream(
+        spark,
+        src,
+        baseline,
+        spec,
+        out,
+        checkpoint_dir=str(tmp_path / "gdrift_ckpt"),
+        group_col="source",
+    )
+    q.awaitTermination(300)
+
+    got = {r.source: r for r in spark.read.parquet(out).collect()}
+    assert not got["web"].ks_pass and not got["web"].psi_pass
+    # untouched feed: KS must pass (PSI left unasserted — small feeds
+    # can trip it from epsilon-smoothed sampling noise alone)
+    assert got["books"].ks_pass
+    # batch-twin equality on the same rows (the lockstep convention)
+    want = {
+        r.source: r
+        for r in D.grouped_drift(drifted, spec, baseline, "source").collect()
+    }
+    for s, r in got.items():
+        assert abs(r.ks - want[s].ks) < 1e-9, s
+        assert abs(r.psi - want[s].psi) < 1e-9, s
+        assert r.n_rows == want[s].n_rows
