@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import math
 import sys
 
 from pyspark.sql import functions as F
@@ -163,6 +164,46 @@ def main(argv: list[str] | None = None) -> int:
     )
     h.add_argument("--ledger", required=True)
     h.add_argument("--limit", type=int, default=20)
+
+    an = sub.add_parser(
+        "anomaly",
+        help="flag the latest validation run's metrics that sit outside "
+        "k standard deviations of the trailing window of prior runs "
+        "(same constraint suite) — yesterday's valid runs define "
+        "today's normal",
+    )
+    an.add_argument("--ledger", required=True)
+    an.add_argument("--window", type=int, default=7, metavar="N",
+                    help="trailing prior runs to compare against")
+    an.add_argument("--k", type=float, default=3.0,
+                    help="z-score threshold")
+    an.add_argument(
+        "--metric",
+        action="append",
+        default=None,
+        metavar="KEY",
+        help="restrict monitoring to these lineage metric keys "
+        "(repeatable; default: every numeric data metric, excluding "
+        "identities and host timings)",
+    )
+    an.add_argument(
+        "--constraint-hash",
+        default=None,
+        help="pin the run series to this suite hash (default: the "
+        "latest run's)",
+    )
+    an.add_argument(
+        "--min-history",
+        type=int,
+        default=3,
+        metavar="N",
+        help="skip metrics with fewer prior observations than this",
+    )
+    an.add_argument(
+        "--fail-on-anomaly",
+        action="store_true",
+        help="exit 2 if any metric is flagged (CI gate)",
+    )
 
     p = sub.add_parser("profile", help="single-pass column profiles")
     p.add_argument("--input", required=True)
@@ -555,6 +596,45 @@ def main(argv: list[str] | None = None) -> int:
                     }
                 )
             )
+        return 0
+
+    if args.cmd == "anomaly":
+        from kglids_spark.operators.anomaly import detect_anomalies
+
+        store = TableStore(spark, args.ledger)
+        try:
+            context, flags = detect_anomalies(
+                store,
+                window=args.window,
+                k=args.k,
+                metrics=args.metric,
+                constraint_hash=args.constraint_hash,
+                min_history=args.min_history,
+            )
+        except ValueError as e:
+            raise SystemExit(str(e))
+        print(
+            json.dumps(
+                {
+                    **context,
+                    "anomalies": {
+                        a.metric: {
+                            "value": a.value,
+                            "window_mean": a.window_mean,
+                            "window_std": a.window_std,
+                            # inf = constant window, any move is news;
+                            # null keeps the line strict RFC-8259 (the
+                            # suite_to_json convention)
+                            "z": None if math.isinf(a.z) else a.z,
+                        }
+                        for a in flags
+                    },
+                },
+                default=str,
+            )
+        )
+        if args.fail_on_anomaly and flags:
+            return 2
         return 0
 
     if args.cmd == "tokenize":
