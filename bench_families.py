@@ -104,6 +104,7 @@ def family_ops(docs, vecs, queries, srcd, centroids):
     from kglids_spark.operators import (
         ann,
         dedup,
+        drift,
         dsir,
         frequency,
         quality_classifier,
@@ -259,6 +260,21 @@ def family_ops(docs, vecs, queries, srcd, centroids):
         # is text_char_lm_score above). The op collects one row per
         # partition for the rank offsets, so it is run-only (the plan
         # snapshot still captures the final stamped tree).
+        # round-5: per-feed drift localization at 10k synthetic feeds —
+        # ONE map-side-combined groupBy builds every feed's histogram;
+        # the KS/PSI folds are zero-shuffle array math, so the plan
+        # must show exactly one Exchange and no Sort. The baseline is a
+        # data-free literal (66 cells), matching how a production run
+        # feeds it a ledger snapshot row
+        "validate_grouped_drift": lambda: drift.grouped_drift(
+            docs.select(
+                F.pmod(F.xxhash64("doc_id"), F.lit(10000)).alias("feed"),
+                F.length("text").cast("double").alias("n_chars"),
+            ),
+            drift.HistSpec("n_chars", lo=0.0, hi=800.0, nbins=64),
+            [200] * 66,
+            "feed",
+        ),
         "text_ccnet_buckets": lambda: text.ccnet_buckets(
             docs.select(
                 "doc_id",
