@@ -4357,6 +4357,128 @@ def embedding_pca_projection(spark, sf_dir):
 
 
 # =====================================================================
+# Snapshot-to-snapshot profile drift (round 5)
+# =====================================================================
+
+_PROFILE_DIFF_SQL = """
+    WITH b_src AS (SELECT * FROM orders WHERE o_orderkey % 2 = 0),
+    c_src AS (SELECT o_custkey, o_totalprice * 2 AS o_totalprice FROM orders),
+    bp AS (
+      SELECT 'orders' AS table_id, 'o_totalprice' AS column_name,
+             count(*)::DOUBLE AS total, count(o_totalprice)::DOUBLE AS nonnull,
+             count(DISTINCT o_totalprice)::DOUBLE AS dv,
+             min(o_totalprice)::DOUBLE AS min_value,
+             max(o_totalprice)::DOUBLE AS max_value,
+             avg(o_totalprice)::DOUBLE AS mean,
+             quantile_cont(o_totalprice, 0.5)::DOUBLE AS median,
+             (quantile_cont(o_totalprice, 0.75)
+              - quantile_cont(o_totalprice, 0.25))::DOUBLE AS iqr
+      FROM b_src
+      UNION ALL
+      SELECT 'orders', 'o_custkey', count(*), count(o_custkey),
+             count(DISTINCT o_custkey), min(o_custkey), max(o_custkey),
+             avg(o_custkey), quantile_cont(o_custkey, 0.5),
+             quantile_cont(o_custkey, 0.75) - quantile_cont(o_custkey, 0.25)
+      FROM b_src),
+    cp AS (
+      SELECT 'orders' AS table_id, 'o_totalprice' AS column_name,
+             count(*)::DOUBLE AS total, count(o_totalprice)::DOUBLE AS nonnull,
+             count(DISTINCT o_totalprice)::DOUBLE AS dv,
+             min(o_totalprice)::DOUBLE AS min_value,
+             max(o_totalprice)::DOUBLE AS max_value,
+             avg(o_totalprice)::DOUBLE AS mean,
+             quantile_cont(o_totalprice, 0.5)::DOUBLE AS median,
+             (quantile_cont(o_totalprice, 0.75)
+              - quantile_cont(o_totalprice, 0.25))::DOUBLE AS iqr
+      FROM c_src
+      UNION ALL
+      SELECT 'orders', 'o_custkey', count(*), count(o_custkey),
+             count(DISTINCT o_custkey), min(o_custkey), max(o_custkey),
+             avg(o_custkey), quantile_cont(o_custkey, 0.5),
+             quantile_cont(o_custkey, 0.75) - quantile_cont(o_custkey, 0.25)
+      FROM c_src),
+    lb AS (
+      SELECT table_id, column_name, stat, val FROM (
+        SELECT table_id, column_name,
+               (total - nonnull) / greatest(total, 1) AS null_rate,
+               dv / greatest(total, 1) AS distinct_rate,
+               mean, min_value, max_value, median, iqr
+        FROM bp)
+      UNPIVOT (val FOR stat IN (null_rate, distinct_rate, mean,
+                                min_value, max_value, median, iqr))),
+    lc AS (
+      SELECT table_id, column_name, stat, val FROM (
+        SELECT table_id, column_name,
+               (total - nonnull) / greatest(total, 1) AS null_rate,
+               dv / greatest(total, 1) AS distinct_rate,
+               mean, min_value, max_value, median, iqr
+        FROM cp)
+      UNPIVOT (val FOR stat IN (null_rate, distinct_rate, mean,
+                                min_value, max_value, median, iqr))),
+    stats AS (
+      SELECT b.table_id, b.column_name, b.stat, b.val AS base, c.val AS cur,
+             CASE WHEN b.stat IN ('null_rate', 'distinct_rate')
+                  THEN c.val - b.val
+                  ELSE (c.val - b.val) / greatest(abs(b.val), 1e-12) END AS delta,
+             CASE WHEN b.stat = 'null_rate' THEN abs(c.val - b.val) > 0.01
+                  WHEN b.stat = 'distinct_rate' THEN abs(c.val - b.val) > 0.10
+                  ELSE abs(c.val - b.val) / greatest(abs(b.val), 1e-12) > 0.10
+             END AS flagged,
+             CASE WHEN b.stat IN ('null_rate', 'distinct_rate') THEN 'rate'
+                  ELSE 'rel' END AS note
+      FROM lb b JOIN lc c USING (table_id, column_name, stat)),
+    presence AS (
+      SELECT 'orders' AS table_id, col AS column_name, 'column' AS stat,
+             NULL::DOUBLE AS base, NULL::DOUBLE AS cur, NULL::DOUBLE AS delta,
+             flagged, note
+      FROM (VALUES ('o_totalprice', false, 'ok'), ('o_custkey', false, 'ok'),
+                   ('o_orderstatus', true, 'added')) v(col, flagged, note))
+    SELECT table_id, column_name, stat, round(base, 2) AS base,
+           round(cur, 2) AS cur, round(delta, 4) AS delta, flagged, note
+    FROM (SELECT * FROM stats UNION ALL SELECT * FROM presence)
+"""
+
+
+@register("profile_diff_orders", _PROFILE_DIFF_SQL)
+def profile_diff_orders(spark, sf_dir):
+    """Snapshot-to-snapshot profile drift on a planted shift: the
+    baseline profiles HALF of orders (o_orderkey % 2 = 0 — yesterday's
+    snapshot), the current run profiles all of orders with
+    o_totalprice doubled plus a column the baseline never saw. The
+    diff must flag every magnitude stat of o_totalprice (rel delta
+    ~1.0), keep o_custkey's stats quiet at the default tolerances, and
+    emit the 'added' schema-evolution row — all from two PROFILE_SCHEMA
+    frames, no re-scan of the data inside the diff."""
+    from kglids_spark.operators.profile_diff import profile_diff
+    from kglids_spark.operators.profiler import profile_table
+
+    o = _t(spark, sf_dir, "orders")
+    base = profile_table(
+        o.filter(F.col("o_orderkey") % 2 == 0),
+        "orders",
+        exact=True,
+        columns=["o_totalprice", "o_custkey"],
+    )
+    cur = profile_table(
+        o.withColumn("o_totalprice", F.col("o_totalprice") * 2),
+        "orders",
+        exact=True,
+        columns=["o_totalprice", "o_custkey", "o_orderstatus"],
+    )
+    d = profile_diff(cur, base)
+    return d.select(
+        "table_id",
+        "column_name",
+        "stat",
+        F.round("base", 2).alias("base"),
+        F.round("cur", 2).alias("cur"),
+        F.round("delta", 4).alias("delta"),
+        "flagged",
+        "note",
+    )
+
+
+# =====================================================================
 # Per-group drift localization (round 5)
 # =====================================================================
 
@@ -4614,11 +4736,12 @@ _DRIVER_PRIORITY = [
     # epoch_upsample_sources, semi_join_customers_with_orders,
     # group_max_rowcount, url_encoded_ids, true_ratio_returnflag,
     # rolling_avg_events, token_array_ops, join_multiway_region,
-    # per_source_stats, vocab_top_tokens — each family keeps >=1
-    # fresher row in this window) are re-oracled against DuckDB by
-    # tests/test_entry.py on every pytest run; with 132 registered
-    # queries and a 50-slot window, most must sit two rounds back at
-    # any time — the exclusions are the most-redundantly-pinned ones.
+    # per_source_stats, vocab_top_tokens, correlation_profile_lineitem
+    # — each family keeps >=1 fresher row in this window) are
+    # re-oracled against DuckDB by tests/test_entry.py on every pytest
+    # run; with 133 registered queries and a 50-slot window, most must
+    # sit two rounds back at any time — the exclusions are the
+    # most-redundantly-pinned ones.
     # sample_fraction (inherently no-oracle, r2 rows recorded) stays
     # outside per the round-3 precedent.
     # (a) round-4 operators awaiting their first driver row
@@ -4682,11 +4805,16 @@ _DRIVER_PRIORITY = [
     # explode→count→top-k shape; the drift family's global verdicts
     # are r4-green drift_ks_events/drift_psi_events)
     "grouped_drift_events",
+    # (profile_diff_orders displaces correlation_profile_lineitem —
+    # both profiler-family; the family keeps r4-green profile_stats
+    # and fine_grained_types, and the correlation profile stays
+    # DuckDB-checked by tests/test_entry.py on every pytest run)
+    "profile_diff_orders",
     # (c) last checked in round 2
     "ann_bruteforce_topk", "pipeline_top_used_libraries",
     "pipelines_by_tags", "pipelines_for_deep_learning",
     # (d) last checked in round 3
-    "correlation_profile_lineitem", "dedup_clusters",
+    "dedup_clusters",
     "dedup_ngram_jaccard", "eda_operations", "float_bit_decomposition",
     "intersect_except_keys", "ivf_train_iteration",
     "json_extract_props", "label_generation",
