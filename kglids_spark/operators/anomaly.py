@@ -7,10 +7,15 @@ point-anomaly check in the Deequ ``AnomalyDetection`` shape: the
 LATEST run's numeric metrics are compared against the trailing window
 of prior runs, and a metric whose z-score against the window exceeds
 ``k`` (or whose window has no spread and the value moved at all) is
-flagged. The reference (CoDS-GCS/kglids) has no run-history surface;
-the north_star's "lineage (snapshot id, constraint-set hash, executor
-metrics) are persisted" is the enabler here — this is what persisting
-them is FOR: yesterday's valid run defines today's normal.
+flagged. The reference (CoDS-GCS/kglids) has no run-history surface —
+its closest notion of "a prior run" is the profiler skipping
+already-profiled columns by filename
+(kg_governor/data_profiling/profile_data.py:65-80, the
+`replace_existing_profiles` else-branch), which never compares the
+values it computed; the north_star's "lineage (snapshot id, constraint-set
+hash, executor metrics) are persisted" is the enabler here — this is
+what persisting them is FOR: yesterday's valid run defines today's
+normal.
 
 Scale shape: the runs table holds ONE row per validation run by
 construction (it is the lineage, not data), so reading it to the

@@ -11,10 +11,16 @@ shift, median/IQR drift, plus schema evolution (added / removed /
 type-changed columns), each an explicit verdict row.
 
 The reference profiles tables but never compares profile generations
-(its KG is rebuilt, not diffed); run-over-run comparison is what the
-north_star's persisted lineage enables. Deequ's AnomalyDetection is
-the published analog; anomaly.py covers the run-level lineage
-metrics, this covers the per-column profile surface.
+(its KG is rebuilt, not diffed — the incremental path at
+kg_governor/data_profiling/profile_data.py only SKIPS already-profiled
+columns); run-over-run comparison is what the north_star's persisted
+lineage enables. The stats diffed here are exactly the reference's
+ColumnProfile record fields
+(kg_governor/data_profiling/model/column_profile.py:8-33:
+total/distinct/missing counts, true_ratio, min/max, mean, median,
+iqr, fine-grained data_type). Deequ's AnomalyDetection is the
+published analog; anomaly.py covers the run-level lineage metrics,
+this covers the per-column profile surface.
 
 Scale shape: profile frames hold ONE row per column by construction,
 so even a 100k-column lakehouse catalog diffs as a tiny full-outer
