@@ -4320,7 +4320,7 @@ def incremental_exact_dedup(spark, sf_dir):
              CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS i,
              unnest(embedding)::DOUBLE AS x
       FROM embeddings)
-    SELECT a.i AS i, b.i AS j, round(covar_pop(a.x, b.x), 6) AS cov
+    SELECT a.i AS i, b.i AS j, round(covar_pop(a.x, b.x), 6) + 0.0 AS cov
     FROM e a JOIN e b ON a.vec_id = b.vec_id AND a.i <= b.i
     GROUP BY 1, 2
     """,
@@ -4330,12 +4330,16 @@ def embedding_covariance(spark, sf_dir):
     from ONE map-side numpy moments pass (n, sum, sum-of-outer-
     products folded per partition over Arrow batches; the corpus never
     shuffles) — the sufficient statistics behind PCA/whitening.
-    Value-exact to 6 dp against DuckDB's covar_pop."""
+    Value-exact to 6 dp against DuckDB's covar_pop. Both sides add
+    +0.0 after rounding: a near-zero cell can land on -0.0 in one
+    engine and +0.0 in the other (observed at sf0.01 for one cell),
+    and -0.0 == 0.0 compares equal yet formats/hashes differently —
+    IEEE-754 x + 0.0 canonicalizes -0.0 to +0.0 on both engines."""
     from kglids_spark.operators import pca
 
     e = _t(spark, sf_dir, "embeddings")
     c = pca.covariance_frame(e)
-    return c.select("i", "j", F.round("cov", 6).alias("cov"))
+    return c.select("i", "j", (F.round("cov", 6) + F.lit(0.0)).alias("cov"))
 
 
 @register("embedding_pca_projection")
