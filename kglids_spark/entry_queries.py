@@ -1809,6 +1809,69 @@ def ivf_train_iteration(spark, sf_dir):
     )
 
 
+_BM25_QUERIES = [
+    ("q_spark_join", "spark join window"),
+    ("q_vector", "vector hash merge"),
+    ("q_rep", "join join stream"),
+]
+
+
+@register(
+    "bm25_topk_docs",
+    r"""
+    WITH q(query_id, term, qtf) AS (VALUES
+      ('q_spark_join', 'join', 1), ('q_spark_join', 'spark', 1),
+      ('q_spark_join', 'window', 1),
+      ('q_vector', 'hash', 1), ('q_vector', 'merge', 1),
+      ('q_vector', 'vector', 1),
+      ('q_rep', 'join', 2), ('q_rep', 'stream', 1)),
+    words AS (
+      SELECT doc_id, list_filter(
+               string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+               w -> w <> '') AS ws
+      FROM documents),
+    dl AS (SELECT doc_id, len(ws) AS dl FROM words),
+    stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+    tf AS (
+      SELECT doc_id, term, count(*) AS tf
+      FROM (SELECT doc_id, unnest(ws) AS term FROM words)
+      WHERE term IN (SELECT DISTINCT term FROM q)
+      GROUP BY 1, 2),
+    dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+    contrib AS (
+      SELECT q.query_id, tf.doc_id,
+             q.qtf * ln(1 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+               * tf.tf * (1.2 + 1.0)
+               / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / s.avgdl)) AS c
+      FROM tf JOIN q USING (term) JOIN dfreq d USING (term)
+              JOIN dl USING (doc_id), stats s),
+    scores AS (
+      SELECT query_id, doc_id, round(sum(c), 6) AS score
+      FROM contrib GROUP BY 1, 2)
+    SELECT query_id, doc_id, score,
+           CAST(row_number() OVER (PARTITION BY query_id
+                                   ORDER BY score DESC, doc_id) AS INT) AS rank
+    FROM scores QUALIFY rank <= 10
+    """,
+)
+def bm25_topk_docs(spark, sf_dir):
+    """Sparse lexical retrieval: BM25 top-10 per query over documents
+    (the lexical twin of the pgvector-derived ANN family — reference
+    api/template.py's ORDER-BY-distance LIMIT-k shape, re-expressed for
+    term search). Two-phase salted top-k; ranking on the 6-dp-rounded
+    score with doc_id tie-break makes the order reproducible across
+    engines (BM25 sums have no cross-engine bit-parity). The oracle
+    replays Lucene-variant idf, tf saturation, and query-term weighting
+    from first principles."""
+    from kglids_spark.operators import retrieval
+
+    d = _t(spark, sf_dir, "documents")
+    out = retrieval.bm25_topk(d, _BM25_QUERIES, k=10)
+    return out.select(
+        "query_id", F.col("id").alias("doc_id"), "score", "rank"
+    )
+
+
 @register(
     "embedding_norm_stats",
     """
@@ -4814,13 +4877,19 @@ _DRIVER_PRIORITY = [
     # and fine_grained_types, and the correlation profile stays
     # DuckDB-checked by tests/test_entry.py on every pytest run)
     "profile_diff_orders",
+    # (bm25_topk_docs — the NEW round-5 sparse-retrieval family — takes
+    # ivf_train_iteration's slot: the ANN family keeps
+    # ann_bruteforce_topk in this window plus r4-green ann_ivf_topk and
+    # ann_knn_join, and the trainer stays DuckDB-checked by
+    # tests/test_entry.py on every pytest run)
+    "bm25_topk_docs",
     # (c) last checked in round 2
     "ann_bruteforce_topk", "pipeline_top_used_libraries",
     "pipelines_by_tags", "pipelines_for_deep_learning",
     # (d) last checked in round 3
     "dedup_clusters",
     "dedup_ngram_jaccard", "eda_operations", "float_bit_decomposition",
-    "intersect_except_keys", "ivf_train_iteration",
+    "intersect_except_keys",
     "json_extract_props", "label_generation",
     "na_coercion_cast",
     "pii_redaction", "rdf_ntriples_similarity",
