@@ -108,6 +108,7 @@ def family_ops(docs, vecs, queries, srcd, centroids):
         dsir,
         frequency,
         quality_classifier,
+        retrieval,
         sampling,
         text,
     )
@@ -280,6 +281,14 @@ def family_ops(docs, vecs, queries, srcd, centroids):
                 "doc_id",
                 (F.xxhash64("text") / 1e18).alias("logprob_per_gram"),
             )
+        ),
+        # 8 queries over the 10k hash-soup vocab; every term matches
+        # ~1/10000 of corpus tokens, so the candidate set is realistic
+        # (thousands of docs per query at 500k docs)
+        "retrieval_bm25_topk": lambda: retrieval.bm25_topk(
+            docs,
+            [(f"q{i}", f"w{i * 7 + 1} w{i * 13 + 2} w{i * 31 + 3}") for i in range(8)],
+            k=10,
         ),
     }
 
