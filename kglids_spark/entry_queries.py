@@ -1873,6 +1873,90 @@ def bm25_topk_docs(spark, sf_dir):
 
 
 @register(
+    "hybrid_rrf_topk",
+    r"""
+    WITH q(query_id, term, qtf) AS (VALUES
+      ('q_spark_join', 'join', 1), ('q_spark_join', 'spark', 1),
+      ('q_spark_join', 'window', 1),
+      ('q_vector', 'hash', 1), ('q_vector', 'merge', 1),
+      ('q_vector', 'vector', 1),
+      ('q_rep', 'join', 2), ('q_rep', 'stream', 1)),
+    qmap(qvec, query_id) AS (VALUES
+      (0, 'q_spark_join'), (1, 'q_vector'), (2, 'q_rep')),
+    words AS (
+      SELECT doc_id, list_filter(
+               string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+               w -> w <> '') AS ws
+      FROM documents),
+    dl AS (SELECT doc_id, len(ws) AS dl FROM words),
+    stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+    tf AS (
+      SELECT doc_id, term, count(*) AS tf
+      FROM (SELECT doc_id, unnest(ws) AS term FROM words)
+      WHERE term IN (SELECT DISTINCT term FROM q)
+      GROUP BY 1, 2),
+    dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+    contrib AS (
+      SELECT q.query_id, tf.doc_id,
+             q.qtf * ln(1 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+               * tf.tf * (1.2 + 1.0)
+               / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / s.avgdl)) AS c
+      FROM tf JOIN q USING (term) JOIN dfreq d USING (term)
+              JOIN dl USING (doc_id), stats s),
+    lex AS (
+      SELECT query_id, doc_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY round(sum(c), 6) DESC, doc_id) AS rank
+      FROM contrib GROUP BY query_id, doc_id
+      QUALIFY rank <= 10),
+    dense AS (
+      SELECT m.query_id, b.vec_id AS doc_id,
+             row_number() OVER (PARTITION BY a.vec_id
+                                ORDER BY list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) DESC,
+                                         b.vec_id) AS rank
+      FROM embeddings a
+      JOIN embeddings b ON a.vec_id != b.vec_id
+      JOIN qmap m ON m.qvec = a.vec_id
+      QUALIFY rank <= 10),
+    legs AS (
+      SELECT query_id, doc_id, 1.0 / (60 + rank) AS contrib FROM lex
+      UNION ALL
+      SELECT query_id, doc_id, 1.0 / (60 + rank) AS contrib FROM dense)
+    SELECT query_id, doc_id, round(sum(contrib), 6) AS rrf,
+           CAST(row_number() OVER (PARTITION BY query_id
+                                   ORDER BY round(sum(contrib), 6) DESC, doc_id) AS INT) AS rank
+    FROM legs GROUP BY query_id, doc_id
+    QUALIFY rank <= 10
+    """,
+)
+def hybrid_rrf_topk(spark, sf_dir):
+    """Hybrid retrieval: reciprocal-rank fusion of the BM25 lexical
+    top-10 and the dense cosine-kNN top-10 (query i uses query text
+    _BM25_QUERIES[i] and query vector vec_id=i — the testdata ids
+    coincide, giving the standard two-leg hybrid setup). RRF scores are
+    exact integer-rank reciprocals; the fused sum rounds to 6 dp before
+    ranking (bm25_topk discipline)."""
+    from kglids_spark.operators import ann, retrieval
+
+    d = _t(spark, sf_dir, "documents")
+    e = _t(spark, sf_dir, "embeddings")
+    lex = retrieval.bm25_topk(d, _BM25_QUERIES, k=10).select(
+        "query_id", "id", "rank"
+    )
+    qv = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    name_of = F.when(F.col("q_id") == 0, _BM25_QUERIES[0][0]).when(
+        F.col("q_id") == 1, _BM25_QUERIES[1][0]
+    ).otherwise(_BM25_QUERIES[2][0])
+    dense = ann.knn_join(qv, e, k=10).select(
+        name_of.alias("query_id"), F.col("c_id").alias("id"), "rank"
+    )
+    out = retrieval.rrf_fuse([lex, dense], k=10)
+    return out.select("query_id", F.col("id").alias("doc_id"), "rrf", "rank")
+
+
+@register(
     "embedding_norm_stats",
     """
     SELECT label, round(avg(sqrt(list_dot_product(embedding, embedding))), 5) AS avg_norm,

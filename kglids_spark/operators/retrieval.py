@@ -50,7 +50,7 @@ from pyspark.sql import functions as F
 
 from kglids_spark.operators.text import words_expr
 
-__all__ = ["bm25_scores", "bm25_topk", "tokenize_query"]
+__all__ = ["bm25_scores", "bm25_topk", "rrf_fuse", "tokenize_query"]
 
 K1_DEFAULT = 1.2
 B_DEFAULT = 0.75
@@ -212,6 +212,58 @@ def bm25_topk(
     final = Window.partitionBy("query_id").orderBy(*order)
     return (
         scored.withColumn("rank", F.row_number().over(final))
+        .where(F.col("rank") <= k)
+    )
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    k: int = 10,
+    k0: int = 60,
+    weights: list[float] | None = None,
+    score_dp: int = 6,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack, Clarke & Buettcher 2009) of ≥ 2
+    per-query rankings — the standard hybrid-retrieval combiner for a
+    lexical (``bm25_topk``) and a dense (``ann.knn_join``/``ivf_topk``)
+    leg: ``rrf(d) = Σ_legs w · 1/(k0 + rank_leg(d))``, documents absent
+    from a leg contribute 0 → (query_id, id, rrf, rank).
+
+    Each input is already a top-k output (≤ |queries|·k rows), so
+    fusion is tiny by construction: a union + one map-side-combined
+    groupBy + the rank-filtered window (WindowGroupLimit prunes
+    map-side).  Ranks are integers, so every leg contribution
+    ``w/(k0 + rank)`` is reproducible; the fused sum is rounded to
+    ``score_dp`` before ranking with the id tie-break (the bm25_topk
+    discipline — association order of a 3+-leg float sum is not
+    engine-stable)."""
+    if len(rankings) < 2:
+        raise ValueError("rrf_fuse: need at least 2 rankings")
+    if weights is None:
+        weights = [1.0] * len(rankings)
+    if len(weights) != len(rankings):
+        raise ValueError(
+            f"rrf_fuse: {len(weights)} weights for {len(rankings)} rankings"
+        )
+    legs = [
+        r.select(
+            "query_id",
+            "id",
+            (F.lit(w) / (F.lit(k0) + F.col("rank"))).alias("contrib"),
+        )
+        for r, w in zip(rankings, weights)
+    ]
+    allc = legs[0]
+    for leg in legs[1:]:
+        allc = allc.unionByName(leg)
+    fused = allc.groupBy("query_id", "id").agg(
+        F.round(F.sum("contrib"), score_dp).alias("rrf")
+    )
+    final = Window.partitionBy("query_id").orderBy(
+        F.col("rrf").desc(), F.col("id").asc()
+    )
+    return (
+        fused.withColumn("rank", F.row_number().over(final))
         .where(F.col("rank") <= k)
     )
 

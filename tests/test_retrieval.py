@@ -11,6 +11,7 @@ from kglids_spark.operators.retrieval import (
     bm25_reference_score,
     bm25_scores,
     bm25_topk,
+    rrf_fuse,
     tokenize_query,
 )
 
@@ -113,6 +114,41 @@ def test_precomputed_corpus_stats_match_inline(docs):
     assert set(inline) == set(pre)
     for key in inline:
         assert math.isclose(inline[key], pre[key], rel_tol=1e-12)
+
+
+def _ranking(spark, rows):
+    return spark.createDataFrame(rows, "query_id string, id long, rank int")
+
+
+def test_rrf_hand_computed(spark):
+    # doc 1 in both legs (ranks 1, 2); doc 2 lexical-only (rank 2);
+    # doc 3 dense-only (rank 1).
+    lex = _ranking(spark, [("q", 1, 1), ("q", 2, 2)])
+    dense = _ranking(spark, [("q", 3, 1), ("q", 1, 2)])
+    out = {r.id: (r.rrf, r.rank) for r in rrf_fuse([lex, dense], k=10).collect()}
+    assert out[1] == (round(1 / 61 + 1 / 62, 6), 1)
+    assert out[3] == (round(1 / 61, 6), 2)
+    assert out[2] == (round(1 / 62, 6), 3)
+
+
+def test_rrf_weights_and_tiebreak(spark):
+    # equal fused scores → id breaks the tie; weight doubles a leg.
+    lex = _ranking(spark, [("q", 5, 1), ("q", 4, 1)])  # invalid dup rank is
+    # fine for the fuser: it only reads the rank value
+    dense = _ranking(spark, [("q", 9, 3)])
+    out = rrf_fuse([lex, dense], k=10, weights=[1.0, 2.0]).collect()
+    by_id = {r.id: r for r in out}
+    # weighted dense leg wins: 2/63 > 1/61
+    assert by_id[9].rank == 1 and by_id[9].rrf == round(2.0 / 63, 6)
+    assert by_id[4].rank == 2 and by_id[5].rank == 3  # tie → lower id first
+
+
+def test_rrf_validation(spark):
+    one = _ranking(spark, [("q", 1, 1)])
+    with pytest.raises(ValueError, match="at least 2"):
+        rrf_fuse([one])
+    with pytest.raises(ValueError, match="weights"):
+        rrf_fuse([one, one], weights=[1.0])
 
 
 def test_idf_is_nonnegative_rare_term_outranks_common(docs):
