@@ -3395,6 +3395,34 @@ def multimodal_features(spark, sf_dir):
     )
 
 
+def _media_phash_values_sql() -> str:
+    from kglids_spark.functions import media_codecs as MC
+
+    rows = []
+    for i in range(_N_MEDIA):
+        r = MC.synth_media_row(i)
+        if r["kind"] != "image":
+            continue
+        ph = MC.dhash64(MC.decode_image(r["payload"]))
+        rows.append(f"({_sq(r['media_id'])}, {ph}::BIGINT)")
+    return (
+        "SELECT * FROM (VALUES " + ", ".join(rows) + ") t(media_id, phash)"
+    )
+
+
+@register("image_phash", _media_phash_values_sql())
+def image_phash(spark, sf_dir):
+    """Perceptual image fingerprints: REAL BMP decode → integer-luma
+    dHash per image row (LAION-style image-dedup signatures; pair
+    search rides dedup.hamming_near_dup_pairs — the SimHash blocking).
+    Value-exact vs the driver-side replay of the same deterministic
+    payloads (the multimodal_features oracle pattern)."""
+    from kglids_spark.operators.multimodal import perceptual_hashes, synthetic_media
+
+    media = synthetic_media(spark, _N_MEDIA)
+    return perceptual_hashes(media)
+
+
 @register("multimodal_frame_sampling", _media_frames_values_sql())
 def multimodal_frame_sampling(spark, sf_dir):
     """Timestamp explode (JVM-side) then real per-frame decode: each
@@ -4967,6 +4995,15 @@ _DRIVER_PRIORITY = [
     # ann_knn_join, and the trainer stays DuckDB-checked by
     # tests/test_entry.py on every pytest run)
     "bm25_topk_docs",
+    # (image_phash + hybrid_rrf_topk — the two queries NEW after the
+    # mid-round rotation (image perceptual dedup; RRF dense+sparse
+    # fusion) — displace score_normalized_events (W4: the window family
+    # keeps r4-green topk_revenue_customers and latest_event_per_user)
+    # and shipdate_year_counts (F5/F6: the scalar-function family keeps
+    # float_bit_decomposition, label_generation, json_extract_props and
+    # na_coercion_cast in this window); both displaced queries stay
+    # DuckDB-checked by tests/test_entry.py on every pytest run)
+    "image_phash", "hybrid_rrf_topk",
     # (c) last checked in round 2
     "ann_bruteforce_topk", "pipeline_top_used_libraries",
     "pipelines_by_tags", "pipelines_for_deep_learning",
@@ -4977,8 +5014,7 @@ _DRIVER_PRIORITY = [
     "json_extract_props", "label_generation",
     "na_coercion_cast",
     "pii_redaction", "rdf_ntriples_similarity",
-    "score_normalized_events",
-    "sentence_embedding_labels", "shipdate_year_counts",
+    "sentence_embedding_labels",
     "similarity_scores_reference", "split_assignment_sources",
     "text_repetition_signals",
 ]

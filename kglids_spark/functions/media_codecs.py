@@ -271,3 +271,30 @@ def features_for_payload(kind: str, payload: bytes) -> list[float]:
     if kind == "video":
         return video_features(decode_video(payload))
     raise ValueError(f"unknown media kind: {kind}")
+
+
+def dhash64(pixels: np.ndarray) -> int:
+    """64-bit difference hash (dHash — Krawetz's perceptual image
+    fingerprint): integer luma (r+g+b — no float rounding, so the
+    pure-Python test twin is trivially bit-exact), nearest-neighbour
+    subsample to a 9×8 grid, then one bit per horizontally-adjacent
+    brightness increase. Returned as a SIGNED 64-bit value (two's
+    complement) so it rides a Spark LongType column directly.
+
+    Near-identical images (resize, mild noise, re-encode) land within
+    a small Hamming radius — the image analogue of SimHash, and the
+    pair search reuses exactly that machinery
+    (dedup.hamming_near_dup_pairs)."""
+    h, w, _ = pixels.shape
+    gray = pixels.astype(np.int64).sum(axis=2)
+    ys = (np.arange(8) * h) // 8
+    xs = (np.arange(9) * w) // 9
+    g = gray[np.ix_(ys, xs)]
+    bits = (g[:, 1:] > g[:, :-1]).flatten()
+    v = 0
+    for i, b in enumerate(bits.tolist()):
+        if b:
+            v |= 1 << i
+    if v >= 1 << 63:
+        v -= 1 << 64
+    return v

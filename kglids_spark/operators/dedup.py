@@ -497,9 +497,29 @@ def simhash_pairs(
     (max_hamming+1) bit-chunks: by pigeonhole, any pair within the
     Hamming radius agrees exactly on at least one chunk, so the join is
     chunk-bucket-local instead of all-pairs."""
+    sigs = simhash_signatures(df, text_col, id_col, bits)
+    return hamming_near_dup_pairs(
+        sigs, sig_col="simhash", max_hamming=max_hamming, bits=bits
+    )
+
+
+def hamming_near_dup_pairs(
+    sigs: DataFrame,
+    id_col: str = "id",
+    sig_col: str = "simhash",
+    max_hamming: int = 3,
+    bits: int = 64,
+) -> DataFrame:
+    """(id1, id2, hamming) pairs with Hamming(signature) ≤ max_hamming
+    over ANY (id, 64-bit-signature) frame — the pigeonhole chunk
+    blocking shared by text SimHash (``simhash_pairs``) and image
+    dHash (``multimodal.perceptual_hashes``): signatures split into
+    (max_hamming+1) bit-chunks, any in-radius pair agrees exactly on
+    ≥ 1 chunk, so candidates join bucket-locally instead of
+    all-pairs."""
     n_chunks = max_hamming + 1
     chunk_bits = bits // n_chunks
-    sigs = simhash_signatures(df, text_col, id_col, bits)
+    sigs = sigs.select(F.col(id_col).alias("id"), F.col(sig_col).alias("simhash"))
     # signed-64 wraparound: a full-width chunk mask is all-ones (-1),
     # not 2^64-1 (which overflows a Java long in lit())
     mask = (1 << chunk_bits) - 1 if chunk_bits < 64 else -1

@@ -85,6 +85,42 @@ def extract_features(df: DataFrame) -> DataFrame:
     return df.select("media_id", "kind", "payload").mapInPandas(fn, out_schema)
 
 
+def perceptual_hashes(df: DataFrame) -> DataFrame:
+    """dHash perceptual fingerprints of the IMAGE rows →
+    (media_id, phash:long) — the image leg of near-duplicate detection
+    (LAION-style image dedup): decode is Arrow-batched mapInPandas over
+    the pure-numpy BMP codec, the hash itself integer-only
+    (media_codecs.dhash64), and the kind filter sits BEFORE the decode
+    so audio/video payloads are never deserialized.  Pair search over
+    the resulting signatures is dedup.hamming_near_dup_pairs — the
+    same pigeonhole chunk blocking SimHash uses, so image near-dup at
+    corpus scale is a bucket-local join, never all-pairs."""
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.StringType(), False),
+            T.StructField("phash", T.LongType(), False),
+        ]
+    )
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "phash": [
+                        MC.dhash64(MC.decode_image(bytes(p)))
+                        for p in pdf["payload"]
+                    ],
+                }
+            )
+
+    return (
+        df.where(F.col("kind") == "image")
+        .select("media_id", "payload")
+        .mapInPandas(fn, out_schema)
+    )
+
+
 def resize_images(df: DataFrame, target_w: int = 224, target_h: int = 224) -> DataFrame:
     """REAL resize of image rows: decode BMP → nearest-neighbour
     resample in numpy → re-encode BMP, in the same mapInPandas shape.

@@ -311,3 +311,37 @@ def test_fuzzy_dedup_survivors_composition(spark):
     assert surv == {"a", "b", "c", "d"} - doomed
     assert "a" in surv and "c" in surv  # min ids + singletons survive
     assert "b" not in surv  # exact dup of a
+
+
+def test_hamming_near_dup_pairs_exhaustive(spark):
+    """Pigeonhole chunk blocking returns EXACTLY the brute-force pair
+    set at every radius, including signed-64 boundary signatures (the
+    full-width-mask / two's-complement edge)."""
+    import itertools
+
+    sigs = [
+        ("a", 0),
+        ("b", 1),
+        ("c", 3),
+        ("d", 0x7FFFFFFFFFFFFFFF),
+        ("e", -1),
+        ("f", 7),
+        ("g", -0x8000000000000000),
+        ("h", 0b10110),
+    ]
+    sdf = spark.createDataFrame(sigs, "id string, simhash long")
+
+    def ham(x, y):
+        return bin((x ^ y) & ((1 << 64) - 1)).count("1")
+
+    for radius in (0, 1, 3, 6):
+        got = sorted(
+            (r.id1, r.id2, r.hamming)
+            for r in dedup.hamming_near_dup_pairs(sdf, max_hamming=radius).collect()
+        )
+        exp = sorted(
+            (a, b, ham(x, y))
+            for (a, x), (b, y) in itertools.combinations(sigs, 2)
+            if ham(x, y) <= radius
+        )
+        assert got == exp, f"radius={radius}"

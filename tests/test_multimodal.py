@@ -7,6 +7,7 @@ from pyspark.sql import functions as F
 
 from kglids_spark.functions import media_codecs as MC
 from kglids_spark.operators.multimodal import (
+    MEDIA_SCHEMA,
     FEATURE_DIM,
     extract_features,
     resize_images,
@@ -88,3 +89,75 @@ def test_sample_frames_decodes_real_frames(spark):
         assert r.frame_luma == pytest.approx(
             float((px @ np.array([0.299, 0.587, 0.114])).mean())
         )
+
+def test_dhash64_invariances():
+    """dHash is a perceptual fingerprint: bit-identical on exact copies,
+    within a small Hamming radius under nearest-neighbour resize of a
+    smooth image, and far from a structurally different image."""
+
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    y, x = np.mgrid[0:48, 0:64]
+    smooth = np.stack([(x * 3) % 256, (x * 2 + y) % 200, x % 128], axis=2)
+    smooth = smooth.astype(np.uint8)
+    h0 = MC.dhash64(smooth)
+    assert -(1 << 63) <= h0 < (1 << 63)
+    assert MC.dhash64(smooth.copy()) == h0
+    # nearest-neighbour resize (what resize_images does) keeps gradients
+    ys = (np.arange(24) * 48) // 24
+    xs = (np.arange(96) * 64) // 96
+    resized = smooth[np.ix_(ys, xs)]
+    assert ham(MC.dhash64(resized), h0) <= 4
+    # horizontally mirrored image reverses every gradient sign
+    assert ham(MC.dhash64(smooth[:, ::-1]), h0) >= 32
+
+
+def test_perceptual_hashes_distributed_matches_driver(spark):
+    """The mapInPandas dHash must equal the driver-side replay, and only
+    image rows may reach the decode (audio/video never deserialized)."""
+    from kglids_spark.operators.multimodal import perceptual_hashes
+
+    n = 24
+    got = {
+        r.media_id: r.phash
+        for r in perceptual_hashes(synthetic_media(spark, n)).collect()
+    }
+    n_images = 0
+    for i in range(n):
+        row = MC.synth_media_row(i)
+        if row["kind"] != "image":
+            assert row["media_id"] not in got
+            continue
+        n_images += 1
+        assert got[row["media_id"]] == MC.dhash64(MC.decode_image(row["payload"]))
+    assert len(got) == n_images > 0
+
+
+def test_image_near_dup_end_to_end(spark):
+    """Planted near-duplicate image found by dHash + Hamming blocking:
+    the LAION-style image-dedup path (decode → signature → pigeonhole
+    bucket join), with an unrelated image correctly left unpaired."""
+    from kglids_spark.operators.dedup import hamming_near_dup_pairs
+    from kglids_spark.operators.multimodal import perceptual_hashes
+
+    y, x = np.mgrid[0:32, 0:36]
+    base = np.stack([(x * 5) % 256, (y * 3) % 256, ((x + y) * 2) % 256], axis=2)
+    base = base.astype(np.uint8)
+    near = base.copy()
+    near[5, 7] = 255 - near[5, 7]  # one-pixel tamper off the sample grid
+    other = base[:, ::-1]  # mirrored: structurally different
+    rows = [
+        ("img-a", "image", "image/bmp", MC.encode_bmp(base), 36, 32, None),
+        ("img-b", "image", "image/bmp", MC.encode_bmp(near), 36, 32, None),
+        ("img-c", "image", "image/bmp", MC.encode_bmp(other), 36, 32, None),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    sigs = perceptual_hashes(media)
+    pairs = {
+        (r.id1, r.id2)
+        for r in hamming_near_dup_pairs(
+            sigs, id_col="media_id", sig_col="phash", max_hamming=3
+        ).collect()
+    }
+    assert pairs == {("img-a", "img-b")}
