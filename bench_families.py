@@ -23,9 +23,11 @@ import time
 
 DOCS = int(os.environ.get("SPARK_GRAFT_FAM_DOCS", "500000"))
 VECS = int(os.environ.get("SPARK_GRAFT_FAM_VECS", "200000"))
+MEDIA = int(os.environ.get("SPARK_GRAFT_FAM_MEDIA", "300000"))
 DIM = 64
 DOCS_PATH = os.environ.get("SPARK_GRAFT_FAM_DOCS_PATH", "/tmp/kglids_bench_docs")
 VECS_PATH = os.environ.get("SPARK_GRAFT_FAM_VECS_PATH", "/tmp/kglids_bench_vecs")
+MEDIA_PATH = os.environ.get("SPARK_GRAFT_FAM_MEDIA_PATH", "/tmp/kglids_bench_media")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "8"))
 
 
@@ -65,6 +67,32 @@ def _gen_embeddings(spark, n_rows: int, dim: int):
     )
 
 
+def _gen_media(spark, n_rows: int):
+    """Deterministic media table with REAL encoded BMP/WAV/KGV1
+    payloads (the media_codecs synthesizer, distributed mapInPandas);
+    kinds cycle image/audio/video and 1% of IMAGE rows clone the image
+    three ids earlier under their own media_id — planted exact-dup
+    mass for the perceptual-hash near-dup op (the docs generator's
+    clone discipline)."""
+    import pandas as pd
+
+    from kglids_spark.functions import media_codecs as MC
+    from kglids_spark.operators.multimodal import MEDIA_SCHEMA, _MEDIA_COLS
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for raw in pdf["id"]:
+                i = int(raw)
+                clone = i % 3 == 0 and (i // 3) % 100 == 99 and i >= 3
+                r = dict(MC.synth_media_row(i - 3 if clone else i))
+                r["media_id"] = f"m-{i:08d}"
+                rows.append(r)
+            yield pd.DataFrame(rows, columns=_MEDIA_COLS)
+
+    return spark.range(n_rows).mapInPandas(gen, MEDIA_SCHEMA)
+
+
 def _ensure(spark, path: str, n_rows: int, gen) -> None:
     import pyarrow.dataset as ds
 
@@ -96,7 +124,7 @@ def family_centroids(dim: int = DIM, k: int = 64) -> list[list[float]]:
     return [[math.sin(0.37 * (c + 1) * (j + 1)) for j in range(dim)] for c in range(k)]
 
 
-def family_ops(docs, vecs, queries, srcd, centroids):
+def family_ops(docs, vecs, queries, srcd, centroids, media=None):
     """The benched operator family, importable so tests can re-derive
     each op's plan and diff it against bench_plans/ (VERDICT r3 #8)."""
     from pyspark.sql import functions as F
@@ -107,6 +135,7 @@ def family_ops(docs, vecs, queries, srcd, centroids):
         drift,
         dsir,
         frequency,
+        multimodal,
         quality_classifier,
         retrieval,
         sampling,
@@ -290,6 +319,26 @@ def family_ops(docs, vecs, queries, srcd, centroids):
             [(f"q{i}", f"w{i * 7 + 1} w{i * 13 + 2} w{i * 31 + 3}") for i in range(8)],
             k=10,
         ),
+        # round-5: image perceptual near-dup — Arrow-batched BMP decode
+        # + integer dHash, then the SAME pigeonhole Hamming blocking
+        # SimHash uses. The decode dominates (signatures persist before
+        # the self-join so payloads decode ONCE); the pair join moves
+        # (id, long) chunk rows, never payloads. Eagerly checkpoints,
+        # so the plan variant keeps the lazy tree.
+        **(
+            {
+                "media_image_near_dup": {
+                    "run": lambda: multimodal.image_near_dup_pairs(
+                        media, max_hamming=3
+                    ),
+                    "plan": lambda: multimodal.image_near_dup_pairs(
+                        media, max_hamming=3, materialize=False
+                    ),
+                }
+            }
+            if media is not None
+            else {}
+        ),
     }
 
 
@@ -364,8 +413,10 @@ def main() -> None:
     spark = get_spark(app_name="bench_families", cpus=CPUS)
     _ensure(spark, DOCS_PATH, DOCS, _gen_documents)
     _ensure(spark, VECS_PATH, VECS, lambda s, n: _gen_embeddings(s, n, DIM))
+    _ensure(spark, MEDIA_PATH, MEDIA, _gen_media)
     docs = spark.read.parquet(DOCS_PATH)
     vecs = spark.read.parquet(VECS_PATH)
+    media = spark.read.parquet(MEDIA_PATH)
     queries = (
         vecs.filter(F.col("vec_id") % (VECS // 100) == 0)
         .select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
@@ -378,7 +429,7 @@ def main() -> None:
             "source"
         ),
     )
-    ops = family_ops(docs, vecs, queries, srcd, family_centroids())
+    ops = family_ops(docs, vecs, queries, srcd, family_centroids(), media=media)
     only = os.environ.get("SPARK_GRAFT_FAM_ONLY")
     if only:
         keep = {k.strip() for k in only.split(",")}
@@ -422,6 +473,8 @@ def main() -> None:
             unit_rows = VECS
         elif name == "dedup_semantic":
             unit_rows = VECS // 4  # the 50k-vec subset it processes
+        elif name.startswith("media"):
+            unit_rows = MEDIA
         else:
             unit_rows = DOCS
         results[name] = {

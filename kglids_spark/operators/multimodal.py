@@ -121,6 +121,33 @@ def perceptual_hashes(df: DataFrame) -> DataFrame:
     )
 
 
+def image_near_dup_pairs(
+    df: DataFrame, max_hamming: int = 3, materialize: bool = True
+) -> DataFrame:
+    """One-call image near-duplicate pairs (media_id1, media_id2 as
+    id1/id2, hamming): dHash signatures → pigeonhole Hamming blocking
+    (dedup.hamming_near_dup_pairs). The signature frame is PERSISTED
+    before the self-join — unlike SimHash's pure-expression signatures,
+    re-deriving a side here would re-decode every image payload — and
+    released via the eager-checkpoint discipline of ngram_jaccard_pairs
+    (the result is bounded by near-dup mass, never corpus-sized).
+    ``materialize=False`` keeps the lazy tree for plan snapshots."""
+    from kglids_spark.operators.dedup import hamming_near_dup_pairs
+
+    sigs = perceptual_hashes(df)
+    if materialize:
+        from pyspark import StorageLevel
+
+        sigs = sigs.persist(StorageLevel.MEMORY_AND_DISK)
+    pairs = hamming_near_dup_pairs(
+        sigs, id_col="media_id", sig_col="phash", max_hamming=max_hamming
+    )
+    if materialize:
+        pairs = pairs.localCheckpoint(eager=True)
+        sigs.unpersist()
+    return pairs
+
+
 def resize_images(df: DataFrame, target_w: int = 224, target_h: int = 224) -> DataFrame:
     """REAL resize of image rows: decode BMP → nearest-neighbour
     resample in numpy → re-encode BMP, in the same mapInPandas shape.

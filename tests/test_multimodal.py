@@ -161,3 +161,15 @@ def test_image_near_dup_end_to_end(spark):
         ).collect()
     }
     assert pairs == {("img-a", "img-b")}
+    # the one-call op (persist -> eager checkpoint -> unpersist) must
+    # agree with the composed form, in both materialize modes
+    from kglids_spark.operators.multimodal import image_near_dup_pairs
+
+    for mat in (True, False):
+        got = {
+            (r.id1, r.id2)
+            for r in image_near_dup_pairs(
+                media, max_hamming=3, materialize=mat
+            ).collect()
+        }
+        assert got == pairs

@@ -27,6 +27,7 @@ sys.path.insert(0, REPO)
 from bench_families import (  # noqa: E402
     _gen_documents,
     _gen_embeddings,
+    _gen_media,
     family_centroids,
     family_ops,
     normalize_op,
@@ -53,11 +54,13 @@ def _node_counts(plan_text: str) -> dict:
 @pytest.fixture(scope="module")
 def fam(spark, tmp_path_factory):
     root = tmp_path_factory.mktemp("fam")
-    dp, vp = str(root / "docs"), str(root / "vecs")
+    dp, vp, mp = str(root / "docs"), str(root / "vecs"), str(root / "media")
     _gen_documents(spark, 3000).write.parquet(dp)
     _gen_embeddings(spark, 2000, 64).write.parquet(vp)
+    _gen_media(spark, 600).write.parquet(mp)
     docs = spark.read.parquet(dp)
     vecs = spark.read.parquet(vp)
+    media = spark.read.parquet(mp)
     queries = (
         vecs.filter(F.col("vec_id") % 20 == 0)
         .select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
@@ -70,7 +73,7 @@ def fam(spark, tmp_path_factory):
             "source"
         ),
     )
-    return family_ops(docs, vecs, queries, srcd, family_centroids())
+    return family_ops(docs, vecs, queries, srcd, family_centroids(), media=media)
 
 
 def _snapshot_names():
