@@ -3423,6 +3423,35 @@ def image_phash(spark, sf_dir):
     return perceptual_hashes(media)
 
 
+def _media_audio_fp_values_sql() -> str:
+    from kglids_spark.functions import media_codecs as MC
+
+    rows = []
+    for i in range(_N_MEDIA):
+        r = MC.synth_media_row(i)
+        if r["kind"] != "audio":
+            continue
+        fp = MC.audio_fingerprint64(MC.decode_wav(r["payload"])[0])
+        rows.append(f"({_sq(r['media_id'])}, {fp}::BIGINT)")
+    return (
+        "SELECT * FROM (VALUES " + ", ".join(rows) + ") t(media_id, afp)"
+    )
+
+
+@register("audio_fingerprint", _media_audio_fp_values_sql())
+def audio_fingerprint(spark, sf_dir):
+    """Perceptual audio fingerprints: REAL WAV decode → integer-exact,
+    gain-invariant energy-envelope delta hash per audio row (the
+    Haitsma-Kalker sign-of-energy-difference shape); pair search rides
+    dedup.hamming_near_dup_pairs exactly like image dHash and text
+    SimHash. Value-exact vs the driver-side replay of the same
+    deterministic payloads (the multimodal_features oracle pattern)."""
+    from kglids_spark.operators.multimodal import audio_fingerprints, synthetic_media
+
+    media = synthetic_media(spark, _N_MEDIA)
+    return audio_fingerprints(media)
+
+
 @register("multimodal_frame_sampling", _media_frames_values_sql())
 def multimodal_frame_sampling(spark, sf_dir):
     """Timestamp explode (JVM-side) then real per-frame decode: each

@@ -121,31 +121,84 @@ def perceptual_hashes(df: DataFrame) -> DataFrame:
     )
 
 
-def image_near_dup_pairs(
-    df: DataFrame, max_hamming: int = 3, materialize: bool = True
+def audio_fingerprints(df: DataFrame) -> DataFrame:
+    """Energy-envelope fingerprints of the AUDIO rows →
+    (media_id, afp:long) — the audio leg of near-duplicate detection:
+    same shape as :func:`perceptual_hashes` (Arrow-batched mapInPandas
+    over the pure-numpy WAV parser, kind filter BEFORE decode), hash is
+    the integer-exact, gain-invariant media_codecs.audio_fingerprint64.
+    Pair search rides dedup.hamming_near_dup_pairs like image dHash and
+    text SimHash."""
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.StringType(), False),
+            T.StructField("afp", T.LongType(), False),
+        ]
+    )
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "afp": [
+                        MC.audio_fingerprint64(MC.decode_audio(bytes(p))[0])
+                        for p in pdf["payload"]
+                    ],
+                }
+            )
+
+    return (
+        df.where(F.col("kind") == "audio")
+        .select("media_id", "payload")
+        .mapInPandas(fn, out_schema)
+    )
+
+
+def _signature_near_dup_pairs(
+    sigs: DataFrame, sig_col: str, max_hamming: int, materialize: bool
 ) -> DataFrame:
-    """One-call image near-duplicate pairs (media_id1, media_id2 as
-    id1/id2, hamming): dHash signatures → pigeonhole Hamming blocking
-    (dedup.hamming_near_dup_pairs). The signature frame is PERSISTED
-    before the self-join — unlike SimHash's pure-expression signatures,
-    re-deriving a side here would re-decode every image payload — and
-    released via the eager-checkpoint discipline of ngram_jaccard_pairs
-    (the result is bounded by near-dup mass, never corpus-sized).
-    ``materialize=False`` keeps the lazy tree for plan snapshots."""
+    """Hamming pair search over a decode-derived signature frame. The
+    signatures are PERSISTED before the self-join — unlike SimHash's
+    pure-expression signatures, re-deriving a side here would re-decode
+    every media payload — and released via the eager-checkpoint
+    discipline of ngram_jaccard_pairs (the result is bounded by
+    near-dup mass, never corpus-sized). ``materialize=False`` keeps the
+    lazy tree for plan snapshots."""
     from kglids_spark.operators.dedup import hamming_near_dup_pairs
 
-    sigs = perceptual_hashes(df)
     if materialize:
         from pyspark import StorageLevel
 
         sigs = sigs.persist(StorageLevel.MEMORY_AND_DISK)
     pairs = hamming_near_dup_pairs(
-        sigs, id_col="media_id", sig_col="phash", max_hamming=max_hamming
+        sigs, id_col="media_id", sig_col=sig_col, max_hamming=max_hamming
     )
     if materialize:
         pairs = pairs.localCheckpoint(eager=True)
         sigs.unpersist()
     return pairs
+
+
+def image_near_dup_pairs(
+    df: DataFrame, max_hamming: int = 3, materialize: bool = True
+) -> DataFrame:
+    """One-call image near-duplicate pairs (media_id1, media_id2 as
+    id1/id2, hamming): dHash signatures → pigeonhole Hamming blocking
+    (dedup.hamming_near_dup_pairs)."""
+    return _signature_near_dup_pairs(
+        perceptual_hashes(df), "phash", max_hamming, materialize
+    )
+
+
+def audio_near_dup_pairs(
+    df: DataFrame, max_hamming: int = 3, materialize: bool = True
+) -> DataFrame:
+    """One-call audio near-duplicate pairs: energy-envelope
+    fingerprints → the same pigeonhole Hamming blocking."""
+    return _signature_near_dup_pairs(
+        audio_fingerprints(df), "afp", max_hamming, materialize
+    )
 
 
 def resize_images(df: DataFrame, target_w: int = 224, target_h: int = 224) -> DataFrame:

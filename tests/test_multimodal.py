@@ -173,3 +173,64 @@ def test_image_near_dup_end_to_end(spark):
             ).collect()
         }
         assert got == pairs
+
+
+def test_audio_fingerprint64_invariances():
+    """Gain-invariant (strict > survives any positive scale), bit-exact
+    on copies, far from a reversed clip."""
+
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    s = (MC._rand_bytes("au", 9, 1, 4000).view("<i2") - 8192).astype(np.int64)
+    h0 = MC.audio_fingerprint64(s)
+    assert -(1 << 63) <= h0 < (1 << 63)
+    assert MC.audio_fingerprint64(s.copy()) == h0
+    assert MC.audio_fingerprint64(s * 3) == h0  # uniform gain
+    # small additive noise moves few window-energy orderings
+    noisy = s + (MC._rand_bytes("nz", 9, 1, 2000 * 2).view("<i2") % 7) - 3
+    assert ham(MC.audio_fingerprint64(noisy), h0) <= 6
+    assert ham(MC.audio_fingerprint64(s[::-1].copy()), h0) >= 16
+
+
+def test_audio_fingerprints_distributed_matches_driver(spark):
+    from kglids_spark.operators.multimodal import audio_fingerprints
+
+    n = 24
+    got = {
+        r.media_id: r.afp
+        for r in audio_fingerprints(synthetic_media(spark, n)).collect()
+    }
+    n_audio = 0
+    for i in range(n):
+        row = MC.synth_media_row(i)
+        if row["kind"] != "audio":
+            assert row["media_id"] not in got
+            continue
+        n_audio += 1
+        assert got[row["media_id"]] == MC.audio_fingerprint64(
+            MC.decode_wav(row["payload"])[0]
+        )
+    assert len(got) == n_audio > 0
+
+
+def test_audio_near_dup_end_to_end(spark):
+    """Planted near-duplicate audio found by the fingerprint + Hamming
+    blocking: a re-gained copy pairs with the original, a reversed clip
+    does not."""
+    from kglids_spark.operators.multimodal import audio_near_dup_pairs
+
+    # bounded to ±8191 so the 2x-gain copy still fits int16 on encode
+    s = (MC._rand_bytes("au", 5, 1, 4000).view("<i2") // 4).astype(np.int64)
+    rows = [
+        ("au-a", "audio", "audio/wav", MC.encode_wav(s.astype(np.int16)), None, None, 500),
+        ("au-b", "audio", "audio/wav", MC.encode_wav((s * 2).astype(np.int16)), None, None, 500),
+        ("au-c", "audio", "audio/wav", MC.encode_wav(s[::-1].astype(np.int16)), None, None, 500),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    for mat in (True, False):
+        pairs = {
+            (r.id1, r.id2)
+            for r in audio_near_dup_pairs(media, max_hamming=3, materialize=mat).collect()
+        }
+        assert pairs == {("au-a", "au-b")}
