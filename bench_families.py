@@ -70,10 +70,10 @@ def _gen_embeddings(spark, n_rows: int, dim: int):
 def _gen_media(spark, n_rows: int):
     """Deterministic media table with REAL encoded BMP/WAV/KGV1
     payloads (the media_codecs synthesizer, distributed mapInPandas);
-    kinds cycle image/audio/video and 1% of image AND audio rows clone
-    the same-kind row three ids earlier under their own media_id —
-    planted exact-dup mass for the perceptual-hash / audio-fingerprint
-    near-dup ops (the docs generator's clone discipline)."""
+    kinds cycle image/audio/video and 1% of EVERY kind's rows clone the
+    same-kind row three ids earlier under their own media_id — planted
+    exact-dup mass for the image/audio/video fingerprint near-dup ops
+    (the docs generator's clone discipline)."""
     import pandas as pd
 
     from kglids_spark.functions import media_codecs as MC
@@ -84,7 +84,7 @@ def _gen_media(spark, n_rows: int):
             rows = []
             for raw in pdf["id"]:
                 i = int(raw)
-                clone = i % 3 in (0, 1) and (i // 3) % 100 == 99 and i >= 3
+                clone = (i // 3) % 100 == 99 and i >= 3
                 r = dict(MC.synth_media_row(i - 3 if clone else i))
                 r["media_id"] = f"m-{i:08d}"
                 rows.append(r)
@@ -342,6 +342,16 @@ def family_ops(docs, vecs, queries, srcd, centroids, media=None):
                         media, max_hamming=3
                     ),
                     "plan": lambda: multimodal.audio_near_dup_pairs(
+                        media, max_hamming=3, materialize=False
+                    ),
+                },
+                # video leg: per-frame dHash -> strict-majority vote,
+                # the heaviest decode (3-6 BMP frames per payload)
+                "media_video_near_dup": {
+                    "run": lambda: multimodal.video_near_dup_pairs(
+                        media, max_hamming=3
+                    ),
+                    "plan": lambda: multimodal.video_near_dup_pairs(
                         media, max_hamming=3, materialize=False
                     ),
                 },

@@ -3452,6 +3452,34 @@ def audio_fingerprint(spark, sf_dir):
     return audio_fingerprints(media)
 
 
+def _media_video_fp_values_sql() -> str:
+    from kglids_spark.functions import media_codecs as MC
+
+    rows = []
+    for i in range(_N_MEDIA):
+        r = MC.synth_media_row(i)
+        if r["kind"] != "video":
+            continue
+        fp = MC.video_fingerprint64(r["payload"])
+        rows.append(f"({_sq(r['media_id'])}, {fp}::BIGINT)")
+    return (
+        "SELECT * FROM (VALUES " + ", ".join(rows) + ") t(media_id, vfp)"
+    )
+
+
+@register("video_fingerprint", _media_video_fp_values_sql())
+def video_fingerprint(spark, sf_dir):
+    """Perceptual video fingerprints: REAL KGV1+BMP decode → per-frame
+    dHash → strict-majority vote per bit (videohash-style); pair search
+    rides dedup.hamming_near_dup_pairs like the image and audio legs.
+    Value-exact vs the driver-side replay of the same deterministic
+    payloads."""
+    from kglids_spark.operators.multimodal import synthetic_media, video_fingerprints
+
+    media = synthetic_media(spark, _N_MEDIA)
+    return video_fingerprints(media)
+
+
 @register("multimodal_frame_sampling", _media_frames_values_sql())
 def multimodal_frame_sampling(spark, sf_dir):
     """Timestamp explode (JVM-side) then real per-frame decode: each

@@ -327,3 +327,28 @@ def audio_fingerprint64(samples: np.ndarray) -> int:
     if v >= 1 << 63:
         v -= 1 << 64
     return v
+
+
+def video_fingerprint64(payload: bytes) -> int:
+    """64-bit video fingerprint: per-frame :func:`dhash64`, then a
+    majority vote per bit position across frames (the SimHash
+    construction applied to frame hashes — videohash-style, public
+    scheme). A clip sharing most frames with another (re-encode, one
+    tampered frame) lands within a small Hamming radius; bit b is set
+    iff STRICTLY more than half the frames set it, so the vote is
+    deterministic under even frame counts. Signed two's complement for
+    a Spark LongType column."""
+    frames = decode_video(payload)
+    n = len(frames)
+    votes = [0] * 64
+    for fpayload in frames:
+        h = dhash64(decode_bmp(fpayload)) & ((1 << 64) - 1)
+        for b in range(64):
+            votes[b] += (h >> b) & 1
+    v = 0
+    for b in range(64):
+        if votes[b] * 2 > n:
+            v |= 1 << b
+    if v >= 1 << 63:
+        v -= 1 << 64
+    return v

@@ -155,6 +155,38 @@ def audio_fingerprints(df: DataFrame) -> DataFrame:
     )
 
 
+def video_fingerprints(df: DataFrame) -> DataFrame:
+    """Majority-vote frame-hash fingerprints of the VIDEO rows →
+    (media_id, vfp:long): per-frame dHash, one bit set iff a strict
+    majority of frames set it (media_codecs.video_fingerprint64 —
+    the videohash-style public construction). Same Arrow-batched
+    kind-filter-before-decode shape as the image/audio legs; pair
+    search rides dedup.hamming_near_dup_pairs."""
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.StringType(), False),
+            T.StructField("vfp", T.LongType(), False),
+        ]
+    )
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "vfp": [
+                        MC.video_fingerprint64(bytes(p)) for p in pdf["payload"]
+                    ],
+                }
+            )
+
+    return (
+        df.where(F.col("kind") == "video")
+        .select("media_id", "payload")
+        .mapInPandas(fn, out_schema)
+    )
+
+
 def _signature_near_dup_pairs(
     sigs: DataFrame, sig_col: str, max_hamming: int, materialize: bool
 ) -> DataFrame:
@@ -198,6 +230,16 @@ def audio_near_dup_pairs(
     fingerprints → the same pigeonhole Hamming blocking."""
     return _signature_near_dup_pairs(
         audio_fingerprints(df), "afp", max_hamming, materialize
+    )
+
+
+def video_near_dup_pairs(
+    df: DataFrame, max_hamming: int = 3, materialize: bool = True
+) -> DataFrame:
+    """One-call video near-duplicate pairs: majority-vote frame-hash
+    fingerprints → the same pigeonhole Hamming blocking."""
+    return _signature_near_dup_pairs(
+        video_fingerprints(df), "vfp", max_hamming, materialize
     )
 
 

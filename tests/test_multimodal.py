@@ -234,3 +234,77 @@ def test_audio_near_dup_end_to_end(spark):
             for r in audio_near_dup_pairs(media, max_hamming=3, materialize=mat).collect()
         }
         assert pairs == {("au-a", "au-b")}
+
+
+def test_video_fingerprint64_invariances():
+    """Majority-vote frame hashes: stable when one of five near-identical
+    frames is tampered (4-1 votes keep every bit), far from a clip whose
+    frames are all mirrored."""
+
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    y, x = np.mgrid[0:24, 0:32]
+    frames = []
+    for k in range(5):  # correlated frames: smooth pan, same gradients
+        px = np.stack(
+            [(x * 4 + k) % 256, (y * 3 + 2 * k) % 256, ((x + y) * 2) % 256],
+            axis=2,
+        ).astype(np.uint8)
+        frames.append(px)
+    enc = lambda fs: MC.encode_video([MC.encode_bmp(p) for p in fs])
+    h0 = MC.video_fingerprint64(enc(frames))
+    assert -(1 << 63) <= h0 < (1 << 63)
+    assert MC.video_fingerprint64(enc([p.copy() for p in frames])) == h0
+    tampered = [p.copy() for p in frames]
+    tampered[2] = tampered[2][:, ::-1]  # one frame of five replaced
+    assert ham(MC.video_fingerprint64(enc(tampered)), h0) <= 3
+    mirrored = [p[:, ::-1].copy() for p in frames]
+    assert ham(MC.video_fingerprint64(enc(mirrored)), h0) >= 32
+
+
+def test_video_fingerprints_distributed_matches_driver(spark):
+    from kglids_spark.operators.multimodal import video_fingerprints
+
+    n = 24
+    got = {
+        r.media_id: r.vfp
+        for r in video_fingerprints(synthetic_media(spark, n)).collect()
+    }
+    n_video = 0
+    for i in range(n):
+        row = MC.synth_media_row(i)
+        if row["kind"] != "video":
+            assert row["media_id"] not in got
+            continue
+        n_video += 1
+        assert got[row["media_id"]] == MC.video_fingerprint64(row["payload"])
+    assert len(got) == n_video > 0
+
+
+def test_video_near_dup_end_to_end(spark):
+    from kglids_spark.operators.multimodal import video_near_dup_pairs
+
+    y, x = np.mgrid[0:24, 0:32]
+    frames = [
+        np.stack(
+            [(x * 4 + k) % 256, (y * 3 + 2 * k) % 256, ((x + y) * 2) % 256],
+            axis=2,
+        ).astype(np.uint8)
+        for k in range(5)
+    ]
+    enc = lambda fs: MC.encode_video([MC.encode_bmp(p) for p in fs])
+    tampered = [p.copy() for p in frames]
+    tampered[1] = tampered[1][:, ::-1]
+    rows = [
+        ("vid-a", "video", "video/x-kgv1", enc(frames), 32, 24, 200),
+        ("vid-b", "video", "video/x-kgv1", enc(tampered), 32, 24, 200),
+        ("vid-c", "video", "video/x-kgv1", enc([p[:, ::-1].copy() for p in frames]), 32, 24, 200),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    for mat in (True, False):
+        pairs = {
+            (r.id1, r.id2)
+            for r in video_near_dup_pairs(media, max_hamming=3, materialize=mat).collect()
+        }
+        assert pairs == {("vid-a", "vid-b")}
