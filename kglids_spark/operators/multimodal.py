@@ -94,7 +94,11 @@ def perceptual_hashes(df: DataFrame) -> DataFrame:
     so audio/video payloads are never deserialized.  Pair search over
     the resulting signatures is dedup.hamming_near_dup_pairs — the
     same pigeonhole chunk blocking SimHash uses, so image near-dup at
-    corpus scale is a bucket-local join, never all-pairs."""
+    corpus scale is a bucket-local join, never all-pairs.
+    Rows with a NULL payload are EXPLICITLY dropped (a missing blob
+    has no signature, and a null signature would only poison the
+    Hamming join) — the filter is visible in the plan, not a silent
+    executor crash."""
     out_schema = T.StructType(
         [
             T.StructField("media_id", T.StringType(), False),
@@ -115,7 +119,7 @@ def perceptual_hashes(df: DataFrame) -> DataFrame:
             )
 
     return (
-        df.where(F.col("kind") == "image")
+        df.where((F.col("kind") == "image") & F.col("payload").isNotNull())
         .select("media_id", "payload")
         .mapInPandas(fn, out_schema)
     )
@@ -128,7 +132,11 @@ def audio_fingerprints(df: DataFrame) -> DataFrame:
     over the pure-numpy WAV parser, kind filter BEFORE decode), hash is
     the integer-exact, gain-invariant media_codecs.audio_fingerprint64.
     Pair search rides dedup.hamming_near_dup_pairs like image dHash and
-    text SimHash."""
+    text SimHash.
+    Rows with a NULL payload are EXPLICITLY dropped (a missing blob
+    has no signature, and a null signature would only poison the
+    Hamming join) — the filter is visible in the plan, not a silent
+    executor crash."""
     out_schema = T.StructType(
         [
             T.StructField("media_id", T.StringType(), False),
@@ -149,7 +157,7 @@ def audio_fingerprints(df: DataFrame) -> DataFrame:
             )
 
     return (
-        df.where(F.col("kind") == "audio")
+        df.where((F.col("kind") == "audio") & F.col("payload").isNotNull())
         .select("media_id", "payload")
         .mapInPandas(fn, out_schema)
     )
@@ -161,7 +169,11 @@ def video_fingerprints(df: DataFrame) -> DataFrame:
     majority of frames set it (media_codecs.video_fingerprint64 —
     the videohash-style public construction). Same Arrow-batched
     kind-filter-before-decode shape as the image/audio legs; pair
-    search rides dedup.hamming_near_dup_pairs."""
+    search rides dedup.hamming_near_dup_pairs.
+    Rows with a NULL payload are EXPLICITLY dropped (a missing blob
+    has no signature, and a null signature would only poison the
+    Hamming join) — the filter is visible in the plan, not a silent
+    executor crash."""
     out_schema = T.StructType(
         [
             T.StructField("media_id", T.StringType(), False),
@@ -181,7 +193,7 @@ def video_fingerprints(df: DataFrame) -> DataFrame:
             )
 
     return (
-        df.where(F.col("kind") == "video")
+        df.where((F.col("kind") == "video") & F.col("payload").isNotNull())
         .select("media_id", "payload")
         .mapInPandas(fn, out_schema)
     )

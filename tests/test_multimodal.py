@@ -308,3 +308,21 @@ def test_video_near_dup_end_to_end(spark):
             for r in video_near_dup_pairs(media, max_hamming=3, materialize=mat).collect()
         }
         assert pairs == {("vid-a", "vid-b")}
+
+
+def test_fingerprints_drop_null_payload_rows(spark):
+    """A NULL payload must be filtered before the decode (documented
+    drop), never reach bytes(None) in the executor."""
+    from kglids_spark.operators.multimodal import (
+        audio_fingerprints,
+        perceptual_hashes,
+        video_fingerprints,
+    )
+
+    rows = [("x-img", "image", None, None, None, None, None),
+            ("x-au", "audio", None, None, None, None, None),
+            ("x-vid", "video", None, None, None, None, None)]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    assert perceptual_hashes(media).count() == 0
+    assert audio_fingerprints(media).count() == 0
+    assert video_fingerprints(media).count() == 0
