@@ -355,6 +355,28 @@ def main(argv: list[str] | None = None) -> int:
     a.add_argument("--scripts", required=True, help="directory of .py files")
     a.add_argument("--out", default=None, help="parquet output for statement rows")
 
+    md = sub.add_parser(
+        "media-dedup",
+        help="perceptual near-duplicate pairs over a media parquet "
+        "(media_id, kind, payload, ...): image dHash / audio "
+        "energy-envelope / video majority-frame-vote signatures, one "
+        "shared pigeonhole Hamming pair-join",
+    )
+    md.add_argument("--input", required=True, help="media table parquet")
+    md.add_argument(
+        "--kind",
+        choices=["image", "audio", "video", "all"],
+        default="all",
+        help="which modality legs to run (default: all)",
+    )
+    md.add_argument("--max-hamming", type=int, default=3)
+    md.add_argument(
+        "--out",
+        default=None,
+        help="parquet dir for pair rows (kind, id1, id2, hamming)",
+    )
+    md.add_argument("--cpus", type=int, default=None)
+
     z = sub.add_parser(
         "package",
         help="zip the kglids_spark package for spark-submit --py-files "
@@ -1002,6 +1024,41 @@ def main(argv: list[str] | None = None) -> int:
             rows = prof.collect()
         for row in rows:
             print(json.dumps(row.asDict(), default=str))
+        return 0
+
+    if args.cmd == "media-dedup":
+        from kglids_spark.operators import multimodal as MM
+
+        legs = {
+            "image": MM.image_near_dup_pairs,
+            "audio": MM.audio_near_dup_pairs,
+            "video": MM.video_near_dup_pairs,
+        }
+        if args.kind != "all":
+            legs = {args.kind: legs[args.kind]}
+        media = spark.read.parquet(args.input)
+        summary: dict[str, int] = {}
+        all_pairs = None
+        for kind, fn in legs.items():
+            pairs = fn(media, max_hamming=args.max_hamming).withColumn(
+                "kind", F.lit(kind)
+            ).select("kind", "id1", "id2", "hamming")
+            # the one-call ops eagerly checkpoint, so counting and a
+            # later union/write reuse the materialized (small) result
+            summary[kind] = pairs.count()
+            all_pairs = pairs if all_pairs is None else all_pairs.unionByName(pairs)
+        if args.out:
+            all_pairs.write.mode("overwrite").parquet(args.out)
+        print(
+            json.dumps(
+                {
+                    "pairs_by_kind": summary,
+                    "n_pairs": sum(summary.values()),
+                    "max_hamming": args.max_hamming,
+                    **({"written": args.out} if args.out else {}),
+                }
+            )
+        )
         return 0
 
     if args.cmd == "sql":

@@ -326,3 +326,33 @@ def test_fingerprints_drop_null_payload_rows(spark):
     assert perceptual_hashes(media).count() == 0
     assert audio_fingerprints(media).count() == 0
     assert video_fingerprints(media).count() == 0
+
+
+def test_cli_media_dedup(spark, tmp_path, capsys):
+    """`cli media-dedup` finds exactly the planted same-kind clones and
+    writes the pair rows with their kind tags."""
+    import json
+
+    import pandas as pd
+
+    from kglids_spark.cli import main
+
+    rows = []
+    for i in range(120):
+        clone = (i // 3) % 10 == 9 and i >= 3
+        r = dict(MC.synth_media_row(i - 3 if clone else i))
+        r["media_id"] = f"m-{i:08d}"
+        rows.append(r)
+    src = str(tmp_path / "media")
+    spark.createDataFrame(pd.DataFrame(rows), MEDIA_SCHEMA).write.parquet(src)
+    out = str(tmp_path / "pairs")
+    rc = main(["media-dedup", "--input", src, "--out", out])
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["pairs_by_kind"] == {"image": 4, "audio": 4, "video": 4}
+    assert summary["n_pairs"] == 12
+    got = spark.read.parquet(out)
+    assert got.count() == 12
+    assert {r.kind for r in got.select("kind").distinct().collect()} == {
+        "image", "audio", "video",
+    }
