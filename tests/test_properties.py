@@ -247,3 +247,39 @@ def test_exclusive_offsets_law(counts):
     for b, off in out:
         assert off == running
         running += counts[b]
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(st.integers(min_value=-30000, max_value=30000), min_size=1, max_size=500),
+    st.integers(min_value=1, max_value=1000),
+)
+def test_audio_fingerprint_gain_invariance(samples, gain):
+    """Positive gain is a monotone transform of every window-energy
+    inequality, so the fingerprint never moves; and the value always
+    fits a signed 64-bit long."""
+    from kglids_spark.functions.media_codecs import audio_fingerprint64
+
+    s = np.array(samples, dtype=np.int64)
+    h = audio_fingerprint64(s)
+    assert -(1 << 63) <= h < (1 << 63)
+    assert audio_fingerprint64(s * gain) == h
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.integers(min_value=2, max_value=24),
+    st.integers(min_value=2, max_value=24),
+    st.integers(min_value=0, max_value=2**32),
+)
+def test_dhash_is_resize_stable_on_constant_rows(w, h, seed):
+    """An image whose rows are identical keeps its dHash under any
+    vertical nearest-neighbour resize: the 9x8 sample grid sees the
+    same horizontal gradient signs regardless of row count."""
+    from kglids_spark.functions.media_codecs import dhash64
+
+    rng = np.random.default_rng(seed)
+    row = rng.integers(0, 256, size=(1, w, 3), dtype=np.uint8)
+    img_a = np.repeat(row, h, axis=0)
+    img_b = np.repeat(row, max(1, h // 2), axis=0)
+    assert dhash64(img_a) == dhash64(img_b)
