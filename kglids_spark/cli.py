@@ -1029,6 +1029,12 @@ def main(argv: list[str] | None = None) -> int:
     if args.cmd == "media-dedup":
         from kglids_spark.operators import multimodal as MM
 
+        if not 0 <= args.max_hamming <= 63:
+            raise SystemExit(
+                f"--max-hamming {args.max_hamming}: must be in [0, 63] "
+                "(64-bit signatures; each pigeonhole chunk needs >= 1 bit)"
+            )
+
         legs = {
             "image": MM.image_near_dup_pairs,
             "audio": MM.audio_near_dup_pairs,

@@ -516,8 +516,19 @@ def hamming_near_dup_pairs(
     dHash (``multimodal.perceptual_hashes``): signatures split into
     (max_hamming+1) bit-chunks, any in-radius pair agrees exactly on
     ≥ 1 chunk, so candidates join bucket-locally instead of
-    all-pairs."""
+    all-pairs.
+
+    ``max_hamming`` must satisfy 0 ≤ max_hamming < bits AND leave every
+    chunk at least one bit wide (max_hamming+1 ≤ bits) — a zero-width
+    chunk would silently degrade the blocking join to all-pairs, the
+    exact quadratic blow-up this operator exists to avoid, so it raises
+    instead (the ann.py k-clamp convention)."""
     n_chunks = max_hamming + 1
+    if max_hamming < 0 or n_chunks > bits:
+        raise ValueError(
+            f"max_hamming must be in [0, {bits - 1}] (got {max_hamming}): "
+            "each of the max_hamming+1 pigeonhole chunks needs >= 1 bit"
+        )
     chunk_bits = bits // n_chunks
     sigs = sigs.select(F.col(id_col).alias("id"), F.col(sig_col).alias("simhash"))
     # signed-64 wraparound: a full-width chunk mask is all-ones (-1),

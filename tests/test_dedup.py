@@ -345,3 +345,15 @@ def test_hamming_near_dup_pairs_exhaustive(spark):
             if ham(x, y) <= radius
         )
         assert got == exp, f"radius={radius}"
+
+
+def test_hamming_near_dup_pairs_rejects_degenerate_radius(spark):
+    """A zero-width pigeonhole chunk would silently collapse the
+    blocking join to all-pairs — must raise instead."""
+    sdf = spark.createDataFrame([("a", 0)], "id string, simhash long")
+    with pytest.raises(ValueError, match="max_hamming"):
+        dedup.hamming_near_dup_pairs(sdf, max_hamming=-1)
+    with pytest.raises(ValueError, match="max_hamming"):
+        dedup.hamming_near_dup_pairs(sdf, max_hamming=64)
+    # 63 is the widest legal radius: 64 one-bit chunks
+    assert dedup.hamming_near_dup_pairs(sdf, max_hamming=63).count() == 0
