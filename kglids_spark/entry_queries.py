@@ -4963,8 +4963,8 @@ _DRIVER_PRIORITY = [
     # cannot express, lockstep-pinned by pytest), (b) the 2 queries
     # NEW in round 5 (duplicated-span removal, CCNet tertile buckets),
     # (c) the 4 r2-last stragglers displaced from the r4 window, and
-    # (d) 32 of the 49 queries whose last driver row is round 3. The
-    # 17 r3-green queries left out (ann_lsh_topk_md5 /
+    # (d) 30 of the 49 queries whose last driver row is round 3. The
+    # 19 r3-green queries left out (ann_lsh_topk_md5 /
     # dedup_minhash_lsh_md5 / dedup_simhash_md5 / doc_fingerprint_md5 —
     # md5 twins whose production xxhash paths got r4 rows and whose
     # equality is lockstep-pinned; eda_operations_iterative,
@@ -4972,10 +4972,11 @@ _DRIVER_PRIORITY = [
     # epoch_upsample_sources, semi_join_customers_with_orders,
     # group_max_rowcount, url_encoded_ids, true_ratio_returnflag,
     # rolling_avg_events, token_array_ops, join_multiway_region,
-    # per_source_stats, vocab_top_tokens, correlation_profile_lineitem
+    # per_source_stats, vocab_top_tokens, correlation_profile_lineitem,
+    # label_generation, sentence_embedding_labels
     # — each family keeps >=1 fresher row in this window) are
     # re-oracled against DuckDB by tests/test_entry.py on every pytest
-    # run; with 133 registered queries and a 50-slot window, most must
+    # run; with 138 registered queries and a 50-slot window, most must
     # sit two rounds back at any time — the exclusions are the
     # most-redundantly-pinned ones.
     # sample_fraction (inherently no-oracle, r2 rows recorded) stays
@@ -5057,10 +5058,19 @@ _DRIVER_PRIORITY = [
     # fusion) — displace score_normalized_events (W4: the window family
     # keeps r4-green topk_revenue_customers and latest_event_per_user)
     # and shipdate_year_counts (F5/F6: the scalar-function family keeps
-    # float_bit_decomposition, label_generation, json_extract_props and
-    # na_coercion_cast in this window); both displaced queries stay
-    # DuckDB-checked by tests/test_entry.py on every pytest run)
+    # float_bit_decomposition, json_extract_props and na_coercion_cast
+    # in this window); both displaced queries stay DuckDB-checked by
+    # tests/test_entry.py on every pytest run)
     "image_phash", "hybrid_rrf_topk",
+    # (audio_fingerprint + video_fingerprint — the round-closing media
+    # near-dup queries, value-exact oracles, never driver-checked —
+    # displace label_generation (F1: the scalar family keeps
+    # float_bit_decomposition, json_extract_props and na_coercion_cast
+    # in-window) and sentence_embedding_labels (F12: the identical
+    # production path is pinned by r4-green sentence_embedding_subword,
+    # a strict superset adding the OOV backoff); both displaced queries
+    # stay DuckDB-checked by tests/test_entry.py on every pytest run)
+    "audio_fingerprint", "video_fingerprint",
     # (c) last checked in round 2
     "ann_bruteforce_topk", "pipeline_top_used_libraries",
     "pipelines_by_tags", "pipelines_for_deep_learning",
@@ -5068,10 +5078,9 @@ _DRIVER_PRIORITY = [
     "dedup_clusters",
     "dedup_ngram_jaccard", "eda_operations", "float_bit_decomposition",
     "intersect_except_keys",
-    "json_extract_props", "label_generation",
+    "json_extract_props",
     "na_coercion_cast",
     "pii_redaction", "rdf_ntriples_similarity",
-    "sentence_embedding_labels",
     "similarity_scores_reference", "split_assignment_sources",
     "text_repetition_signals",
 ]
