@@ -152,6 +152,13 @@ def family_ops(docs, vecs, queries, srcd, centroids, media=None):
         "dedup_minhash_lsh": lambda: dedup.minhash_lsh_pairs(
             docs, num_perm=16, bands=8, threshold=0.5
         ),
+        # the leakage audit must cost ~nothing beyond pair generation:
+        # split classification is a pure hash of each pair side, so the
+        # plan is minhash's plus one codegen projection — the snapshot
+        # guard pins that (no new Exchange/Join vs dedup_minhash_lsh)
+        "dedup_split_leakage": lambda: dedup.split_leakage_pairs(
+            docs, num_perm=16, bands=8, threshold=0.5
+        ),
         "dedup_simhash": lambda: dedup.simhash_pairs(docs, max_hamming=3),
         "dedup_ngram_jaccard": lambda: dedup.ngram_jaccard_pairs(
             docs, threshold=0.5, max_shingle_df=50

@@ -377,6 +377,35 @@ def main(argv: list[str] | None = None) -> int:
     )
     md.add_argument("--cpus", type=int, default=None)
 
+    lk = sub.add_parser(
+        "leakage",
+        help="cross-split near-duplicate leakage audit over a documents "
+        "parquet: MinHash-LSH pairs straddling the deterministic "
+        "train/val/test split (the eval-contamination check run "
+        "before a corpus release)",
+    )
+    lk.add_argument("--input", required=True, help="documents table parquet")
+    lk.add_argument("--text-col", default="text")
+    lk.add_argument("--id-col", default="doc_id")
+    lk.add_argument(
+        "--splits",
+        default="train=0.9,val=0.05,test=0.05",
+        help="comma list of name=fraction (must sum to 1 within 1e-6)",
+    )
+    lk.add_argument("--split-seed", type=int, default=0)
+    lk.add_argument("--num-perm", type=int, default=64)
+    lk.add_argument("--bands", type=int, default=16)
+    lk.add_argument("--threshold", type=float, default=0.5)
+    lk.add_argument(
+        "--out", default=None, help="parquet dir for leakage pair rows"
+    )
+    lk.add_argument(
+        "--fail-on-leakage",
+        action="store_true",
+        help="exit 2 if any near-dup pair straddles splits (CI gate)",
+    )
+    lk.add_argument("--cpus", type=int, default=None)
+
     z = sub.add_parser(
         "package",
         help="zip the kglids_spark package for spark-submit --py-files "
@@ -1065,6 +1094,63 @@ def main(argv: list[str] | None = None) -> int:
                 }
             )
         )
+        return 0
+
+    if args.cmd == "leakage":
+        from kglids_spark.operators import dedup as D
+
+        try:
+            splits = {
+                part.split("=", 1)[0].strip(): float(part.split("=", 1)[1])
+                for part in args.splits.split(",")
+                if part.strip()
+            }
+        except (IndexError, ValueError):
+            raise SystemExit(f"--splits {args.splits!r}: expected name=frac[,name=frac...]")
+        if len(splits) < 2:
+            raise SystemExit("--splits needs >= 2 splits (nothing can straddle one)")
+        if abs(sum(splits.values()) - 1.0) > 1e-6:
+            raise SystemExit(f"--splits fractions sum to {sum(splits.values())}, expected 1")
+        if args.num_perm <= 0 or args.num_perm % args.bands:
+            raise SystemExit(
+                f"--num-perm {args.num_perm} must be a positive multiple of --bands {args.bands}"
+            )
+        pairs = D.split_leakage_pairs(
+            spark.read.parquet(args.input),
+            text_col=args.text_col,
+            id_col=args.id_col,
+            splits=splits,
+            split_seed=args.split_seed,
+            num_perm=args.num_perm,
+            bands=args.bands,
+            threshold=args.threshold,
+        )
+        # the pair set is small (near-dups that also straddle splits);
+        # persist so the summary groupBy and the optional write don't
+        # re-run the LSH join
+        pairs = pairs.localCheckpoint(eager=True)
+        by_splits = {
+            f"{r.split1}->{r.split2}": r.n
+            for r in pairs.groupBy("split1", "split2")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        if args.out:
+            pairs.write.mode("overwrite").parquet(args.out)
+        n = sum(by_splits.values())
+        print(
+            json.dumps(
+                {
+                    "n_leakage_pairs": n,
+                    "by_splits": dict(sorted(by_splits.items())),
+                    "threshold": args.threshold,
+                    "splits": splits,
+                    **({"written": args.out} if args.out else {}),
+                }
+            )
+        )
+        if args.fail_on_leakage and n:
+            return 2
         return 0
 
     if args.cmd == "sql":

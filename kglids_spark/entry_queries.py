@@ -872,6 +872,23 @@ def dedup_minhash_lsh_md5(spark, sf_dir):
     return dedup.minhash_lsh_pairs_md5(d, num_perm=8, bands=4, threshold=0.5)
 
 
+@register(
+    "split_leakage_pairs",
+    dedup.split_leakage_oracle_sql(num_perm=8, bands=4, threshold=0.5),
+)
+def split_leakage_pairs(spark, sf_dir):
+    """Cross-split near-dup leakage audit (dedup.split_leakage_pairs):
+    MinHash-LSH pairs straddling the deterministic train/val/test
+    split — the eval-contamination check run before any corpus
+    release. Portable md5 variant for the value-exact oracle; the
+    xxhash64 production path is lockstep-pinned by
+    tests/test_eda_twins.py."""
+    d = _t(spark, sf_dir, "documents")
+    return dedup.split_leakage_pairs(
+        d, portable_hash=True, num_perm=8, bands=4, threshold=0.5
+    )
+
+
 @register("dedup_simhash")  # xxhash64 production path: rows-only check
 def dedup_simhash(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
@@ -4963,8 +4980,8 @@ _DRIVER_PRIORITY = [
     # cannot express, lockstep-pinned by pytest), (b) the 2 queries
     # NEW in round 5 (duplicated-span removal, CCNet tertile buckets),
     # (c) the 4 r2-last stragglers displaced from the r4 window, and
-    # (d) 30 of the 49 queries whose last driver row is round 3. The
-    # 19 r3-green queries left out (ann_lsh_topk_md5 /
+    # (d) 29 of the 49 queries whose last driver row is round 3. The
+    # 20 r3-green queries left out (ann_lsh_topk_md5 /
     # dedup_minhash_lsh_md5 / dedup_simhash_md5 / doc_fingerprint_md5 —
     # md5 twins whose production xxhash paths got r4 rows and whose
     # equality is lockstep-pinned; eda_operations_iterative,
@@ -4973,10 +4990,10 @@ _DRIVER_PRIORITY = [
     # group_max_rowcount, url_encoded_ids, true_ratio_returnflag,
     # rolling_avg_events, token_array_ops, join_multiway_region,
     # per_source_stats, vocab_top_tokens, correlation_profile_lineitem,
-    # label_generation, sentence_embedding_labels
+    # label_generation, sentence_embedding_labels, dedup_clusters
     # — each family keeps >=1 fresher row in this window) are
     # re-oracled against DuckDB by tests/test_entry.py on every pytest
-    # run; with 138 registered queries and a 50-slot window, most must
+    # run; with 139 registered queries and a 50-slot window, most must
     # sit two rounds back at any time — the exclusions are the
     # most-redundantly-pinned ones.
     # sample_fraction (inherently no-oracle, r2 rows recorded) stays
@@ -5074,8 +5091,13 @@ _DRIVER_PRIORITY = [
     # (c) last checked in round 2
     "ann_bruteforce_topk", "pipeline_top_used_libraries",
     "pipelines_by_tags", "pipelines_for_deep_learning",
+    # (split_leakage_pairs — the round-closing cross-split leakage
+    # audit, value-exact oracle, never driver-checked — takes
+    # dedup_clusters's slot within the same dedup family; the
+    # clustering query stays r3-green and DuckDB-checked by
+    # tests/test_entry.py on every pytest run)
+    "split_leakage_pairs",
     # (d) last checked in round 3
-    "dedup_clusters",
     "dedup_ngram_jaccard", "eda_operations", "float_bit_decomposition",
     "intersect_except_keys",
     "json_extract_props",

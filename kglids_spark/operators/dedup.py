@@ -468,6 +468,99 @@ def minhash_lsh_pairs_md5_oracle_sql(
     """
 
 
+def split_leakage_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    splits: dict | None = None,
+    split_seed: int = 0,
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    seed: int = 42,
+    portable_hash: bool = False,
+) -> DataFrame:
+    """Cross-split near-duplicate LEAKAGE audit: MinHash-LSH near-dup
+    pairs whose two members land in DIFFERENT deterministic
+    train/val/test splits — the pairs that contaminate evaluation (a
+    val/test doc with a training-set near-duplicate scores memorized,
+    not generalized; Brown et al. 2020 appendix C and The Pile both
+    audit exactly this before release). Returns
+    (id1, id2, split1, split2, est_jaccard).
+
+    Scale shape: the split is a PURE HASH FUNCTION of the key
+    (sampling.split_case_expr), so both sides classify map-side on the
+    pair stream — zero joins and zero shuffles beyond the LSH pair
+    generation itself, vs. the naive two joins against a corpus-sized
+    assignment table. ``portable_hash`` switches every hash to md5
+    (the cross-engine twin, bit-portable to split_leakage_oracle_sql);
+    xxhash64 remains the production path."""
+    pair_fn = minhash_lsh_pairs_md5 if portable_hash else minhash_lsh_pairs
+    kwargs = {} if portable_hash else {"seed": seed}
+    pairs = pair_fn(
+        df, text_col, id_col, num_perm, bands, shingle_n, threshold, **kwargs
+    )
+    from kglids_spark.operators.sampling import split_case_expr
+
+    def _split_of(side: str) -> F.Column:
+        # split_case_expr reads key_cols by name: alias the pair side
+        # to the id column's name inside a nested struct-free select
+        return split_case_expr([side], splits, split_seed)
+
+    out = pairs.select(
+        "id1",
+        "id2",
+        _split_of("id1").alias("split1"),
+        _split_of("id2").alias("split2"),
+        "est_jaccard",
+    )
+    return out.filter(F.col("split1") != F.col("split2"))
+
+
+def _duckdb_split_case(col: str, splits: dict | None, seed: int) -> str:
+    """DuckDB CASE expression mirroring sampling.split_case_expr
+    bit-for-bit: u = first 8 md5 hex chars of 'split:<seed>' || US ||
+    key, as a fraction of 2^32."""
+    splits = splits or {"train": 0.9, "val": 0.05, "test": 0.05}
+    u = (
+        f"CAST(('0x' || substring(md5('split:{seed}' || chr(31) || "
+        f"CAST({col} AS VARCHAR)), 1, 8)) AS UBIGINT) / 4294967296.0"
+    )
+    whens, edge = [], 0.0
+    names = list(splits)
+    for name in names[:-1]:
+        edge += float(splits[name])
+        whens.append(f"WHEN {u} < {edge!r} THEN '{name}'")
+    return f"CASE {' '.join(whens)} ELSE '{names[-1]}' END"
+
+
+def split_leakage_oracle_sql(
+    num_perm: int = 8,
+    bands: int = 4,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    splits: dict | None = None,
+    split_seed: int = 0,
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB SQL equivalent of split_leakage_pairs(portable_hash=True):
+    the md5 MinHash-LSH pair query wrapped with the split CASE on each
+    side and the straddle filter."""
+    pair_sql = minhash_lsh_pairs_md5_oracle_sql(
+        num_perm, bands, shingle_n, threshold, table, text_col, id_col
+    )
+    c1 = _duckdb_split_case("id1", splits, split_seed)
+    c2 = _duckdb_split_case("id2", splits, split_seed)
+    return f"""
+    SELECT id1, id2, {c1} AS split1, {c2} AS split2, est_jaccard
+    FROM ({pair_sql}) pairs
+    WHERE ({c1}) <> ({c2})
+    """
+
+
 def simhash_signatures(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64
 ) -> DataFrame:

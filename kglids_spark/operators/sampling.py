@@ -153,6 +153,27 @@ def _hash_u(key_cols: list[str], seed: int, domain: str) -> F.Column:
     ).cast("double") / F.lit(float(1 << 32))
 
 
+def split_case_expr(
+    key_cols: list[str], splits: dict | None = None, seed: int = 0
+) -> F.Column:
+    """The split-name CASE expression over ``u = first 8 md5 hex chars
+    / 2^32`` — a pure function of (seed, keys), so any operator can
+    classify a key's split MAP-SIDE with no join against an assignment
+    table (split_leakage_pairs relies on this: the pair stream gets
+    both sides' splits as column expressions)."""
+    splits = splits or {"train": 0.9, "val": 0.05, "test": 0.05}
+    u = _hash_u(key_cols, seed, "split")
+    expr = None
+    edge = 0.0
+    for name, frac in splits.items():
+        edge += float(frac)
+        cond = u < F.lit(edge)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    # float dust above the last boundary joins the last split
+    last = list(splits)[-1]
+    return expr.otherwise(F.lit(last))
+
+
 def split_assignment(
     df: DataFrame,
     key_cols: list[str],
@@ -169,17 +190,7 @@ def split_assignment(
     Pure column expressions: no shuffle, no UDF; the boundaries fold
     into one CASE chain inside codegen.
     """
-    splits = splits or {"train": 0.9, "val": 0.05, "test": 0.05}
-    u = _hash_u(key_cols, seed, "split")
-    expr = None
-    edge = 0.0
-    for name, frac in splits.items():
-        edge += float(frac)
-        cond = u < F.lit(edge)
-        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
-    # float dust above the last boundary joins the last split
-    last = list(splits)[-1]
-    return df.withColumn("split", expr.otherwise(F.lit(last)))
+    return df.withColumn("split", split_case_expr(key_cols, splits, seed))
 
 
 def global_positions(

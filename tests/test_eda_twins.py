@@ -124,6 +124,63 @@ def test_minhash_twin_lockstep(clone_docs):
     assert joins(prod) == joins(twin)
 
 
+def test_split_leakage_twin_lockstep(clone_docs):
+    """Under split seed 0, clone pair (0, 100) straddles val/train
+    while (1, 101) and (2, 102) are train/train — the audit must keep
+    exactly the straddler and drop same-split near-dups, in BOTH hash
+    families, with splits matching sampling.split_assignment."""
+    from kglids_spark.operators.sampling import split_assignment
+
+    prod = dedup.split_leakage_pairs(clone_docs, num_perm=8, bands=4, threshold=0.5)
+    twin = dedup.split_leakage_pairs(
+        clone_docs, num_perm=8, bands=4, threshold=0.5, portable_hash=True
+    )
+    for got in (prod.collect(), twin.collect()):
+        assert {(r.id1, r.id2) for r in got} == {(0, 100)}
+        (r,) = got
+        assert (r.split1, r.split2, r.est_jaccard) == ("val", "train", 1.0)
+    # the map-side split CASE agrees with the assignment-table operator
+    assigned = {
+        r.doc_id: r.split
+        for r in split_assignment(clone_docs, ["doc_id"]).collect()
+    }
+    assert (assigned[0], assigned[100]) == ("val", "train")
+    assert assigned[1] == assigned[101] == "train"
+
+
+def test_cli_leakage_gate(clone_docs, tmp_path, capsys):
+    """`cli leakage` reports the straddling pair, exits 2 under
+    --fail-on-leakage, and rejects malformed --splits up front."""
+    import json
+
+    from kglids_spark.cli import main
+
+    src = str(tmp_path / "docs")
+    clone_docs.write.parquet(src)
+    out = str(tmp_path / "pairs")
+    rc = main([
+        "leakage", "--input", src, "--num-perm", "8", "--bands", "4",
+        "--out", out,
+    ])
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["n_leakage_pairs"] == 1
+    assert summary["by_splits"] == {"val->train": 1}
+    got = clone_docs.sparkSession.read.parquet(out).collect()
+    assert [(r.id1, r.id2, r.split1, r.split2) for r in got] == [
+        (0, 100, "val", "train")
+    ]
+    assert main([
+        "leakage", "--input", src, "--num-perm", "8", "--bands", "4",
+        "--fail-on-leakage",
+    ]) == 2
+    capsys.readouterr()
+    with pytest.raises(SystemExit, match="name=frac"):
+        main(["leakage", "--input", src, "--splits", "bogus"])
+    with pytest.raises(SystemExit, match="multiple of"):
+        main(["leakage", "--input", src, "--num-perm", "10", "--bands", "4"])
+
+
 def test_simhash_twin_lockstep(clone_docs):
     prod_pairs = {
         (r.id1, r.id2) for r in dedup.simhash_pairs(clone_docs, max_hamming=3).collect()
