@@ -873,6 +873,37 @@ def dedup_minhash_lsh_md5(spark, sf_dir):
 
 
 @register(
+    "jsonl_roundtrip",
+    """
+    SELECT doc_id, md5(text) AS text_md5, lang, CAST(n_chars AS BIGINT) AS n_chars
+    FROM documents
+    """,
+)
+def jsonl_roundtrip(spark, sf_dir):
+    """JSON-Lines sink + source fidelity, end-to-end: write documents
+    as gzip JSONL (the interchange shape public corpora ship in), read
+    back through read_jsonl_corpus's one-scan from_json path, and emit
+    a per-row text digest. The oracle computes the digest straight
+    from parquet, so JSON escaping (newlines, quotes, unicode, nulls)
+    is value-checked byte-for-byte across the round trip."""
+    from kglids_spark.sources.tables import read_jsonl_corpus, write_jsonl
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang", "n_chars")
+    # per-invocation unique path: a fixed one races against concurrent
+    # sessions (driver run + pytest) overwriting mid-scan
+    import uuid
+
+    path = f"/tmp/kglids_spark_jsonl_rt_{uuid.uuid4().hex[:12]}"
+    write_jsonl(d, path, compression="gzip")
+    back = read_jsonl_corpus(
+        spark, path, "doc_id long, text string, lang string, n_chars long"
+    )
+    return back.select(
+        "doc_id", F.md5("text").alias("text_md5"), "lang", "n_chars"
+    )
+
+
+@register(
     "split_leakage_pairs",
     dedup.split_leakage_oracle_sql(num_perm=8, bands=4, threshold=0.5),
 )
@@ -4993,7 +5024,7 @@ _DRIVER_PRIORITY = [
     # label_generation, sentence_embedding_labels, dedup_clusters
     # — each family keeps >=1 fresher row in this window) are
     # re-oracled against DuckDB by tests/test_entry.py on every pytest
-    # run; with 139 registered queries and a 50-slot window, most must
+    # run; with 140 registered queries and a 50-slot window, most must
     # sit two rounds back at any time — the exclusions are the
     # most-redundantly-pinned ones.
     # sample_fraction (inherently no-oracle, r2 rows recorded) stays

@@ -223,3 +223,60 @@ def read_csv_table(
             target = "bigint" if flags.get(f"{f.name}__intratio", 0) == 1.0 else "double"
             df = df.withColumn(f.name, F.col(f.name).cast(target))
     return df
+
+
+def write_jsonl(
+    df: DataFrame,
+    path: str,
+    compression: str | None = "gzip",
+    partitions: int | None = None,
+) -> None:
+    """JSON-Lines sink — the interchange format public corpora ship in
+    (one JSON object per line; Dolma, RedPajama, The Pile all publish
+    this shape). ``compression`` maps to Spark's text-codec option
+    (gzip/bzip2/deflate/none). Scale note: gzip parts are NOT
+    splittable — one read task per file — so the writer keeps the
+    input partitioning (many medium files) unless ``partitions``
+    explicitly coalesces; never write one giant .gz."""
+    w = df.repartition(partitions) if partitions else df
+    writer = w.write.mode("overwrite")
+    if compression and compression != "none":
+        writer = writer.option("compression", compression)
+    writer.json(path)
+
+
+def read_jsonl_corpus(spark: SparkSession, path: str, schema=None) -> DataFrame:
+    """JSON-Lines source. With an explicit ``schema`` (string DDL or
+    StructType) the read is ONE text scan + a from_json projection —
+    no driver-blocking inference job over 100 TB of text, and
+    malformed lines land in ``_corrupt_json`` (the raw line) instead
+    of failing the job, so a bad shard surfaces as countable,
+    quarantineable rows. from_json is a plain codegen expression, so —
+    unlike Spark's built-in ``columnNameOfCorruptRecord`` channel,
+    which refuses any query whose pruned references collapse to the
+    corrupt column alone (QUERY_ONLY_CORRUPT_RECORD_COLUMN) — every
+    downstream query shape works, including
+    ``filter(_corrupt_json.isNotNull()).count()``. Blank lines are
+    skipped (matching spark.read.json). Without a schema, falls back
+    to Spark's sampling inference (no corrupt capture)."""
+    if schema is None:
+        return spark.read.json(path)
+    from pyspark.sql.types import StringType, StructType
+
+    st = StructType.fromDDL(schema) if isinstance(schema, str) else schema
+    if "_corrupt_json" not in st.fieldNames():
+        # as a FIELD of from_json's target struct the corrupt channel
+        # is an ordinary expression output — the file-scan restriction
+        # does not apply
+        st = st.add("_corrupt_json", StringType())
+    from pyspark.sql import functions as F
+
+    raw = spark.read.text(path).filter(F.trim("value") != "")
+    parsed = raw.select(
+        F.from_json(
+            F.col("value"),
+            st,
+            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_corrupt_json"},
+        ).alias("_r")
+    )
+    return parsed.select("_r.*")

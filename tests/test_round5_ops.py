@@ -263,3 +263,53 @@ def test_dedup_lines_within_doc(spark):
     # zero-shuffle plan
     plan = TX.dedup_lines_within_doc(d)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_jsonl_roundtrip_fidelity(spark, tmp_path):
+    """write_jsonl -> read_jsonl_corpus preserves every value exactly:
+    newlines, tabs, quotes, backslashes, unicode beyond the BMP, and
+    NULLs (Spark's writer omits null fields; the reader restores
+    them)."""
+    from kglids_spark.sources.tables import read_jsonl_corpus, write_jsonl
+
+    rows = [
+        (1, "plain", "en"),
+        (2, 'new\nline\tand "quotes" and \\ backslash', "en"),
+        (3, None, "fr"),
+        (4, "unicode: café 中文 \U0001f600", None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    path = str(tmp_path / "jl")
+    write_jsonl(df, path, compression="gzip")
+    import glob
+
+    assert glob.glob(path + "/*.json.gz"), "gzip parts expected"
+    back = read_jsonl_corpus(spark, path, "doc_id long, text string, lang string")
+    got = sorted(
+        [(r.doc_id, r.text, r.lang) for r in back.select("doc_id", "text", "lang").collect()],
+        key=str,
+    )
+    assert got == sorted(rows, key=str)
+    assert back.filter(F.col("_corrupt_json").isNotNull()).count() == 0
+
+
+def test_jsonl_corrupt_lines_quarantined(spark, tmp_path):
+    """Malformed lines become countable rows carrying the raw line in
+    _corrupt_json (never a job failure); blank lines are skipped like
+    spark.read.json; every downstream query shape works, including the
+    corrupt-only filter Spark's built-in channel refuses."""
+    from kglids_spark.sources.tables import read_jsonl_corpus
+
+    p = tmp_path / "bad.json"
+    p.write_text(
+        '{"doc_id": 1, "text": "ok"}\nnot json at all\n\n{"doc_id": 2, "text": "also ok"}\n'
+    )
+    b = read_jsonl_corpus(spark, str(p), "doc_id long, text string")
+    assert b.count() == 3
+    corrupt = b.filter(F.col("_corrupt_json").isNotNull())
+    assert corrupt.count() == 1
+    assert corrupt.collect()[0]["_corrupt_json"] == "not json at all"
+    assert b.filter(F.col("_corrupt_json").isNull()).count() == 2
+    # schema-less inference fallback still reads the good rows
+    inferred = read_jsonl_corpus(spark, str(p))
+    assert inferred.count() >= 2
