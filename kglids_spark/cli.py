@@ -265,6 +265,21 @@ def main(argv: list[str] | None = None) -> int:
     )
     pr.add_argument("--input", required=True, help="parquet of documents")
     pr.add_argument("--out", required=True, help="output parquet")
+    pr.add_argument(
+        "--input-format",
+        choices=["parquet", "jsonl"],
+        default="parquet",
+        help="jsonl reads gzip/plain JSON-Lines via read_jsonl_corpus; "
+        "malformed lines are dropped and counted as corrupt_json_dropped",
+    )
+    pr.add_argument(
+        "--input-schema",
+        default=None,
+        metavar="DDL",
+        help="explicit DDL schema for --input-format jsonl (e.g. "
+        "'doc_id long, text string, source string'); omitting it "
+        "falls back to sampling inference (no corrupt capture)",
+    )
     pr.add_argument("--text-col", default="text")
     pr.add_argument("--id-col", default="doc_id")
     pr.add_argument(
@@ -792,6 +807,8 @@ def main(argv: list[str] | None = None) -> int:
             os.makedirs(args.stage_dir, exist_ok=True)
             conf = {
                 "input": args.input,
+                "input_format": args.input_format,
+                "input_schema": args.input_schema,
                 "text_col": tcol,
                 "id_col": icol,
                 "skip": sorted(skip),
@@ -812,6 +829,8 @@ def main(argv: list[str] | None = None) -> int:
                 prior.setdefault("drop_quality_buckets", [])
                 prior.setdefault("decontaminate_against", None)
                 prior.setdefault("decon_ngram", args.decon_ngram)
+                prior.setdefault("input_format", "parquet")
+                prior.setdefault("input_schema", None)
                 if prior != conf:
                     raise SystemExit(
                         f"--stage-dir {args.stage_dir!r} holds checkpoints "
@@ -822,9 +841,21 @@ def main(argv: list[str] | None = None) -> int:
                 with open(conf_path, "w") as f:
                     json.dump(conf, f)
 
-        df = spark.read.parquet(args.input)
+        counts: dict = {}
+        if args.input_format == "jsonl":
+            from kglids_spark.sources.tables import read_jsonl_corpus
+
+            df = read_jsonl_corpus(spark, args.input, args.input_schema)
+            if "_corrupt_json" in df.columns:
+                n_all = df.count()
+                df = df.filter(F.col("_corrupt_json").isNull()).drop(
+                    "_corrupt_json"
+                )
+                counts["corrupt_json_dropped"] = n_all - df.count()
+        else:
+            df = spark.read.parquet(args.input)
         base_cols = df.columns
-        counts: dict = {"input": df.count()}
+        counts["input"] = df.count()
         timings: dict = {}
 
         def _stage(name, fn, cur):

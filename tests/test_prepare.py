@@ -187,3 +187,36 @@ def test_prepare_usage_errors(docs_path, tmp_path, extra, msg):
             ]
         )
     assert msg in str(ei.value)
+
+
+def test_prepare_jsonl_input(spark, docs_path, tmp_path, capsys):
+    """--input-format jsonl runs the same pipeline off a gzip JSONL
+    corpus; a planted malformed line is dropped and counted as
+    corrupt_json_dropped instead of failing the job."""
+    import glob
+    import gzip
+    import os
+
+    from kglids_spark.sources.tables import write_jsonl
+
+    jl = str(tmp_path / "docs_jl")
+    write_jsonl(spark.read.parquet(docs_path), jl, compression="gzip")
+    part = sorted(glob.glob(jl + "/*.json.gz"))[0]
+    with open(part, "rb") as f:
+        data = gzip.decompress(f.read())
+    with open(part, "wb") as f:
+        f.write(gzip.compress(data + b"this is not json\n"))
+    # hadoop's LocalFS verifies .crc sidecars; the rewrite invalidated it
+    for crc in glob.glob(jl + "/.*.crc"):
+        os.unlink(crc)
+    out, summary = _run(
+        jl, tmp_path, capsys,
+        "--input-format", "jsonl",
+        "--input-schema", "doc_id string, text string, source string",
+    )
+    c = summary["stage_counts"]
+    assert c["corrupt_json_dropped"] == 1
+    assert c["input"] == 34
+    assert c["fuzzy"] == 31
+    assert summary["rows"] == 31
+    assert spark.read.parquet(out).count() == 31
