@@ -392,6 +392,27 @@ def main(argv: list[str] | None = None) -> int:
     )
     md.add_argument("--cpus", type=int, default=None)
 
+    dc = sub.add_parser(
+        "datacard",
+        help="one-JSON corpus data card over a documents table: scale, "
+        "length quantiles, quality moments, language/source mix, "
+        "exact-duplicate rate — the release-note summary",
+    )
+    dc.add_argument("--input", required=True, help="documents table")
+    dc.add_argument(
+        "--input-format", choices=["parquet", "jsonl"], default="parquet"
+    )
+    dc.add_argument("--input-schema", default=None, metavar="DDL")
+    dc.add_argument("--text-col", default="text")
+    dc.add_argument("--source-col", default=None)
+    dc.add_argument("--top-k", type=int, default=10)
+    dc.add_argument(
+        "--exact-dup",
+        action="store_true",
+        help="exact count_distinct for the duplicate rate instead of HLL",
+    )
+    dc.add_argument("--cpus", type=int, default=None)
+
     lk = sub.add_parser(
         "leakage",
         help="cross-split near-duplicate leakage audit over a documents "
@@ -1125,6 +1146,29 @@ def main(argv: list[str] | None = None) -> int:
                 }
             )
         )
+        return 0
+
+    if args.cmd == "datacard":
+        from kglids_spark.operators.text import corpus_datacard
+
+        if args.input_format == "jsonl":
+            from kglids_spark.sources.tables import read_jsonl_corpus
+
+            df = read_jsonl_corpus(spark, args.input, args.input_schema)
+            if "_corrupt_json" in df.columns:
+                df = df.filter(F.col("_corrupt_json").isNull()).drop(
+                    "_corrupt_json"
+                )
+        else:
+            df = spark.read.parquet(args.input)
+        card = corpus_datacard(
+            df,
+            text_col=args.text_col,
+            source_col=args.source_col,
+            top_k=args.top_k,
+            exact_dup=args.exact_dup,
+        )
+        print(json.dumps(card))
         return 0
 
     if args.cmd == "leakage":

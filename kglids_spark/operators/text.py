@@ -965,3 +965,71 @@ def analyze_documents(df: DataFrame, text_col: str = "text") -> DataFrame:
         .withColumn("fingerprint", fingerprint_expr(text_col))
         .withColumn("digest", content_digest_expr(text_col))
     )
+
+
+def corpus_datacard(
+    df: DataFrame,
+    text_col: str = "text",
+    source_col: str | None = None,
+    top_k: int = 10,
+    exact_dup: bool = False,
+) -> dict:
+    """Release-note data card for a document corpus, as one JSON-able
+    dict: scale (docs, chars, words, ws-tokens), length quantiles,
+    quality-score moments, language mix, exact-duplicate rate, and the
+    per-source share table — the summary a corpus release publishes
+    and a 100 TB ingest sanity-checks against the previous drop.
+
+    Scale shape: ONE map-side-combined aggregation over the analyzed
+    projection carries every scalar (counts, sums, approx length
+    quantiles, HLL distinct digests), plus one dictionary-sized
+    groupBy per categorical axis (language, source) truncated to
+    ``top_k`` by count. Nothing corpus-sized ever reaches the driver.
+    ``exact_dup=True`` swaps the HLL duplicate estimate for an exact
+    count_distinct (one extra shuffle over the digest column)."""
+    a = analyze_documents(df, text_col)
+    dup_agg = (
+        F.count_distinct("digest") if exact_dup else F.approx_count_distinct("digest")
+    )
+    g = a.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col(text_col).isNull().cast("long")).alias("n_null_text"),
+        F.sum("q_n_chars").alias("total_chars"),
+        F.sum("q_n_words").alias("total_words"),
+        F.sum("n_tok_ws").alias("total_tokens_ws"),
+        F.percentile_approx(
+            "q_n_chars", F.array(*[F.lit(q) for q in (0.1, 0.5, 0.9, 0.99)])
+        ).alias("len_q"),
+        F.avg("q_score").alias("mean_quality"),
+        F.count("digest").alias("n_with_text"),
+        dup_agg.alias("distinct_digests"),
+    ).collect()[0]
+
+    def _dist(col: str) -> dict:
+        rows = (
+            a.where(F.col(col).isNotNull())
+            .groupBy(col)
+            .agg(F.count(F.lit(1)).alias("n"))
+            .orderBy(F.desc("n"), F.col(col))
+            .limit(top_k)
+            .collect()
+        )
+        return {r[col]: r["n"] for r in rows}
+
+    n_text = g["n_with_text"] or 0
+    distinct = min(g["distinct_digests"] or 0, n_text)  # HLL can overshoot
+    card = {
+        "n_docs": g["n_docs"],
+        "n_null_text": g["n_null_text"] or 0,
+        "total_chars": g["total_chars"],
+        "total_words": g["total_words"],
+        "total_tokens_ws": g["total_tokens_ws"],
+        "len_chars_p10_p50_p90_p99": list(g["len_q"]) if g["len_q"] else None,
+        "mean_quality": round(g["mean_quality"], 6) if g["mean_quality"] is not None else None,
+        "exact_dup_rate": round(1.0 - distinct / n_text, 6) if n_text else None,
+        "dup_estimator": "exact" if exact_dup else "hll",
+        "languages": _dist("lang_pred"),
+    }
+    if source_col and source_col in df.columns:
+        card["sources"] = _dist(source_col)
+    return card

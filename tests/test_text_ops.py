@@ -428,3 +428,34 @@ def test_char_lm_train_score_matches_composition(spark):
         for r in text.char_lm_train_score(docs).collect()
     }
     assert fused == composed and len(fused) > 100
+
+
+def test_corpus_datacard_hand_computed(spark):
+    """Data-card scalars match hand-computed values: null text is
+    counted but excluded from digests, the exact duplicate rate sees
+    the planted clone, and top_k truncates the source table
+    deterministically (count desc, then value asc)."""
+    from kglids_spark.operators.text import corpus_datacard
+
+    t1 = "the cat sat on the mat with the hat"
+    t4 = "unique text of words and data here now"
+    rows = [(1, t1, "a"), (2, t1, "a"), (3, None, "b"), (4, t4, "b")]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    card = corpus_datacard(df, source_col="source", exact_dup=True, top_k=1)
+    assert card["n_docs"] == 4
+    assert card["n_null_text"] == 1
+    assert card["total_chars"] == 2 * len(t1) + len(t4)
+    assert card["total_words"] == 2 * len(t1.split()) + len(t4.split())
+    assert card["total_tokens_ws"] == card["total_words"]
+    # 3 docs with text, 2 distinct digests
+    assert card["exact_dup_rate"] == round(1 - 2 / 3, 6)
+    assert card["dup_estimator"] == "exact"
+    assert sum(card["languages"].values()) == 3  # null text has no lang
+    # tie on count 2 vs 2 -> value ascending picks 'a'
+    assert card["sources"] == {"a": 2}
+    assert card["len_chars_p10_p50_p90_p99"][1] == len(t1)  # median
+    # hll mode still bounded to [0, 1]
+    hll = corpus_datacard(df, exact_dup=False)
+    assert 0.0 <= hll["exact_dup_rate"] <= 1.0
+    assert hll["dup_estimator"] == "hll"
+    assert "sources" not in hll
