@@ -904,6 +904,21 @@ def jsonl_roundtrip(spark, sf_dir):
 
 
 @register(
+    "cross_source_dup_matrix",
+    dedup.near_dup_group_matrix_oracle_sql(num_perm=8, bands=4, threshold=0.5),
+)
+def cross_source_dup_matrix(spark, sf_dir):
+    """Cross-source near-dup matrix (dedup.near_dup_group_matrix):
+    MinHash-LSH pairs rolled up by the unordered source pair — the
+    which-feeds-duplicate-each-other audit a mixture plan consults.
+    Portable md5 variant for the value-exact oracle."""
+    d = _t(spark, sf_dir, "documents")
+    return dedup.near_dup_group_matrix(
+        d, portable_hash=True, num_perm=8, bands=4, threshold=0.5
+    )
+
+
+@register(
     "split_leakage_pairs",
     dedup.split_leakage_oracle_sql(num_perm=8, bands=4, threshold=0.5),
 )
@@ -5024,7 +5039,7 @@ _DRIVER_PRIORITY = [
     # label_generation, sentence_embedding_labels, dedup_clusters
     # — each family keeps >=1 fresher row in this window) are
     # re-oracled against DuckDB by tests/test_entry.py on every pytest
-    # run; with 140 registered queries and a 50-slot window, most must
+    # run; with 141 registered queries and a 50-slot window, most must
     # sit two rounds back at any time — the exclusions are the
     # most-redundantly-pinned ones.
     # sample_fraction (inherently no-oracle, r2 rows recorded) stays

@@ -518,6 +518,76 @@ def split_leakage_pairs(
     return out.filter(F.col("split1") != F.col("split2"))
 
 
+def near_dup_group_matrix(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    seed: int = 42,
+    portable_hash: bool = False,
+) -> DataFrame:
+    """Cross-GROUP near-duplicate matrix: MinHash-LSH pairs rolled up
+    by the (unordered) group pair of their two members — the "which
+    feeds resell the same crawl" audit a mixture plan consults before
+    weighting sources. Returns (group_a, group_b, n_pairs) with
+    group_a <= group_b (least/greatest canonicalization, so the matrix
+    is symmetric-free).
+
+    Unlike split_leakage_pairs the group is NOT a function of the id,
+    so each pair side looks up its group — but the lookup table is a
+    2-column (id, group) projection and the pair set is tiny relative
+    to the corpus, so AQE broadcasts the pair side into both joins;
+    the matrix aggregation is dictionary-sized (|groups|²/2 rows)."""
+    pair_fn = minhash_lsh_pairs_md5 if portable_hash else minhash_lsh_pairs
+    kwargs = {} if portable_hash else {"seed": seed}
+    pairs = pair_fn(
+        df, text_col, id_col, num_perm, bands, shingle_n, threshold, **kwargs
+    )
+    g = df.select(F.col(id_col).alias("id"), F.col(group_col).alias("g"))
+    joined = (
+        pairs.join(g.withColumnRenamed("id", "id1").withColumnRenamed("g", "g1"), "id1")
+        .join(g.withColumnRenamed("id", "id2").withColumnRenamed("g", "g2"), "id2")
+    )
+    return (
+        joined.groupBy(
+            F.least("g1", "g2").alias("group_a"),
+            F.greatest("g1", "g2").alias("group_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
+def near_dup_group_matrix_oracle_sql(
+    num_perm: int = 8,
+    bands: int = 4,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    group_col: str = "source",
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB SQL equivalent of near_dup_group_matrix(portable_hash=
+    True): the md5 pair query joined to the group projection on both
+    sides and rolled up by the canonicalized group pair."""
+    pair_sql = minhash_lsh_pairs_md5_oracle_sql(
+        num_perm, bands, shingle_n, threshold, table, text_col, id_col
+    )
+    return f"""
+    SELECT least(ga.{group_col}, gb.{group_col}) AS group_a,
+           greatest(ga.{group_col}, gb.{group_col}) AS group_b,
+           count(*) AS n_pairs
+    FROM ({pair_sql}) pairs
+    JOIN {table} ga ON pairs.id1 = ga.{id_col}
+    JOIN {table} gb ON pairs.id2 = gb.{id_col}
+    GROUP BY 1, 2
+    """
+
+
 def _duckdb_split_case(col: str, splits: dict | None, seed: int) -> str:
     """DuckDB CASE expression mirroring sampling.split_case_expr
     bit-for-bit: u = first 8 md5 hex chars of 'split:<seed>' || US ||

@@ -148,6 +148,26 @@ def test_split_leakage_twin_lockstep(clone_docs):
     assert assigned[1] == assigned[101] == "train"
 
 
+def test_near_dup_group_matrix(clone_docs):
+    """The source matrix counts each clone pair under its unordered
+    source pair: ids 0/1/2 -> srcA, clones 100/101 -> srcB, 102 ->
+    srcA, giving {(srcA, srcB): 2, (srcA, srcA): 1} in both hash
+    families."""
+    withsrc = clone_docs.withColumn(
+        "source",
+        F.when(F.col("doc_id").isin(100, 101), "srcB").otherwise("srcA"),
+    )
+    for portable in (False, True):
+        got = {
+            (r.group_a, r.group_b): r.n_pairs
+            for r in dedup.near_dup_group_matrix(
+                withsrc, num_perm=8, bands=4, threshold=0.5,
+                portable_hash=portable,
+            ).collect()
+        }
+        assert got == {("srcA", "srcB"): 2, ("srcA", "srcA"): 1}
+
+
 def test_cli_leakage_gate(clone_docs, tmp_path, capsys):
     """`cli leakage` reports the straddling pair, exits 2 under
     --fail-on-leakage, and rejects malformed --splits up front."""
