@@ -855,6 +855,47 @@ def dedup_ngram_jaccard(spark, sf_dir):
     return pairs.select("id1", "id2", F.round("jaccard", 6).alias("jaccard"))
 
 
+_CONTAINMENT_SQL = """
+    WITH norm AS (
+      SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t FROM documents),
+    words AS (SELECT doc_id, string_split(t, ' ') AS ws FROM norm),
+    shingles AS (
+      SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS sh
+      FROM words, unnest(range(1, greatest(len(ws) - 2, 1) + 1)) u(i)),
+    counts AS (SELECT doc_id, count(*) AS ns FROM shingles GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS common
+      FROM shingles a JOIN shingles b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT id1, id2,
+           round(common::DOUBLE / least(c1.ns, c2.ns), 6) AS containment,
+           c1.ns AS n1, c2.ns AS n2
+    FROM inter JOIN counts c1 ON id1 = c1.doc_id JOIN counts c2 ON id2 = c2.doc_id
+    WHERE common::DOUBLE / least(c1.ns, c2.ns) >= 0.8
+"""
+
+
+@register("dedup_ngram_containment", _CONTAINMENT_SQL)
+def dedup_ngram_containment(spark, sf_dir):
+    """Max-containment near-subset pairs (|A∩B| / min(|A|,|B|)) — the
+    asymmetric twin of dedup_ngram_jaccard, catching wholesale
+    quotation that Jaccard's union denominator dilutes away. String-
+    shingle config for oracle bit-portability; the hashed production
+    path is pinned by test_containment_hashed_twin_lockstep."""
+    d = _t(spark, sf_dir, "documents")
+    pairs = dedup.ngram_containment_pairs(
+        d, threshold=0.8, max_shingle_df=10**9, hash_shingles=False
+    )
+    return pairs.select(
+        "id1",
+        "id2",
+        F.round("containment", 6).alias("containment"),
+        # size() is int; the oracle's count(*) is BIGINT — match it
+        F.col("n1").cast("long").alias("n1"),
+        F.col("n2").cast("long").alias("n2"),
+    )
+
+
 @register("dedup_minhash_lsh")  # xxhash64 production path: rows-only check
 def dedup_minhash_lsh(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
@@ -5143,8 +5184,15 @@ _DRIVER_PRIORITY = [
     # clustering query stays r3-green and DuckDB-checked by
     # tests/test_entry.py on every pytest run)
     "split_leakage_pairs",
+    # (dedup_ngram_containment — the late-round-5 asymmetric
+    # set-similarity query — takes dedup_ngram_jaccard's (d) slot: both
+    # run the SAME _ngram_pair_counts candidate machinery (shingles,
+    # hot-cap anti-join, inverted-index pair counting), differing only
+    # in the final score expression, and the Jaccard config stays
+    # r3-green + DuckDB-checked by tests/test_entry.py every run)
+    "dedup_ngram_containment",
     # (d) last checked in round 3
-    "dedup_ngram_jaccard", "eda_operations", "float_bit_decomposition",
+    "eda_operations", "float_bit_decomposition",
     "intersect_except_keys",
     "json_extract_props",
     "na_coercion_cast",

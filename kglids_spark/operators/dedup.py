@@ -117,33 +117,22 @@ def hashed_word_shingles(col, n: int = 3) -> F.Column:
     return hashed_words_shingles(split_words(col), n)
 
 
-def ngram_jaccard_pairs(
+def _ngram_pair_counts(
     df: DataFrame,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    n: int = 3,
-    threshold: float = 0.5,
-    max_shingle_df: int = 1000,
-    hash_shingles: bool = True,
-) -> DataFrame:
-    """Near-duplicate pairs by word-n-gram Jaccard similarity.
-
-    intersection via a self-join on shingle; |union| = |A|+|B|-|A∩B|.
-    Shingles appearing in more than ``max_shingle_df`` docs are dropped
-    before the join (they carry no dedup signal and dominate the
-    shuffle — at web scale this cap is what keeps the join feasible).
-    The drop is a broadcast ANTI-join against the HOT set: by
-    construction |hot| ≤ n_shingle_rows / max_shingle_df (≪ corpus), so
-    broadcasting it avoids re-shuffling every exploded shingle row
-    (measured 28.5s → 0.2s at 100k docs vs the old inner join on the
-    rare set, which is ~99% of all shingles).
-
-    ``hash_shingles`` (default): shingles are int64 xxhash64 values
-    (hashed_word_shingles) — the production path. ``False`` joins on
-    the exact shingle strings — bit-portable to the DuckDB oracle
-    (dedup_ngram_jaccard query); results differ only on 64-bit hash
-    collisions (~1e-6 at 10M shingles), pinned equal on the test corpus
-    by test_dedup.py::test_ngram_hashed_twin_lockstep."""
+    text_col: str,
+    id_col: str,
+    n: int,
+    max_shingle_df: int,
+    hash_shingles: bool,
+):
+    """Shared candidate machinery for the set-similarity family
+    (Jaccard + containment): returns (counted, finalize) where
+    ``counted`` has (id1, id2, common, n1, n2) — distinct-shingle
+    intersection size plus both docs' rare-universe shingle counts —
+    and ``finalize(result)`` eagerly materializes the (small) scored
+    output and releases the persisted shingle cache. Plan notes and
+    the full shuffle discussion live on ngram_jaccard_pairs, whose
+    plan this helper preserves byte-for-byte."""
     mk = hashed_words_shingles if hash_shingles else words_shingles
     base = df.select(
         F.col(id_col).alias("id"), split_words(text_col).alias("_ws")
@@ -172,22 +161,25 @@ def ngram_jaccard_pairs(
         # postings anti-join, hot-per-doc join); without a persist each
         # read re-normalizes, re-splits and re-hashes the full corpus —
         # the dominant cost this operator's rewrites fight. MEMORY_AND_
-        # DISK evicts gracefully at scale; the handle is unpersisted
-        # below once the (small) result is eagerly materialized.
+        # DISK evicts gracefully at scale; the handle is unpersisted in
+        # finalize() once the (small) result is eagerly materialized.
         from pyspark import StorageLevel
 
         ex = ex.persist(StorageLevel.MEMORY_AND_DISK)
-    if persisted:
         hot = (
             ex.groupBy("sh")
             .agg(F.count(F.lit(1)).alias("df_count"))
             .filter(F.col("df_count") > max_shingle_df)
             .select("sh")
         )
+        # hot shingles carry no dedup signal and dominate the shuffle;
+        # dropping them is a broadcast ANTI-join against the HOT set —
+        # |hot| ≤ n_shingle_rows / max_shingle_df ≪ corpus (measured
+        # 28.5s → 0.2s at 100k docs vs an inner join on the rare set)
         rare_ex = ex.join(F.broadcast(hot), "sh", "left_anti")
         # per-doc denominator over the rare universe: total minus hot
-        # hits (hot shingles carry no dedup signal) — computed from the
-        # tiny broadcast hot set, NOT a second shuffle of all rows
+        # hits — computed from the tiny broadcast hot set, NOT a
+        # second shuffle of all rows
         hot_per_doc = (
             ex.join(F.broadcast(hot), "sh")
             .groupBy("id")
@@ -223,23 +215,103 @@ def ngram_jaccard_pairs(
         .groupBy(F.col("p.id1").alias("id1"), F.col("p.id2").alias("id2"))
         .agg(F.count(F.lit(1)).alias("common"))
     )
-    jac = F.col("common") / (F.col("n1") + F.col("n2") - F.col("common"))
     # AQE broadcasts `counts` when small; at web scale it stays a shuffle join
-    result = (
+    counted = (
         inter.join(counts.select(F.col("id").alias("id1"), F.col("ns").alias("n1")), "id1")
         .join(counts.select(F.col("id").alias("id2"), F.col("ns").alias("n2")), "id2")
-        .withColumn("jaccard", jac)
+    )
+
+    def finalize(result: DataFrame) -> DataFrame:
+        if persisted:
+            # materialize the pairs (≪ corpus: bounded by near-dup mass
+            # + cap² per shingle) so the shingle cache can be released
+            # NOW rather than leaking for the session (the k_hop_paths
+            # lesson, VERDICT r2); same eager-output discipline as
+            # dup_clusters
+            result = result.localCheckpoint(eager=True)
+            ex.unpersist()
+        return result
+
+    return counted, finalize
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+    max_shingle_df: int = 1000,
+    hash_shingles: bool = True,
+) -> DataFrame:
+    """Near-duplicate pairs by word-n-gram Jaccard similarity.
+
+    intersection via a self-join on shingle; |union| = |A|+|B|-|A∩B|.
+    Shingles appearing in more than ``max_shingle_df`` docs are dropped
+    before the join (they carry no dedup signal and dominate the
+    shuffle — at web scale this cap is what keeps the join feasible).
+    The drop is a broadcast ANTI-join against the HOT set: by
+    construction |hot| ≤ n_shingle_rows / max_shingle_df (≪ corpus), so
+    broadcasting it avoids re-shuffling every exploded shingle row
+    (measured 28.5s → 0.2s at 100k docs vs the old inner join on the
+    rare set, which is ~99% of all shingles).
+
+    ``hash_shingles`` (default): shingles are int64 xxhash64 values
+    (hashed_word_shingles) — the production path. ``False`` joins on
+    the exact shingle strings — bit-portable to the DuckDB oracle
+    (dedup_ngram_jaccard query); results differ only on 64-bit hash
+    collisions (~1e-6 at 10M shingles), pinned equal on the test corpus
+    by test_dedup.py::test_ngram_hashed_twin_lockstep."""
+    counted, finalize = _ngram_pair_counts(
+        df, text_col, id_col, n, max_shingle_df, hash_shingles
+    )
+    jac = F.col("common") / (F.col("n1") + F.col("n2") - F.col("common"))
+    result = (
+        counted.withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= threshold)
         .select("id1", "id2", "jaccard")
     )
-    if persisted:
-        # materialize the pairs (≪ corpus: bounded by near-dup mass +
-        # cap² per shingle) so the shingle cache can be released NOW
-        # rather than leaking for the session (the k_hop_paths lesson,
-        # VERDICT r2); same eager-output discipline as dup_clusters
-        result = result.localCheckpoint(eager=True)
-        ex.unpersist()
-    return result
+    return finalize(result)
+
+
+def ngram_containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.8,
+    max_shingle_df: int = 1000,
+    hash_shingles: bool = True,
+) -> DataFrame:
+    """Near-SUBSET pairs by word-n-gram max-containment
+    |A∩B| / min(|A|, |B|) — the asymmetric twin of Jaccard (Broder
+    1997's containment, symmetrized with the smaller side as the
+    denominator, the form LSH-Ensemble / DataSketch popularized).
+
+    Jaccard misses wholesale quotation: a 100-shingle doc embedded
+    verbatim inside a 10,000-shingle doc has Jaccard ≈ 0.01 but
+    containment 1.0. This is the signal for boilerplate-wrapped
+    re-posts, quote-heavy aggregators, and doc-inside-doc training
+    leakage, where the small side should usually be dropped.
+
+    Returns (id1, id2, containment, n1, n2) — the shingle counts are
+    kept so the caller can tell which side is the contained one (the
+    smaller ns). Same candidate machinery, shuffle discipline, and
+    hot-shingle cap as ngram_jaccard_pairs (one pair-count shuffle over
+    the inverted index, never a doc×doc join); a wholly-contained-in-a
+    -hot-shingle-set doc scores on its RARE shingles only, like the
+    Jaccard path. Docs with zero rare shingles cannot form candidates
+    and are absent, also like the Jaccard path."""
+    counted, finalize = _ngram_pair_counts(
+        df, text_col, id_col, n, max_shingle_df, hash_shingles
+    )
+    cont = F.col("common") / F.least("n1", "n2")
+    result = (
+        counted.withColumn("containment", cont)
+        .filter(F.col("containment") >= threshold)
+        .select("id1", "id2", "containment", "n1", "n2")
+    )
+    return finalize(result)
 
 
 def minhash_signatures(

@@ -125,6 +125,63 @@ def test_ngram_hashed_twin_lockstep(spark):
     assert got == want and len(got) > 0
 
 
+def test_containment_finds_planted_subset(spark):
+    """A short doc embedded verbatim in a long doc scores containment
+    1.0 while its Jaccard is diluted far below any useful threshold —
+    the signal this operator exists for."""
+    core = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    filler = " ".join(f"filler{i}" for i in range(60))
+    rows = [(1, core), (2, f"intro words {core} {filler}")]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    got = dedup.ngram_containment_pairs(
+        d, threshold=0.9, max_shingle_df=10**9
+    ).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r["id1"], r["id2"]) == (1, 2) and r["containment"] == 1.0
+    # the contained side is identifiable as the smaller shingle count
+    assert r["n1"] < r["n2"]
+    # and Jaccard at the same corpus misses it entirely at 0.5
+    assert (
+        dedup.ngram_jaccard_pairs(d, threshold=0.5, max_shingle_df=10**9).count()
+        == 0
+    )
+
+
+def test_containment_hashed_twin_lockstep(spark):
+    """xxhash64 production shingles vs the string shingles the DuckDB
+    oracle mirrors (dedup_ngram_containment) — identical pairs, scores
+    and denominators barring 64-bit collisions."""
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    kw = dict(threshold=0.8, max_shingle_df=10**9)
+    want = {
+        (r["id1"], r["id2"]): (round(r["containment"], 9), r["n1"], r["n2"])
+        for r in dedup.ngram_containment_pairs(d, hash_shingles=False, **kw).collect()
+    }
+    got = {
+        (r["id1"], r["id2"]): (round(r["containment"], 9), r["n1"], r["n2"])
+        for r in dedup.ngram_containment_pairs(d, hash_shingles=True, **kw).collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_containment_respects_hot_cap(spark):
+    """Containment scores over the RARE shingle universe exactly like
+    the Jaccard path: hot shingles vote for no pair and shrink both
+    denominators."""
+    rows = [(i, "common prefix words here tail%d" % i) for i in range(8)]
+    rows += [(100, "alpha beta gamma delta"), (101, "alpha beta gamma delta")]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {
+        (r["id1"], r["id2"])
+        for r in dedup.ngram_containment_pairs(
+            d, threshold=0.2, max_shingle_df=4
+        ).collect()
+    }
+    assert all(not (a < 8 and b < 8) for a, b in pairs)
+    assert (100, 101) in pairs
+
+
 def test_ngram_hot_shingle_cap_still_prunes(spark):
     """The broadcast anti-join rewrite must preserve the df-cap
     semantics: shingles in > max_shingle_df docs carry no votes."""
