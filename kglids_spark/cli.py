@@ -29,6 +29,32 @@ from kglids_spark.sources.tables import TableStore
 from kglids_spark.sources.tokens import SOURCES, generate_tokens
 
 
+def _parse_vector_sanity(spec: str):
+    """'COL [dim=D] [norm=LO:HI]' → a vector_sanity constraint; clean
+    SystemExit usage errors (matching the --check/--metric paths)."""
+    parts = spec.split()
+    if not parts:
+        raise SystemExit("--vector-sanity: empty spec")
+    col, dim, nlo, nhi = parts[0], None, None, None
+    for opt in parts[1:]:
+        key, sep, val = opt.partition("=")
+        if key not in ("dim", "norm") or not sep:
+            raise SystemExit(
+                f"--vector-sanity {spec!r}: unknown option {opt!r} "
+                "(expected 'dim=D' and/or 'norm=LO:HI')"
+            )
+        try:
+            if key == "dim":
+                dim = int(val)
+            else:
+                lo_s, _, hi_s = val.partition(":")
+                nlo = float(lo_s) if lo_s else None
+                nhi = float(hi_s) if hi_s else None
+        except ValueError:
+            raise SystemExit(f"--vector-sanity {spec!r}: {opt!r} is not numeric")
+    return C.vector_sanity(col, dim=dim, norm_lo=nlo, norm_hi=nhi)
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="kglids_spark")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -105,6 +131,16 @@ def main(argv: list[str] | None = None) -> int:
         help="array-element bounds constraint, e.g. 'tokens 0 50256' — "
         "every element non-NULL and within [LO, HI] (the token-id-vs-"
         "vocabulary check); repeatable",
+    )
+    v.add_argument(
+        "--vector-sanity",
+        action="append",
+        default=[],
+        metavar="SPEC",
+        help="float-vector sanity constraint, e.g. 'embedding', "
+        "'embedding dim=128', 'embedding dim=128 norm=0.1:100' — every "
+        "element finite (no NaN/Inf/NULL), optional exact dimension, "
+        "optional L2-norm band; repeatable",
     )
     v.add_argument(
         "--volume",
@@ -568,6 +604,8 @@ def main(argv: list[str] | None = None) -> int:
                     f"got {lo_s!r} {hi_s!r}"
                 )
             suite.append(C.element_range(col, lo_i, hi_i))
+        for spec in args.vector_sanity:
+            suite.append(_parse_vector_sanity(spec))
         if args.volume is not None:
             lo_s, _, hi_s = args.volume.partition(":")
             try:

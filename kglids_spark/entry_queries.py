@@ -5039,6 +5039,85 @@ def element_range_check(spark, sf_dir):
     )
 
 
+_VECTOR_SANITY_SQL = """
+    WITH perturbed AS (
+      SELECT vec_id,
+             CASE WHEN vec_id % 97 = 0
+                    THEN list_concat([CAST('NaN' AS FLOAT)], embedding[2:])
+                  WHEN vec_id % 89 = 0 THEN embedding[1:63]
+                  WHEN vec_id % 83 = 0
+                    THEN list_transform(embedding, x -> x * CAST(1000.0 AS FLOAT))
+                  ELSE embedding END AS emb
+      FROM embeddings),
+    probed AS (
+      SELECT vec_id,
+             CAST(len(emb) AS BIGINT) AS n_dims,
+             CAST(len(list_filter(emb,
+                 x -> x IS NULL OR isnan(x) OR isinf(x))) AS BIGINT) AS n_nonfinite,
+             sqrt(list_aggregate(
+                 list_transform(emb, x -> CAST(x AS DOUBLE) * x), 'sum')) AS norm
+      FROM perturbed)
+    SELECT vec_id, n_dims, n_nonfinite, round(norm, 6) AS l2_norm,
+           (n_nonfinite > 0 OR n_dims != 64
+            OR norm < 0.5 OR norm > 2.0) AS violates
+    FROM probed
+"""
+
+
+@register("embedding_sanity", _VECTOR_SANITY_SQL)
+def embedding_sanity(spark, sf_dir):
+    """The vector_sanity constraint's probe (finite elements + exact
+    dim + L2-norm band) over embeddings with planted vector failures:
+    every 97th vector gains a NaN, every 89th loses a dimension, every
+    83rd is scaled 1000x out of the norm band. Pins
+    constraints.vector_sanity_probe — the exact production expression
+    the validate suite compiles — value-exact per vector, plus the raw
+    n_dims / n_nonfinite / norm diagnostics. Both engines fold the
+    squared norm left-to-right, and both treat a NaN norm as greater
+    than any bound, so the verdict is bit-portable."""
+    from kglids_spark.operators import constraints as C
+
+    e = _t(spark, sf_dir, "embeddings")
+    arr = F.col("embedding")
+    nanf = F.lit(float("nan")).cast("float")
+    thousand = F.lit(1000.0).cast("float")
+    perturbed = e.select(
+        "vec_id",
+        F.when(
+            F.col("vec_id") % 97 == 0,
+            F.concat(F.array(nanf), F.slice(arr, 2, F.size(arr) - 1)),
+        )
+        .when(F.col("vec_id") % 89 == 0, F.slice(arr, 1, 63))
+        .when(
+            F.col("vec_id") % 83 == 0, F.transform(arr, lambda x: x * thousand)
+        )
+        .otherwise(arr)
+        .alias("emb"),
+    )
+    c = C.vector_sanity("emb", dim=64, norm_lo=0.5, norm_hi=2.0)
+    inf = F.lit(float("inf"))
+    norm = F.sqrt(
+        F.aggregate(
+            F.col("emb"),
+            F.lit(0.0),
+            lambda acc, x: acc + x.cast("double") * x.cast("double"),
+        )
+    )
+    return perturbed.select(
+        "vec_id",
+        F.size("emb").cast("long").alias("n_dims"),
+        F.size(
+            F.filter(
+                F.col("emb"), lambda x: x.isNull() | F.isnan(x) | (F.abs(x) == inf)
+            )
+        )
+        .cast("long")
+        .alias("n_nonfinite"),
+        F.round(norm, 6).alias("l2_norm"),
+        C.violation_expr(c, perturbed).alias("violates"),
+    )
+
+
 # =====================================================================
 # Driver registration order
 # =====================================================================
@@ -5196,7 +5275,14 @@ _DRIVER_PRIORITY = [
     "intersect_except_keys",
     "json_extract_props",
     "na_coercion_cast",
-    "pii_redaction", "rdf_ntriples_similarity",
+    # (embedding_sanity — the late-round-5 vector_sanity constraint
+    # probe, planted NaN/dim/norm failures, value-exact — takes
+    # pii_redaction's slot: the text family is the densest in this
+    # window (gopher, line dedups, unicode normalize, char-LM, CCNet)
+    # and the PII regexes stay r3-green + DuckDB-checked by
+    # tests/test_entry.py on every pytest run)
+    "embedding_sanity",
+    "rdf_ntriples_similarity",
     "similarity_scores_reference", "split_assignment_sources",
     "text_repetition_signals",
 ]

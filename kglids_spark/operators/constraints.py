@@ -95,6 +95,72 @@ def element_range(
     )
 
 
+def vector_sanity(
+    array_col: str,
+    dim: int | None = None,
+    norm_lo: float | None = None,
+    norm_hi: float | None = None,
+    cid: str | None = None,
+) -> Constraint:
+    """Embedding-column sanity: every element finite (no NULL/NaN/±Inf),
+    optionally an exact dimension, optionally an L2-norm band.
+
+    The three float-vector failure modes that slip past every scalar
+    constraint: a NaN/Inf poisoned by upstream math (one NaN silently
+    zeroes a whole similarity row downstream), a ragged batch that
+    changed dimension mid-corpus (concat of two encoder versions), and
+    collapsed/exploding vectors (norm ≈ 0 or ≫ expected — dead encoder
+    or missing normalization). All three compile to ONE zero-shuffle
+    boolean over the array — a short-circuiting exists for finiteness,
+    size() for the dimension, an in-order F.aggregate fold for the
+    squared norm — evaluated inside the same single stats scan as every
+    other row constraint; validate's slim projection materializes the
+    probe once so the wide vector column never enters the slim frame.
+    A NULL array itself does not violate (not_null's job). A vector
+    with a non-finite element is a violation regardless of the norm
+    band (its norm is NaN — the fold keeps left-to-right order, so the
+    probe is deterministic and bit-portable to the SQL oracle)."""
+    return Constraint(
+        cid or f"vector_sanity({array_col})",
+        "vector_sanity",
+        array_col,
+        {
+            "dim": int(dim) if dim is not None else None,
+            "norm_lo": float(norm_lo) if norm_lo is not None else None,
+            "norm_hi": float(norm_hi) if norm_hi is not None else None,
+        },
+    )
+
+
+def vector_sanity_probe(c: Constraint) -> Column:
+    """Column<boolean>: true iff the row violates ``c`` (vector_sanity).
+    Shared by violation_expr and validate's slim projection."""
+    arr = F.col(c.column)
+    inf = F.lit(float("inf"))
+    bad = arr.isNotNull() & F.exists(
+        arr, lambda x: x.isNull() | F.isnan(x) | (F.abs(x) == inf)
+    )
+    if c.params.get("dim") is not None:
+        bad = bad | (arr.isNotNull() & (F.size(arr) != F.lit(c.params["dim"])))
+    if c.params.get("norm_lo") is not None or c.params.get("norm_hi") is not None:
+        norm = F.sqrt(
+            F.aggregate(
+                arr,
+                F.lit(0.0),
+                lambda acc, x: acc + x.cast("double") * x.cast("double"),
+            )
+        )
+        out_of_band = F.lit(False)
+        if c.params.get("norm_lo") is not None:
+            out_of_band = out_of_band | (norm < F.lit(c.params["norm_lo"]))
+        if c.params.get("norm_hi") is not None:
+            out_of_band = out_of_band | (norm > F.lit(c.params["norm_hi"]))
+        # NaN norm (non-finite element) -> comparisons are false, but
+        # the finiteness disjunct above already fires for that row
+        bad = bad | (arr.isNotNull() & F.coalesce(out_of_band, F.lit(False)))
+    return bad
+
+
 def referential(
     column: str,
     valid_values: list | None = None,
@@ -279,7 +345,7 @@ KNOWN_KINDS = frozenset(
     {
         "not_null", "unique", "range", "tok_len_consistency", "referential",
         "drift_ks", "drift_psi", "schema_type", "expression", "metric",
-        "fd", "volume", "element_range",
+        "fd", "volume", "element_range", "vector_sanity",
     }
 )
 
@@ -329,6 +395,7 @@ ROW_LEVEL_KINDS = {
     "expression",
     "element_range",
     "element_precomputed",
+    "vector_sanity",
 }
 
 
@@ -407,6 +474,8 @@ def violation_expr(c: Constraint, df: DataFrame) -> Column:
         # the exists-probe materialized once by validate.py's slim
         # projection so the wide token array is decoded exactly once
         return F.coalesce(F.col(c.params["flag"]), F.lit(False))
+    if c.kind == "vector_sanity":
+        return vector_sanity_probe(c)
     raise ValueError(f"{c.cid}: kind {c.kind} is not row-level")
 
 

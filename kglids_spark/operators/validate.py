@@ -225,6 +225,17 @@ def _slim_projection(
             rewritten.append(
                 C.Constraint(c.cid, "element_precomputed", c.column, {"flag": flag})
             )
+        elif c.kind == "vector_sanity":
+            # same discipline as element_range: the whole probe
+            # (finite / dim / norm) collapses to one boolean here, so
+            # the wide float-vector column never enters the slim frame
+            import hashlib
+
+            flag = f"__vecviol_{hashlib.md5(c.cid.encode()).hexdigest()[:8]}"
+            extra.append(C.vector_sanity_probe(c).alias(flag))
+            rewritten.append(
+                C.Constraint(c.cid, "element_precomputed", c.column, {"flag": flag})
+            )
         else:
             if c.column:
                 cols[c.column] = None

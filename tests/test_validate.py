@@ -701,6 +701,91 @@ def test_element_range_json_roundtrip_and_hash():
     ) != C.constraint_set_hash(suite)
 
 
+def test_vector_sanity_semantics(spark):
+    """The three vector failure modes each violate; a NULL array does
+    not (not_null's job); a clean unit vector passes. Checked through
+    BOTH compilation paths: raw violation_expr and validate's
+    slim-projection rewrite."""
+    nan, inf = float("nan"), float("inf")
+    df = spark.createDataFrame(
+        [
+            ("clean", [0.6, 0.8]),
+            ("has_nan", [nan, 0.8]),
+            ("has_inf", [0.6, inf]),
+            ("has_null", [0.6, None]),
+            ("wrong_dim", [0.6, 0.8, 0.0]),
+            ("norm_low", [0.1, 0.0]),
+            ("norm_high", [30.0, 40.0]),
+            ("null_arr", None),
+        ],
+        "doc_id string, emb array<float>",
+    )
+    c = C.vector_sanity("emb", dim=2, norm_lo=0.5, norm_hi=2.0, cid="vs")
+    flagged = {
+        r.doc_id
+        for r in df.filter(C.violation_expr(c, df)).select("doc_id").collect()
+    }
+    assert flagged == {
+        "has_nan", "has_inf", "has_null", "wrong_dim", "norm_low", "norm_high"
+    }
+    res = validate(df, [c], key="doc_id", n_buckets=2)
+    verd = {
+        r.constraint_id: r.total
+        for r in res.verdicts.groupBy("constraint_id")
+        .agg(F.sum("n_violations").alias("total"))
+        .collect()
+    }
+    assert verd["vs"] == 6
+    bad = {r.doc_id for r in res.violations.select("doc_id").collect()}
+    assert bad == flagged
+
+
+def test_vector_sanity_finiteness_only(spark):
+    """With no dim/norm params the constraint is purely the finiteness
+    probe — wrong dims and wild norms pass."""
+    df = spark.createDataFrame(
+        [("a", [9999.0]), ("b", [0.1, 0.2, 0.3]), ("c", [float("nan")])],
+        "doc_id string, emb array<float>",
+    )
+    c = C.vector_sanity("emb", cid="vs")
+    flagged = {
+        r.doc_id
+        for r in df.filter(C.violation_expr(c, df)).select("doc_id").collect()
+    }
+    assert flagged == {"c"}
+
+
+def test_vector_sanity_json_roundtrip_and_hash():
+    suite = [C.vector_sanity("emb", dim=64, norm_lo=0.5, norm_hi=2.0)]
+    back = C.suite_from_json(C.suite_to_json(suite))
+    assert C.constraint_set_hash(back) == C.constraint_set_hash(suite)
+    # None params (finiteness-only) round-trip too, and hash distinctly
+    loose = [C.vector_sanity("emb")]
+    assert C.constraint_set_hash(
+        C.suite_from_json(C.suite_to_json(loose))
+    ) == C.constraint_set_hash(loose)
+    assert C.constraint_set_hash(loose) != C.constraint_set_hash(suite)
+
+
+def test_vector_sanity_cli_spec():
+    """--vector-sanity parses 'COL dim=D norm=LO:HI' (half-open norm
+    bands included) and rejects unknown options with a usage error."""
+    import pytest as _pytest
+
+    from kglids_spark.cli import _parse_vector_sanity
+
+    c = _parse_vector_sanity("embedding dim=64 norm=0.5:2.0")
+    assert c.column == "embedding" and c.params == {
+        "dim": 64, "norm_lo": 0.5, "norm_hi": 2.0
+    }
+    assert _parse_vector_sanity("emb norm=:10").params["norm_lo"] is None
+    assert _parse_vector_sanity("emb").params["dim"] is None
+    with _pytest.raises(SystemExit, match="unknown option"):
+        _parse_vector_sanity("emb radius=3")
+    with _pytest.raises(SystemExit, match="not numeric"):
+        _parse_vector_sanity("emb dim=big")
+
+
 def test_element_range_grouped_verdicts(spark):
     df = spark.createDataFrame(
         [("a", [1], "s1"), ("b", [99], "s1"), ("c", [2], "s2")],
