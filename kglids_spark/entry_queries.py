@@ -913,6 +913,24 @@ def dedup_minhash_lsh_md5(spark, sf_dir):
     return dedup.minhash_lsh_pairs_md5(d, num_perm=8, bands=4, threshold=0.5)
 
 
+@register("incremental_minhash_dedup")  # xxhash64 signatures: rows-only
+def incremental_minhash_dedup(spark, sf_dir):
+    """Near-dup dedup of an ingestion batch (doc_id >= 250) against
+    the signature ledger of the prior corpus (doc_id < 250) — the
+    fuzzy half of the incremental-crawl discipline. xxhash64
+    signatures are not SQL-expressible (rows-only check); the
+    survivors equal "batch ids forming no cross pair" under the
+    oracled minhash_lsh_pairs semantics, pinned by
+    tests/test_dedup.py::test_incremental_minhash_lockstep_vs_pairs."""
+    d = _t(spark, sf_dir, "documents")
+    prior = d.filter(F.col("doc_id") < 250)
+    batch = d.filter(F.col("doc_id") >= 250)
+    ledger = dedup.minhash_dedup_ledger(prior)
+    return dedup.incremental_dedup_minhash(batch, ledger, threshold=0.5).select(
+        "doc_id", "source", "lang"
+    )
+
+
 @register(
     "jsonl_roundtrip",
     """
@@ -5283,7 +5301,15 @@ _DRIVER_PRIORITY = [
     # tests/test_entry.py on every pytest run)
     "embedding_sanity",
     "rdf_ntriples_similarity",
-    "similarity_scores_reference", "split_assignment_sources",
+    "similarity_scores_reference",
+    # (incremental_minhash_dedup — the late-round-5 batch-vs-ledger
+    # near-dup gate, rows-only by design (xxhash64 signatures),
+    # lockstep-pinned to the oracled pair op — takes
+    # split_assignment_sources's slot: the sampling family keeps
+    # r4-green sample_deterministic_hash plus mixture_plan_sources and
+    # pareto_quality_sample in this window, and the split query stays
+    # r3-green + DuckDB-checked by tests/test_entry.py every run)
+    "incremental_minhash_dedup",
     "text_repetition_signals",
 ]
 

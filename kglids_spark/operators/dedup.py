@@ -374,21 +374,8 @@ def minhash_lsh_pairs(
     joins). Candidates are verified with the signature-estimated
     Jaccard (fraction of matching min-hashes) ≥ threshold."""
     assert num_perm % bands == 0
-    rows_per_band = num_perm // bands
     sigs = minhash_signatures(df, text_col, id_col, num_perm, shingle_n, seed).cache()
-    band_cols = F.explode(
-        F.array(
-            *[
-                F.struct(
-                    F.lit(i).alias("band"),
-                    F.xxhash64(
-                        *[F.col("sig")[i * rows_per_band + j] for j in range(rows_per_band)]
-                    ).alias("bh"),
-                )
-                for i in range(bands)
-            ]
-        )
-    )
+    band_cols = _band_bucket_expr(num_perm, bands)
     buckets = sigs.select("id", band_cols.alias("b")).select(
         "id", F.col("b.band").alias("band"), F.col("b.bh").alias("bh")
     )
@@ -1070,6 +1057,117 @@ def exact_dedup_ledger(
     )
 
 
+def _band_bucket_expr(num_perm: int, bands: int):
+    """explode(array<struct(band, bh)>) over a ``sig`` column — the
+    banding expression minhash_lsh_pairs uses, shared with the
+    incremental path so both bucket identically."""
+    assert num_perm % bands == 0
+    rows_per_band = num_perm // bands
+    return F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("band"),
+                    F.xxhash64(
+                        *[F.col("sig")[i * rows_per_band + j] for j in range(rows_per_band)]
+                    ).alias("bh"),
+                )
+                for i in range(bands)
+            ]
+        )
+    )
+
+
+def minhash_dedup_ledger(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 64,
+    shingle_n: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """(id, sig:array<long>): the MinHash signatures of a processed
+    corpus — the ledger ``incremental_dedup_minhash`` screens future
+    batches against (the near-dup analog of ``exact_dedup_ledger``).
+    Append each batch's SURVIVOR signatures to the store; num_perm
+    longs per doc ≈ 0.5 TB per 10^9 docs at the default 64
+    permutations, bucketable by id for file-pruned reads. The
+    (num_perm, shingle_n, seed) triple is part of the ledger's
+    contract — signatures hashed under different parameters are
+    incomparable, so persist them alongside the store and refuse
+    mixed appends (the constraint_set_hash discipline)."""
+    return minhash_signatures(df, text_col, id_col, num_perm, shingle_n, seed)
+
+
+def incremental_dedup_minhash(
+    new_docs: DataFrame,
+    prior_sigs: DataFrame | None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    seed: int = 42,
+    broadcast_batch: bool = True,
+) -> DataFrame:
+    """NEAR-dup dedup of a NEW ingestion batch against a previously
+    processed corpus — the fuzzy half of the incremental-crawl
+    discipline (``incremental_dedup_exact`` catches byte-identical
+    re-crawls; this catches the reworded/boilerplate-shifted ones).
+    Survivors are the new docs whose signature-estimated Jaccard
+    (fraction of matching min-hashes) is < ``threshold`` against
+    EVERY prior doc sharing an LSH band bucket — the exact candidate
+    + verify semantics of ``minhash_lsh_pairs``, applied across the
+    batch/ledger boundary, so survivors equal "batch ids forming no
+    cross pair" in the full-corpus pair set (pinned by
+    test_incremental_minhash_lockstep_vs_pairs).
+
+    Docs with NULL/empty text have no signature, carry no content
+    evidence, and all survive (the incremental_dedup_exact
+    convention). WITHIN-batch near-dups are deliberately out of
+    scope — compose ``fuzzy_dedup_survivors`` over the batch first.
+
+    Plan: at 10^12 rows the ledger is the big side and the batch the
+    small one, so the batch's band buckets (WITH signatures) broadcast
+    and the ledger's bucket stream — a zero-shuffle map-side
+    projection of the signature store — joins against them in place:
+    the ledger is scanned ONCE and never shuffled, and the Jaccard
+    verify runs inside the same map task because both signatures are
+    already on the row. ``broadcast_batch=False`` drops the hint for
+    a batch too large to broadcast (AQE then plans an exchange keyed
+    on the 16-byte (band, bh))."""
+    sigs_new = minhash_signatures(
+        new_docs, text_col, id_col, num_perm, shingle_n, seed
+    )
+    if prior_sigs is None:
+        return new_docs
+    bucket = _band_bucket_expr(num_perm, bands)
+    new_b = sigs_new.select("id", "sig", bucket.alias("b")).select(
+        F.col("id").alias("_nid"),
+        F.col("sig").alias("_nsig"),
+        F.col("b.band").alias("band"),
+        F.col("b.bh").alias("bh"),
+    )
+    old_b = prior_sigs.select("sig", bucket.alias("b")).select(
+        F.col("sig").alias("_osig"),
+        F.col("b.band").alias("band"),
+        F.col("b.bh").alias("bh"),
+    )
+    probe = F.broadcast(new_b) if broadcast_batch else new_b
+    est = F.size(
+        F.filter(F.zip_with("_nsig", "_osig", lambda x, y: x == y), lambda v: v)
+    ) / F.lit(float(num_perm))
+    doomed = (
+        old_b.join(probe, ["band", "bh"])
+        .withColumn("_est", est)
+        .filter(F.col("_est") >= threshold)
+        .select(F.col("_nid").alias(id_col))
+        .distinct()
+    )
+    return new_docs.join(doomed, id_col, "left_anti")
+
+
 def token_ngram_contamination(
     corpus: DataFrame,
     benchmark: DataFrame,
@@ -1498,6 +1596,8 @@ def fuzzy_dedup_survivors(
     num_perm: int = 64,
     bands: int = 16,
     threshold: float = 0.5,
+    shingle_n: int = 3,
+    seed: int = 42,
 ) -> DataFrame:
     """The standard fuzzy-dedup workflow in ONE call: MinHash-LSH
     candidate pairs → connected-component clustering → keep the MIN id
@@ -1516,7 +1616,9 @@ def fuzzy_dedup_survivors(
         id_col=id_col,
         num_perm=num_perm,
         bands=bands,
+        shingle_n=shingle_n,
         threshold=threshold,
+        seed=seed,
     )
     clusters = dup_clusters(pairs)
     doomed = clusters.filter(F.col("id") != F.col("cluster_id")).select(

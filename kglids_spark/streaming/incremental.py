@@ -310,6 +310,137 @@ def quality_filter_stream(
     return writer.start()
 
 
+def near_dup_filter_stream(
+    spark: SparkSession,
+    input_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    seed: int = 42,
+    trigger_once: bool = True,
+    max_files_per_trigger: int | None = None,
+):
+    """Streaming incremental NEAR-dup gate: each ingestion micro-batch
+    is screened against the MinHash-signature ledger of everything the
+    stream has already admitted (dedup.incremental_dedup_minhash —
+    LSH band-bucket candidates + signature-Jaccard verify), then
+    within-batch near-dups collapse to their keep-min-id survivor
+    (dedup.fuzzy_dedup_survivors). Survivors land under
+    ``out_dir``/docs and their signatures extend the ledger under
+    ``out_dir``/sig_ledger, so admission is monotone: once a document
+    ships, every later near-duplicate of it is dropped, across any
+    number of batches, without ever re-reading shipped text —
+    streaming_dedup_exact's bounded-watermark state cannot give that
+    guarantee for REWORDED re-crawls, and its exact-digest key misses
+    them entirely.
+
+    State is the ledger, not the stream engine: foreachBatch keeps
+    every join in the batch engine (the ledger is scanned map-side
+    against the broadcast batch buckets — see incremental_dedup_minhash
+    for the 10^12-row plan), and both writes are epoch-partitioned
+    with dynamic overwrite so an at-least-once batch replay replaces
+    its own output and its own ledger shard instead of duplicating
+    either (the quality_filter_stream discipline). A replayed batch
+    re-reads a ledger that may already contain its own epoch's
+    signatures — harmless: self-pairs estimate Jaccard 1.0 only for
+    docs already shipped BY that epoch, which the overwrite replaces
+    wholesale. The (num_perm, bands, shingle_n, seed, threshold)
+    tuple is the ledger's contract; changing it against an existing
+    ledger produces incomparable signatures (minhash_dedup_ledger
+    docstring), so it is pinned in a params.json the stream refuses
+    to contradict."""
+    import json
+    import os
+
+    from kglids_spark.operators import dedup as DD
+
+    params = {
+        "num_perm": num_perm,
+        "bands": bands,
+        "shingle_n": shingle_n,
+        "seed": seed,
+        "threshold": threshold,
+    }
+    params_path = os.path.join(out_dir, "params.json")
+    if os.path.exists(params_path):
+        with open(params_path) as f:
+            prior = json.load(f)
+        if prior != params:
+            raise ValueError(
+                f"near_dup_filter_stream: ledger at {out_dir} was built "
+                f"with {prior}, got {params} — signatures are "
+                "incomparable across parameter changes; use a fresh "
+                "out_dir or the ledger's parameters"
+            )
+    else:
+        os.makedirs(out_dir, exist_ok=True)
+        with open(params_path, "w") as f:
+            json.dump(params, f)
+
+    schema = spark.read.parquet(input_dir).schema
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        # bounds per-epoch work (and, with availableNow, drains the
+        # backlog as a SEQUENCE of micro-batches instead of one big one
+        # — each later file then really screens against the earlier
+        # files' ledger)
+        reader = reader.option("maxFilesPerTrigger", int(max_files_per_trigger))
+    stream = reader.parquet(input_dir)
+    ledger_dir = f"{out_dir}/sig_ledger"
+    docs_dir = f"{out_dir}/docs"
+
+    def process(batch_df: DataFrame, epoch_id: int) -> None:
+        sess = batch_df.sparkSession
+        kw = dict(
+            text_col=text_col,
+            id_col=id_col,
+            num_perm=num_perm,
+            shingle_n=shingle_n,
+            seed=seed,
+        )
+        try:
+            ledger = sess.read.parquet(ledger_dir).where(
+                F.col("epoch") != int(epoch_id)
+            ).select("id", "sig")
+        except Exception:
+            ledger = None  # first batch: no ledger yet
+        batch = DD.fuzzy_dedup_survivors(
+            batch_df, bands=bands, threshold=threshold, **kw
+        )
+        kept = DD.incremental_dedup_minhash(
+            batch, ledger, bands=bands, threshold=threshold, **kw
+        )
+        kept.withColumn("epoch", F.lit(int(epoch_id))).write.mode(
+            "overwrite"
+        ).option("partitionOverwriteMode", "dynamic").partitionBy(
+            "epoch"
+        ).parquet(docs_dir)
+        # survivors' signatures extend the ledger (epoch-partitioned:
+        # a replay overwrites its own shard). Read back from the docs
+        # shard just written so the signature pass scans the small
+        # survivor set, not the raw batch.
+        shipped = sess.read.parquet(docs_dir).where(F.col("epoch") == int(epoch_id))
+        DD.minhash_dedup_ledger(shipped, **kw).withColumn(
+            "epoch", F.lit(int(epoch_id))
+        ).write.mode("overwrite").option(
+            "partitionOverwriteMode", "dynamic"
+        ).partitionBy("epoch").parquet(ledger_dir)
+
+    writer = (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def drift_monitor_stream(
     spark: SparkSession,
     input_dir: str,

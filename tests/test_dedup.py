@@ -125,6 +125,62 @@ def test_ngram_hashed_twin_lockstep(spark):
     assert got == want and len(got) > 0
 
 
+def test_incremental_minhash_lockstep_vs_pairs(spark):
+    """Batch-vs-ledger survivors must equal "batch ids forming no
+    cross pair" in the full-corpus minhash_lsh_pairs output — the
+    incremental op re-applies the SAME candidate + verify semantics
+    across the frame boundary, and the pair op is value-exact-oracled
+    via its md5 twin."""
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    prior = d.filter(F.col("doc_id") < 250)
+    batch = d.filter(F.col("doc_id") >= 250)
+    surv = dedup.incremental_dedup_minhash(
+        batch, dedup.minhash_dedup_ledger(prior), threshold=0.5
+    )
+    pairs = dedup.minhash_lsh_pairs(d, threshold=0.5)
+    cross = pairs.filter(
+        ((F.col("id1") < 250) & (F.col("id2") >= 250))
+        | ((F.col("id1") >= 250) & (F.col("id2") < 250))
+    )
+    doomed = {
+        r[0]
+        for r in cross.select(
+            F.when(F.col("id1") >= 250, F.col("id1")).otherwise(F.col("id2"))
+        ).collect()
+    }
+    assert len(doomed) > 0  # the fixture really has cross-split near-dups
+    want = {r[0] for r in batch.select("doc_id").collect()} - doomed
+    got = {r[0] for r in surv.select("doc_id").collect()}
+    assert got == want
+
+
+def test_incremental_minhash_null_text_and_no_ledger(spark):
+    """NULL/empty text carries no signature and survives (the
+    incremental_dedup_exact convention); a None ledger is a
+    passthrough; an exact duplicate of a ledger doc is doomed."""
+    prior = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta")],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, "alpha beta gamma delta epsilon zeta eta theta"),
+            (11, "completely different words about other things entirely"),
+            (12, None),
+            (13, ""),
+        ],
+        "doc_id long, text string",
+    )
+    assert dedup.incremental_dedup_minhash(batch, None).count() == 4
+    got = {
+        r["doc_id"]
+        for r in dedup.incremental_dedup_minhash(
+            batch, dedup.minhash_dedup_ledger(prior), threshold=0.5
+        ).collect()
+    }
+    assert got == {11, 12, 13}
+
+
 def test_containment_finds_planted_subset(spark):
     """A short doc embedded verbatim in a long doc scores containment
     1.0 while its Jaccard is diluted far below any useful threshold —

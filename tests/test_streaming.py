@@ -290,6 +290,63 @@ def test_quality_filter_stream_matches_batch_twin(spark, tmp_path):
         assert verd[0].mean_prob == pytest.approx(mean_want, abs=1e-9)
 
 
+def test_near_dup_filter_stream_gates_across_batches(spark, tmp_path):
+    """Two micro-batches through the streaming near-dup gate: batch 1's
+    internal near-dup pair collapses to its min-id survivor, batch 2's
+    re-crawl of a shipped doc is dropped by the signature ledger, and
+    fresh content passes — matching the sequential batch-twin
+    composition (fuzzy_dedup_survivors then incremental_dedup_minhash)
+    exactly."""
+    from kglids_spark.operators import dedup as DD
+    from kglids_spark.streaming.incremental import near_dup_filter_stream
+
+    base = " ".join(f"w{i}" for i in range(40))
+    other = " ".join(f"q{i}" for i in range(40))
+    b1 = spark.createDataFrame(
+        [(1, base), (2, base), (3, other)], "doc_id long, text string"
+    )
+    b2 = spark.createDataFrame(
+        [(10, base), (11, " ".join(f"z{i}" for i in range(40)))],
+        "doc_id long, text string",
+    )
+    src = str(tmp_path / "nd_in")
+    b1.coalesce(1).write.mode("overwrite").parquet(src)
+    b2.coalesce(1).write.mode("append").parquet(src)
+    out = str(tmp_path / "nd_out")
+    q = near_dup_filter_stream(
+        spark,
+        src,
+        out,
+        checkpoint_dir=str(tmp_path / "nd_ckpt"),
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination(300)
+    kept = {r["doc_id"] for r in spark.read.parquet(f"{out}/docs").collect()}
+    # batch twin: sequential application over the same two batches
+    s1 = DD.fuzzy_dedup_survivors(b1)
+    s1_kept = DD.incremental_dedup_minhash(s1, None)
+    ledger = DD.minhash_dedup_ledger(s1_kept)
+    s2 = DD.fuzzy_dedup_survivors(b2)
+    s2_kept = DD.incremental_dedup_minhash(s2, ledger)
+    want = {r["doc_id"] for r in s1_kept.collect()} | {
+        r["doc_id"] for r in s2_kept.collect()
+    }
+    assert kept == want == {1, 3, 11}
+    # the ledger holds exactly the survivors' signatures
+    led = spark.read.parquet(f"{out}/sig_ledger")
+    assert {r["id"] for r in led.select("id").collect()} == {1, 3, 11}
+    # parameter contract: a different signature config is refused
+    with pytest.raises(ValueError, match="incomparable"):
+        near_dup_filter_stream(
+            spark,
+            src,
+            out,
+            checkpoint_dir=str(tmp_path / "nd_ckpt2"),
+            num_perm=32,
+            bands=8,
+        )
+
+
 def test_quality_filter_stream_refuses_hasher_mismatch(spark):
     from kglids_spark.operators.quality_classifier import score_quality_lr
 
