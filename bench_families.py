@@ -160,8 +160,45 @@ def family_ops(docs, vecs, queries, srcd, centroids, media=None):
             docs, num_perm=16, bands=8, threshold=0.5
         ),
         "dedup_simhash": lambda: dedup.simhash_pairs(docs, max_hamming=3),
-        "dedup_ngram_jaccard": lambda: dedup.ngram_jaccard_pairs(
-            docs, threshold=0.5, max_shingle_df=50
+        # the ngram ops eagerly checkpoint their (small) pair output so
+        # the corpus-sized shingle persist can release — the plan
+        # variant builds the lazy form so the structure guard sees the
+        # real inverted-index tree, not Scan ExistingRDD
+        "dedup_ngram_jaccard": {
+            "run": lambda: dedup.ngram_jaccard_pairs(
+                docs, threshold=0.5, max_shingle_df=50
+            ),
+            "plan": lambda: dedup.ngram_jaccard_pairs(
+                docs, threshold=0.5, max_shingle_df=50, materialize=False
+            ),
+        },
+        # round-5: max-containment near-subset pairs — the same
+        # candidate machinery as Jaccard (shared _ngram_pair_counts),
+        # differing only in the final score expression; benched
+        # separately because the 0.8 containment threshold admits a
+        # different (superset-heavy) pair mass than Jaccard 0.5
+        "dedup_ngram_containment": {
+            "run": lambda: dedup.ngram_containment_pairs(
+                docs, threshold=0.8, max_shingle_df=50
+            ),
+            "plan": lambda: dedup.ngram_containment_pairs(
+                docs, threshold=0.8, max_shingle_df=50, materialize=False
+            ),
+        },
+        # round-5: batch-vs-ledger incremental near-dup — a 20% batch
+        # (doc_id % 5 == 4, scale-free so the test fixture splits too;
+        # the planted id%100==99 clones straddle the split) screens
+        # against the signatures of the other 80%; the ledger bucket
+        # stream is map-side (broadcast batch), so the cost is ~one
+        # ledger scan + the batch's signatures
+        "dedup_incremental_minhash": lambda: dedup.incremental_dedup_minhash(
+            docs.filter(F.pmod(F.col("doc_id"), F.lit(5)) == 4),
+            dedup.minhash_dedup_ledger(
+                docs.filter(F.pmod(F.col("doc_id"), F.lit(5)) != 4), num_perm=16
+            ),
+            num_perm=16,
+            bands=8,
+            threshold=0.5,
         ),
         "ann_lsh": lambda: ann.lsh_knn_join(queries, vecs, k=10, n_planes=12),
         "ann_ivf": lambda: ann.ivf_topk(queries, vecs, centroids, k=10),

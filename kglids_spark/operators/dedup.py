@@ -124,6 +124,7 @@ def _ngram_pair_counts(
     n: int,
     max_shingle_df: int,
     hash_shingles: bool,
+    materialize: bool = True,
 ):
     """Shared candidate machinery for the set-similarity family
     (Jaccard + containment): returns (counted, finalize) where
@@ -155,7 +156,10 @@ def _ngram_pair_counts(
     # then emitted MAP-SIDE from each ≤cap-sized posting list as array
     # combinations — the shuffle after that carries only candidate
     # pairs (bounded by real near-dup mass + cap² per shingle).
-    persisted = max_shingle_df < 2**31
+    # materialize=False skips the persist AND the result checkpoint so
+    # plan inspection sees the real join tree (the duplicate_spans
+    # convention); production keeps both.
+    persisted = materialize and max_shingle_df < 2**31
     if persisted:
         # the capped path reads `ex` three times (df-count pre-pass,
         # postings anti-join, hot-per-doc join); without a persist each
@@ -243,6 +247,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     max_shingle_df: int = 1000,
     hash_shingles: bool = True,
+    materialize: bool = True,
 ) -> DataFrame:
     """Near-duplicate pairs by word-n-gram Jaccard similarity.
 
@@ -263,7 +268,7 @@ def ngram_jaccard_pairs(
     collisions (~1e-6 at 10M shingles), pinned equal on the test corpus
     by test_dedup.py::test_ngram_hashed_twin_lockstep."""
     counted, finalize = _ngram_pair_counts(
-        df, text_col, id_col, n, max_shingle_df, hash_shingles
+        df, text_col, id_col, n, max_shingle_df, hash_shingles, materialize
     )
     jac = F.col("common") / (F.col("n1") + F.col("n2") - F.col("common"))
     result = (
@@ -282,6 +287,7 @@ def ngram_containment_pairs(
     threshold: float = 0.8,
     max_shingle_df: int = 1000,
     hash_shingles: bool = True,
+    materialize: bool = True,
 ) -> DataFrame:
     """Near-SUBSET pairs by word-n-gram max-containment
     |A∩B| / min(|A|, |B|) — the asymmetric twin of Jaccard (Broder
@@ -303,7 +309,7 @@ def ngram_containment_pairs(
     Jaccard path. Docs with zero rare shingles cannot form candidates
     and are absent, also like the Jaccard path."""
     counted, finalize = _ngram_pair_counts(
-        df, text_col, id_col, n, max_shingle_df, hash_shingles
+        df, text_col, id_col, n, max_shingle_df, hash_shingles, materialize
     )
     cont = F.col("common") / F.least("n1", "n2")
     result = (
