@@ -5057,6 +5057,56 @@ def element_range_check(spark, sf_dir):
     )
 
 
+_TOKEN_VOCAB_DRIFT_SQL = (
+    "WITH "
+    + _MD5_TOKS_CTE
+    + r""",
+    ex AS (SELECT doc_id, unnest(t) AS tok FROM toks),
+    cells AS (
+      SELECT doc_id,
+             CASE WHEN tok < 0 THEN 0
+                  WHEN tok >= 4294967296 THEN 65
+                  ELSE (tok * 64) // 4294967296 + 1 END AS cell
+      FROM ex WHERE tok IS NOT NULL),
+    cur AS (SELECT cell, count(*) AS n_current FROM cells GROUP BY cell),
+    base AS (SELECT cell, count(*) AS n_baseline FROM cells
+             WHERE doc_id < 250 GROUP BY cell)
+    SELECT COALESCE(cur.cell, base.cell) AS cell,
+           COALESCE(n_current, 0) AS n_current,
+           COALESCE(n_baseline, 0) AS n_baseline
+    FROM cur FULL OUTER JOIN base ON cur.cell = base.cell
+"""
+)
+
+
+@register("token_vocab_drift", _TOKEN_VOCAB_DRIFT_SQL)
+def token_vocab_drift(spark, sf_dir):
+    """Token-ID distribution histogram (64 cells over the 32-bit md5
+    id space) of the current corpus vs a baseline snapshot (doc_id <
+    250) — the vocabulary-usage drift signal the scalar n_tok
+    histogram cannot see. Pins drift.token_histogram_df's exact
+    integer bucketing cell-for-cell; the KS/PSI verdict math on top
+    (token_distribution_drift) is the same ks_statistic/psi already
+    pinned by the oracled drift_ks_events/drift_psi_events."""
+    from kglids_spark.operators import drift as drift_ops
+
+    toks = _md5_tokens(spark, sf_dir)
+    vocab = 2**32
+    cur = drift_ops.token_histogram_df(toks, vocab_size=vocab, nbins=64)
+    base = drift_ops.token_histogram_df(
+        toks.filter(F.col("doc_id") < 250), vocab_size=vocab, nbins=64
+    )
+    return (
+        cur.withColumnRenamed("n", "n_current")
+        .join(base.withColumnRenamed("n", "n_baseline"), "cell", "full")
+        .select(
+            "cell",
+            F.coalesce("n_current", F.lit(0)).alias("n_current"),
+            F.coalesce("n_baseline", F.lit(0)).alias("n_baseline"),
+        )
+    )
+
+
 _VECTOR_SANITY_SQL = """
     WITH perturbed AS (
       SELECT vec_id,
@@ -5310,7 +5360,13 @@ _DRIVER_PRIORITY = [
     # pareto_quality_sample in this window, and the split query stays
     # r3-green + DuckDB-checked by tests/test_entry.py every run)
     "incremental_minhash_dedup",
-    "text_repetition_signals",
+    # (token_vocab_drift — the late-round-5 token-ID distribution
+    # histogram, value-exact down to the integer bucketing — takes
+    # text_repetition_signals's slot: the text family is the densest
+    # in this window (gopher, line dedups, unicode normalize, char-LM,
+    # CCNet) and the repetition signals stay r3-green + DuckDB-checked
+    # by tests/test_entry.py on every pytest run)
+    "token_vocab_drift",
 ]
 
 _missing = [n for n in _DRIVER_PRIORITY if n not in QUERIES]

@@ -126,6 +126,84 @@ def evaluate_drift(
     }
 
 
+def token_bucket_expr(
+    token_col: Column | str, vocab_size: int, nbins: int
+) -> Column:
+    """Histogram cell of a token ID under the HistSpec cell layout
+    ([underflow, bin_0..bin_{nbins-1}, overflow]): floor(id * nbins /
+    vocab_size) — bit-portable to an engine that uses exact integer
+    division (the oracle's `//`), because the numerator id*nbins stays
+    < 2^53 (exact as a double) and a non-integer true quotient is at
+    least 1/vocab_size ≈ 2^-32 away from the next integer, many orders
+    above double ulp at quotients < nbins — so the double division can
+    never round across the floor boundary."""
+    x = F.col(token_col) if isinstance(token_col, str) else token_col
+    return (
+        F.when(x < 0, F.lit(0))
+        .when(x >= vocab_size, F.lit(nbins + 1))
+        .otherwise(F.floor(x * nbins / F.lit(vocab_size)) + 1)
+        .cast("long")
+    )
+
+
+def token_histogram_df(
+    df: DataFrame,
+    array_col: str = "tokens",
+    vocab_size: int = 50257,
+    nbins: int = 64,
+) -> DataFrame:
+    """(cell, n): exact histogram of TOKEN-ID values across every
+    sequence in the corpus — the vocabulary-usage distribution, which
+    the scalar n_tok histogram cannot see (a tokenizer swap, a vocab
+    remap, or a corrupted shard shifts WHICH ids occur long before it
+    shifts sequence lengths).
+
+    Plan: explode the token arrays (NULL arrays/elements contribute
+    nothing), bucket each id with integer arithmetic, and count per
+    cell — the per-partition partial aggregation combines map-side
+    into ≤ nbins+2 rows, so the one Exchange carries a dictionary,
+    never the corpus. Empty cells are absent (the driver-side
+    consumers zero-fill)."""
+    tok = F.explode(array_col).alias("_tok")
+    return (
+        df.select(tok)
+        .where(F.col("_tok").isNotNull())
+        .select(token_bucket_expr("_tok", vocab_size, nbins).alias("cell"))
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def token_distribution_drift(
+    df: DataFrame,
+    baseline_cells: list[int],
+    array_col: str = "tokens",
+    vocab_size: int = 50257,
+    nbins: int = 64,
+    ks_threshold: float = 0.1,
+    psi_threshold: float = 0.2,
+) -> dict:
+    """KS + PSI verdicts on the token-ID distribution vs a baseline
+    snapshot's cells (a prior ``token_histogram_df`` collect, padded
+    or not — missing trailing cells are zero). One dictionary-sized
+    aggregation; the statistics are O(nbins) driver math shared with
+    the oracled scalar drift path (ks_statistic / psi)."""
+    n_cells = nbins + 2
+    if len(baseline_cells) > n_cells:
+        raise ValueError(
+            f"baseline has {len(baseline_cells)} cells, expected <= {n_cells} "
+            f"(nbins={nbins} + under/overflow) — nbins/vocab_size must match "
+            "the baseline's"
+        )
+    base = list(baseline_cells) + [0] * (n_cells - len(baseline_cells))
+    cur = [0] * n_cells
+    for r in token_histogram_df(df, array_col, vocab_size, nbins).collect():
+        cur[int(r["cell"])] = int(r["n"])
+    out = evaluate_drift(cur, base, ks_threshold, psi_threshold)
+    out["cells"] = cur
+    return out
+
+
 def grouped_drift(
     df: DataFrame,
     spec: HistSpec,

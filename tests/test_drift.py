@@ -205,3 +205,60 @@ def test_grouped_drift_baseline_validation(spark):
         D.grouped_drift(df, spec, [1, 2, 3], "grp")
     with _pt.raises(ValueError, match="empty"):
         D.grouped_drift(df, spec, [0] * spec.n_cells, "grp")
+
+
+def test_token_histogram_cells_exact(spark):
+    """Exact cell layout on hand-placed ids: negatives underflow to
+    cell 0, >= vocab overflows to nbins+1, in-range ids land on
+    floor(id * nbins / vocab) + 1; NULL elements and NULL arrays
+    contribute nothing."""
+    from kglids_spark.operators import drift as D
+
+    rows = [
+        (1, [-3, 0, 9, 10, 99, 100, None]),  # vocab 100, nbins 10
+        (2, None),
+        (3, [55, 55, 55]),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, tokens array<long>")
+    got = {
+        r["cell"]: r["n"]
+        for r in D.token_histogram_df(df, vocab_size=100, nbins=10).collect()
+    }
+    # -3 -> 0; 0,9 -> 1; 10 -> 2; 99 -> 10; 100 -> 11; 55×3 -> 6
+    assert got == {0: 1, 1: 2, 2: 1, 10: 1, 11: 1, 6: 3}
+
+
+def test_token_distribution_drift_flags_vocab_shift(spark):
+    """A vocabulary remap (every id shifted into the upper half) must
+    fail PSI/KS against the original distribution; the original
+    against itself must pass with zero statistics."""
+    from kglids_spark.operators import drift as D
+
+    base_df = spark.createDataFrame(
+        [(i, [i % 50]) for i in range(400)], "doc_id long, tokens array<long>"
+    )
+    base_cells = [0] * 12
+    for r in D.token_histogram_df(base_df, vocab_size=100, nbins=10).collect():
+        base_cells[int(r["cell"])] = int(r["n"])
+    same = D.token_distribution_drift(base_df, base_cells, vocab_size=100, nbins=10)
+    assert same["ks"] == 0.0 and same["psi"] == 0.0
+    assert same["ks_pass"] and same["psi_pass"]
+    shifted = base_df.select(
+        "doc_id",
+        __import__("pyspark.sql.functions", fromlist=["F"]).transform(
+            "tokens", lambda x: x + 50
+        ).alias("tokens"),
+    )
+    out = D.token_distribution_drift(shifted, base_cells, vocab_size=100, nbins=10)
+    assert not out["ks_pass"] and not out["psi_pass"]
+    assert sum(out["cells"]) == 400
+
+
+def test_token_distribution_drift_baseline_validation(spark):
+    import pytest as _pt
+
+    from kglids_spark.operators import drift as D
+
+    df = spark.createDataFrame([(1, [1])], "doc_id long, tokens array<long>")
+    with _pt.raises(ValueError, match="cells"):
+        D.token_distribution_drift(df, [0] * 13, vocab_size=100, nbins=10)
