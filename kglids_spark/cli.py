@@ -370,6 +370,20 @@ def main(argv: list[str] | None = None) -> int:
         "and drop the listed buckets (Wenzek et al. 2020 keep "
         "head/middle by dropping tail)",
     )
+    pr.add_argument(
+        "--dedup-ledger",
+        default=None,
+        metavar="DIR",
+        help="MinHash-signature ledger directory for INCREMENTAL "
+        "near-dup dedup across prepare runs (the continuing-crawl "
+        "discipline): after fuzzy dedup, documents near-dup with any "
+        "previously shipped document are dropped (ledger stage), and "
+        "the documents surviving every document-level stage append "
+        "their signatures to the ledger; signature parameters are "
+        "pinned in DIR/params.json and a mismatched re-run is refused; "
+        "a re-run of the same input+config overwrites its own ledger "
+        "shard (idempotent) and never screens against itself",
+    )
     pr.add_argument("--merges", type=int, default=200)
     pr.add_argument("--merge-batch", type=int, default=16)
     pr.add_argument("--seq-len", type=int, default=2048)
@@ -878,6 +892,7 @@ def main(argv: list[str] | None = None) -> int:
                 "drop_quality_buckets": sorted(drop_buckets),
                 "decontaminate_against": args.decontaminate_against,
                 "decon_ngram": args.decon_ngram,
+                "dedup_ledger": args.dedup_ledger,
             }
             conf_path = os.path.join(args.stage_dir, "_PREPARE_CONF.json")
             if os.path.exists(conf_path):
@@ -890,6 +905,7 @@ def main(argv: list[str] | None = None) -> int:
                 prior.setdefault("decon_ngram", args.decon_ngram)
                 prior.setdefault("input_format", "parquet")
                 prior.setdefault("input_schema", None)
+                prior.setdefault("dedup_ledger", None)
                 if prior != conf:
                     raise SystemExit(
                         f"--stage-dir {args.stage_dir!r} holds checkpoints "
@@ -993,6 +1009,69 @@ def main(argv: list[str] | None = None) -> int:
                 ),
                 cur,
             )
+        ledger_sig_dir = ledger_run_tag = None
+        if args.dedup_ledger:
+            import hashlib
+            import os
+
+            lp = {
+                "num_perm": 64,
+                "bands": 16,
+                "shingle_n": 3,
+                "seed": 42,
+                "threshold": args.minhash_threshold,
+            }
+            lp_path = os.path.join(args.dedup_ledger, "params.json")
+            if os.path.exists(lp_path):
+                with open(lp_path) as f:
+                    lp_prior = json.load(f)
+                if lp_prior != lp:
+                    raise SystemExit(
+                        f"--dedup-ledger {args.dedup_ledger!r} was built "
+                        f"with {lp_prior}, got {lp} — signatures are "
+                        "incomparable across parameter changes; use a "
+                        "fresh directory or the ledger's parameters"
+                    )
+            else:
+                os.makedirs(args.dedup_ledger, exist_ok=True)
+                with open(lp_path, "w") as f:
+                    json.dump(lp, f)
+            ledger_sig_dir = os.path.join(args.dedup_ledger, "sigs")
+            # deterministic shard tag: a re-run of the same input+config
+            # overwrites its own shard (idempotent) and is excluded from
+            # its own screen — the near_dup_filter_stream epoch
+            # discipline, keyed by config instead of epoch
+            ledger_run_tag = hashlib.md5(
+                json.dumps(
+                    {
+                        "input": args.input,
+                        "threshold": args.minhash_threshold,
+                        "skip": sorted(skip),
+                        "gopher": sorted(gthresh.items()),
+                        "line_min_count": args.line_min_count,
+                    },
+                    sort_keys=True,
+                ).encode()
+            ).hexdigest()[:12]
+            try:
+                prior_sigs = (
+                    spark.read.parquet(ledger_sig_dir)
+                    .filter(F.col("run") != ledger_run_tag)
+                    .select("id", "sig")
+                )
+            except Exception:
+                prior_sigs = None  # first run: no ledger shards yet
+            cur = _stage(
+                "ledger",
+                lambda d: DD.incremental_dedup_minhash(
+                    d,
+                    prior_sigs,
+                    text_col=tcol,
+                    id_col=icol,
+                    threshold=args.minhash_threshold,
+                ),
+                cur,
+            )
         if args.decontaminate_against:
             bench_df = spark.read.parquet(args.decontaminate_against)
 
@@ -1028,6 +1107,18 @@ def main(argv: list[str] | None = None) -> int:
                 return d.join(keep_ids, icol).select(*base_cols)
 
             cur = _stage("ccnet", _ccnet, cur)
+
+        if args.dedup_ledger:
+            # what SHIPS is what later runs must not re-admit: append
+            # the final doc-level survivors' signatures as this run's
+            # shard (dir-partition layout run=<tag>, so the parent read
+            # discovers a `run` column and the screen above can exclude
+            # this run's own prior shard)
+            import os
+
+            DD.minhash_dedup_ledger(cur, text_col=tcol, id_col=icol).write.mode(
+                "overwrite"
+            ).parquet(os.path.join(ledger_sig_dir, f"run={ledger_run_tag}"))
 
         extra: dict = {}
         if "tokenize" not in skip:

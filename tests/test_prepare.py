@@ -220,3 +220,54 @@ def test_prepare_jsonl_input(spark, docs_path, tmp_path, capsys):
     assert c["fuzzy"] == 31
     assert summary["rows"] == 31
     assert spark.read.parquet(out).count() == 31
+
+
+def test_prepare_dedup_ledger_across_runs(spark, docs_path, tmp_path, capsys):
+    """The --dedup-ledger flow: run 1 ships a corpus and records its
+    signatures; run 2 over a second crawl containing a near-dup of a
+    shipped doc drops it at the ledger stage while fresh content
+    passes; a re-run of run 2 is idempotent (its own shard is excluded
+    from its own screen)."""
+    ledger = str(tmp_path / "ledger")
+    out1, s1 = _run(
+        docs_path, tmp_path / "r1", capsys, "--dedup-ledger", ledger,
+        "--skip", "tokenize,pack",
+    )
+    assert s1["stage_counts"]["ledger"] == s1["stage_counts"]["fuzzy"]  # empty ledger
+
+    # second crawl: a near-dup of shipped clone_a + a fresh doc
+    clone = " ".join(f"q{k}" for k in range(60))
+    batch2 = spark.createDataFrame(
+        [
+            ("recrawl_a", clone + " tailword", "src0"),
+            ("fresh_doc", " ".join(f"fresh{k} token{k}" for k in range(30)), "src1"),
+        ],
+        "doc_id string, text string, source string",
+    )
+    b2 = str(tmp_path / "docs2")
+    batch2.write.mode("overwrite").parquet(b2)
+    out2, s2 = _run(
+        b2, tmp_path / "r2", capsys, "--dedup-ledger", ledger,
+        "--skip", "tokenize,pack",
+        # the two batch-2 docs are short/fresh; keep gopher out of the way
+        "--gopher-threshold", "min_words=2",
+    )
+    kept2 = {r.doc_id for r in spark.read.parquet(out2).collect()}
+    assert kept2 == {"fresh_doc"}                       # recrawl_a gated
+    assert s2["stage_counts"]["ledger"] == 1
+
+    out2b, s2b = _run(
+        b2, tmp_path / "r2b", capsys, "--dedup-ledger", ledger,
+        "--skip", "tokenize,pack",
+        "--gopher-threshold", "min_words=2",
+    )
+    kept2b = {r.doc_id for r in spark.read.parquet(out2b).collect()}
+    assert kept2b == kept2 and s2b["stage_counts"] == s2["stage_counts"]
+
+    # parameter contract: a different threshold is refused
+    with pytest.raises(SystemExit, match="incomparable"):
+        _run(
+            b2, tmp_path / "r3", capsys, "--dedup-ledger", ledger,
+            "--skip", "tokenize,pack",
+            "--minhash-threshold", "0.6",
+        )
