@@ -241,6 +241,27 @@ def main(argv: list[str] | None = None) -> int:
         help="exit 2 if any metric is flagged (CI gate)",
     )
 
+    td = sub.add_parser(
+        "token-drift",
+        help="KS + PSI verdicts on the TOKEN-ID distribution of a "
+        "tokens table vs a baseline tokens table — catches tokenizer "
+        "swaps / vocab remaps that leave sequence lengths (and so the "
+        "n_tok drift check) unchanged",
+    )
+    td.add_argument("--input", required=True, help="current tokens parquet")
+    td.add_argument("--baseline", required=True, help="baseline tokens parquet")
+    td.add_argument("--array-col", default="tokens")
+    td.add_argument("--vocab-size", type=int, default=50257)
+    td.add_argument("--nbins", type=int, default=64)
+    td.add_argument("--ks-threshold", type=float, default=0.1)
+    td.add_argument("--psi-threshold", type=float, default=0.2)
+    td.add_argument(
+        "--fail-on-drift",
+        action="store_true",
+        help="exit 2 if either verdict fails (CI gate)",
+    )
+    td.add_argument("--cpus", type=int, default=None)
+
     p = sub.add_parser("profile", help="single-pass column profiles")
     p.add_argument("--input", required=True)
     p.add_argument("--exact", action="store_true")
@@ -773,6 +794,43 @@ def main(argv: list[str] | None = None) -> int:
             )
         )
         if args.fail_on_anomaly and flags:
+            return 2
+        return 0
+
+    if args.cmd == "token-drift":
+        from kglids_spark.operators import drift as D
+
+        n_cells = args.nbins + 2
+        base_cells = [0] * n_cells
+        for r in D.token_histogram_df(
+            spark.read.parquet(args.baseline),
+            array_col=args.array_col,
+            vocab_size=args.vocab_size,
+            nbins=args.nbins,
+        ).collect():
+            base_cells[int(r["cell"])] = int(r["n"])
+        out = D.token_distribution_drift(
+            spark.read.parquet(args.input),
+            base_cells,
+            array_col=args.array_col,
+            vocab_size=args.vocab_size,
+            nbins=args.nbins,
+            ks_threshold=args.ks_threshold,
+            psi_threshold=args.psi_threshold,
+        )
+        print(
+            json.dumps(
+                {
+                    "ks": round(out["ks"], 6),
+                    "psi": round(out["psi"], 6),
+                    "ks_pass": out["ks_pass"],
+                    "psi_pass": out["psi_pass"],
+                    "cells": out["cells"],
+                    "baseline_cells": base_cells,
+                }
+            )
+        )
+        if args.fail_on_drift and not (out["ks_pass"] and out["psi_pass"]):
             return 2
         return 0
 

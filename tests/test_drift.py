@@ -1,6 +1,8 @@
 """Drift constraints: unshifted baseline passes, shifted distribution
 fails KS and PSI at the documented thresholds (FIXTURES.md F2)."""
 
+import json
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -262,3 +264,36 @@ def test_token_distribution_drift_baseline_validation(spark):
     df = spark.createDataFrame([(1, [1])], "doc_id long, tokens array<long>")
     with _pt.raises(ValueError, match="cells"):
         D.token_distribution_drift(df, [0] * 13, vocab_size=100, nbins=10)
+
+
+def test_cli_token_drift(spark, tmp_path, capsys):
+    """CLI gate: shifted token ids vs the original table drift (exit 2
+    under --fail-on-drift); the table against itself passes (exit 0)."""
+    from pyspark.sql import functions as F
+
+    from kglids_spark.cli import main
+
+    base = spark.createDataFrame(
+        [(i, [i % 50]) for i in range(400)], "doc_id long, tokens array<long>"
+    )
+    bp, sp = str(tmp_path / "base"), str(tmp_path / "shift")
+    base.write.parquet(bp)
+    base.select(
+        "doc_id", F.transform("tokens", lambda x: x + 50).alias("tokens")
+    ).write.parquet(sp)
+
+    rc = main([
+        "token-drift", "--input", bp, "--baseline", bp,
+        "--vocab-size", "100", "--nbins", "10", "--fail-on-drift",
+    ])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0 and out["ks"] == 0.0 and out["psi"] == 0.0
+
+    rc = main([
+        "token-drift", "--input", sp, "--baseline", bp,
+        "--vocab-size", "100", "--nbins", "10", "--fail-on-drift",
+    ])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 2 and not out["ks_pass"] and not out["psi_pass"]
+    assert out["cells"] != out["baseline_cells"]
+    assert sum(out["cells"]) == sum(out["baseline_cells"]) == 400
