@@ -392,6 +392,15 @@ def main(argv: list[str] | None = None) -> int:
         "head/middle by dropping tail)",
     )
     pr.add_argument(
+        "--strip-html",
+        action="store_true",
+        help="treat the text column as raw HTML and extract text first "
+        "(script/style/comment content removed, block-closing tags "
+        "become newlines so the line operators keep paragraph "
+        "structure, core entities decoded) — the ingestion step for "
+        "crawl-shaped corpora",
+    )
+    pr.add_argument(
         "--dedup-ledger",
         default=None,
         metavar="DIR",
@@ -951,6 +960,7 @@ def main(argv: list[str] | None = None) -> int:
                 "decontaminate_against": args.decontaminate_against,
                 "decon_ngram": args.decon_ngram,
                 "dedup_ledger": args.dedup_ledger,
+                "strip_html": bool(args.strip_html),
             }
             conf_path = os.path.join(args.stage_dir, "_PREPARE_CONF.json")
             if os.path.exists(conf_path):
@@ -964,6 +974,7 @@ def main(argv: list[str] | None = None) -> int:
                 prior.setdefault("input_format", "parquet")
                 prior.setdefault("input_schema", None)
                 prior.setdefault("dedup_ledger", None)
+                prior.setdefault("strip_html", False)
                 if prior != conf:
                     raise SystemExit(
                         f"--stage-dir {args.stage_dir!r} holds checkpoints "
@@ -1024,6 +1035,14 @@ def main(argv: list[str] | None = None) -> int:
             StorageLevel.MEMORY_AND_DISK
         )
         counts["non_null_text"] = cur.count()
+
+        if args.strip_html:
+            # markup -> text BEFORE any quality/dedup signal is read:
+            # tags would otherwise count as words, entities as
+            # punctuation, and boilerplate <script> bodies as content
+            cur = _stage(
+                "html", lambda d: TX.extract_html_text(d, tcol, tcol), cur
+            )
 
         if "gopher" not in skip:
             try:

@@ -5057,6 +5057,68 @@ def element_range_check(spark, sf_dir):
     )
 
 
+_STRIP_HTML_SQL = r"""
+    WITH wrapped AS (
+      SELECT doc_id,
+             '<html><head><style type="text/css">p {margin: 0}</style><title>Doc '
+               || doc_id || '</title></head><body:junk attr="x"><h1>'
+               -- chr(10): a \n inside this raw-string SQL literal
+               -- would be a literal backslash-n, not the newline the
+               -- Spark wrap embeds
+               || source || '</h1>' || chr(10) || '<p>' || text
+               || '</p><script>var a = "<b>ignored</b>";</script><!-- c\nc -->tail&nbsp;&amp;lt;end</body></html>'
+               AS html
+      FROM documents),
+    stripped AS (
+      SELECT doc_id,
+        regexp_replace(regexp_replace(regexp_replace(
+          replace(replace(replace(replace(replace(replace(
+            regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+              html,
+              '(?is)<script\b[^>]*>.*?</script\s*>', '', 'g'),
+              '(?is)<style\b[^>]*>.*?</style\s*>', '', 'g'),
+              '(?s)<!--.*?-->', '', 'g'),
+              '(?i)<(br\s*/?|/p|/div|/li|/tr|/h[1-6]|/title)\s*>', chr(10), 'g'),
+              '(?s)<[^>]*>', '', 'g'),
+            '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+            '&#39;', chr(39)), '&amp;', '&'),
+          '[ \t\x0b\f\r]+', ' ', 'g'),
+          ' ?\n ?', chr(10), 'g'),
+          '\n{2,}', chr(10), 'g') AS t
+      FROM wrapped)
+    SELECT doc_id,
+           md5(regexp_replace(t, '^\n|\n$', '', 'g')) AS text_md5
+    FROM stripped
+"""
+
+
+@register("strip_html_docs", _STRIP_HTML_SQL)
+def strip_html_docs(spark, sf_dir):
+    """HTML-to-text extraction pinned byte-exact: every document is
+    wrapped in markup exercising each rule (style + script blocks with
+    tag-looking CONTENT, a multi-line comment, block-closing tags,
+    a malformed attribute tag, entities incl. the &amp;lt; single-
+    decode case, &nbsp;) and stripped back; the oracle replays the
+    same Java/RE2-common regex chain pattern-for-pattern and compares
+    the md5 of the recovered text."""
+    d = _t(spark, sf_dir, "documents")
+    wrapped = d.select(
+        "doc_id",
+        F.concat(
+            F.lit('<html><head><style type="text/css">p {margin: 0}</style><title>Doc '),
+            F.col("doc_id").cast("string"),
+            F.lit('</title></head><body:junk attr="x"><h1>'),
+            F.col("source"),
+            F.lit("</h1>\n<p>"),
+            F.col("text"),
+            F.lit('</p><script>var a = "<b>ignored</b>";</script><!-- c\nc -->tail&nbsp;&amp;lt;end</body></html>'),
+        ).alias("html"),
+    )
+    return wrapped.select(
+        "doc_id", F.md5(text.strip_html("html")).alias("text_md5")
+    )
+
+
 _TOKEN_VOCAB_DRIFT_SQL = (
     "WITH "
     + _MD5_TOKS_CTE
@@ -5341,7 +5403,13 @@ _DRIVER_PRIORITY = [
     # (d) last checked in round 3
     "eda_operations", "float_bit_decomposition",
     "intersect_except_keys",
-    "json_extract_props",
+    # (strip_html_docs — the late-round-5 markup-to-text extractor,
+    # byte-exact oracle over planted markup — takes
+    # json_extract_props's slot: the string-extraction family keeps
+    # float_bit_decomposition and na_coercion_cast in this window and
+    # the JSON-props query stays r3-green + DuckDB-checked by
+    # tests/test_entry.py on every pytest run)
+    "strip_html_docs",
     "na_coercion_cast",
     # (embedding_sanity — the late-round-5 vector_sanity constraint
     # probe, planted NaN/dim/norm failures, value-exact — takes

@@ -241,6 +241,65 @@ def redact_pii(
     return out.withColumn(out_col, red)
 
 
+# two patterns, not one with a </\1> backreference: RE2 (the oracle
+# engine) has no backreferences, and <script>…</style> must not match
+_HTML_SCRIPT_RE = r"(?is)<script\b[^>]*>.*?</script\s*>"
+_HTML_STYLE_RE = r"(?is)<style\b[^>]*>.*?</style\s*>"
+_HTML_COMMENT_RE = r"(?s)<!--.*?-->"
+_HTML_BREAK_RE = r"(?i)<(br\s*/?|/p|/div|/li|/tr|/h[1-6]|/title)\s*>"
+_HTML_TAG_RE = r"(?s)<[^>]*>"
+_HTML_ENTITIES = [
+    ("&nbsp;", " "),
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&amp;", "&"),  # LAST: earlier entities must not double-decode
+]
+
+
+def strip_html(col) -> F.Column:
+    """Markup → text for raw-crawl ingestion (the step upstream of
+    every quality/dedup operator when the corpus arrives as HTML —
+    C4 §2.1 extracts text before any filter runs). Deliberately a
+    lightweight tag stripper, not a DOM parser: script/style blocks
+    and comments are removed with their CONTENT, block-closing tags
+    become newlines (so paragraph structure survives for the line
+    operators), remaining tags drop, the five core entities + &nbsp;
+    decode (&amp; last so &amp;lt; decodes once, to '&lt;'), and
+    horizontal whitespace collapses per line with blank lines pruned.
+
+    A pure chain of regexp_replace column expressions — whole-stage
+    codegen, zero shuffle, trivially parallel — using only the regex
+    subset Java and RE2 share ((?is) inline flags, lazy .*?), so the
+    DuckDB oracle replays it pattern-for-pattern. Malformed markup
+    degrades gracefully: an unclosed <script never matches the block
+    regex and only loses its tags."""
+    c = F.col(col) if isinstance(col, str) else col
+    c = F.regexp_replace(c, _HTML_SCRIPT_RE, "")
+    c = F.regexp_replace(c, _HTML_STYLE_RE, "")
+    c = F.regexp_replace(c, _HTML_COMMENT_RE, "")
+    c = F.regexp_replace(c, _HTML_BREAK_RE, "\n")
+    c = F.regexp_replace(c, _HTML_TAG_RE, "")
+    for ent, rep in _HTML_ENTITIES:
+        c = F.replace(c, F.lit(ent), F.lit(rep))
+    # collapse horizontal runs, trim line edges, prune blank lines
+    c = F.regexp_replace(c, r"[ \t\x0b\f\r]+", " ")
+    c = F.regexp_replace(c, r" ?\n ?", "\n")
+    c = F.regexp_replace(c, r"\n{2,}", "\n")
+    return F.regexp_replace(c, r"^\n|\n$", "")
+
+
+def extract_html_text(
+    df: DataFrame, html_col: str = "text", out_col: str = "text"
+) -> DataFrame:
+    """DataFrame form of strip_html, replacing (or adding) ``out_col``
+    and keeping every other column — drops into the head of a prepare
+    pipeline."""
+    keep = [c for c in df.columns if c != out_col]
+    return df.select(*keep, strip_html(html_col).alias(out_col))
+
+
 def fingerprint_expr(col, shingle_n: int = 3) -> F.Column:
     """64-bit document fingerprint: min xxhash64 over word shingles
     (one-permutation MinHash) — robust to reordering of rare edits,

@@ -271,3 +271,31 @@ def test_prepare_dedup_ledger_across_runs(spark, docs_path, tmp_path, capsys):
             "--skip", "tokenize,pack",
             "--minhash-threshold", "0.6",
         )
+
+
+def test_prepare_strip_html_stage(spark, tmp_path, capsys):
+    """--strip-html extracts text before any other stage reads it:
+    markup-wrapped docs pass gopher (tags would otherwise sink the
+    alpha-word fraction) and the output text is the recovered prose."""
+    body = " ".join(
+        f"the quick crawl page {k} has words and meaning w{k}" for k in range(3)
+    )
+    rows = [
+        (
+            f"h{i}",
+            f'<html><head><style>x {{y}}</style></head><body><h1>Page {i}</h1>'
+            f"<p>{body} tail{i}</p><script>var x=1;</script></body></html>",
+            "web",
+        )
+        for i in range(6)
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string, source string")
+    src = str(tmp_path / "html_docs")
+    df.write.mode("overwrite").parquet(src)
+    out, s = _run(
+        src, tmp_path, capsys, "--strip-html", "--skip", "tokenize,pack"
+    )
+    assert s["stage_counts"]["html"] == 6 and s["stage_counts"]["gopher"] == 6
+    texts = {r.doc_id: r.text for r in spark.read.parquet(out).collect()}
+    assert texts["h0"].startswith("Page 0\n")
+    assert "<" not in texts["h0"] and "var x" not in texts["h0"]

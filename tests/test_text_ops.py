@@ -459,3 +459,40 @@ def test_corpus_datacard_hand_computed(spark):
     assert 0.0 <= hll["exact_dup_rate"] <= 1.0
     assert hll["dup_estimator"] == "hll"
     assert "sources" not in hll
+
+
+def test_strip_html_rules(spark):
+    """Each rule exercised: block content removal, comment removal,
+    break tags -> newlines, tag strip, single-pass entity decode,
+    whitespace collapse; malformed markup degrades to tag loss; NULL
+    passes through."""
+    from kglids_spark.operators.text import strip_html
+
+    rows = [
+        (1, '<head><title>T</title><style a="b">x {y}</style></head>'
+            '<body><h1>A &amp; B</h1><p>one <b>two</b>.</p>'
+            '<script>var x = "<p>no</p>";</script>'
+            '<!-- gone\ngone --><ul><li>i1</li><li>i&lt;2&gt;</li></ul>'
+            '<p>a&nbsp;b &amp;lt; c</p><br/>t   t</body>'),
+        (2, "plain"),
+        (3, "<script>unclosed var y;"),
+        (4, None),
+        (5, "x &amp;amp; y"),  # decodes ONCE: -> 'x &amp; y'
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    got = {r.id: r.t for r in df.select("id", strip_html("text").alias("t")).collect()}
+    assert got[1] == "T\nA & B\none two.\ni1\ni<2>\na b &lt; c\nt t"
+    assert got[2] == "plain"
+    assert got[3] == "unclosed var y;"
+    assert got[4] is None
+    assert got[5] == "x &amp; y"
+
+
+def test_extract_html_text_keeps_columns(spark):
+    from kglids_spark.operators.text import extract_html_text
+
+    df = spark.createDataFrame(
+        [(1, "<p>hello</p>", "web")], "doc_id long, text string, source string"
+    )
+    out = extract_html_text(df).collect()[0]
+    assert out.text == "hello" and out.source == "web" and out.doc_id == 1
