@@ -355,6 +355,20 @@ def family_ops(docs, vecs, queries, srcd, centroids, media=None):
                 (F.xxhash64("text") / 1e18).alias("logprob_per_gram"),
             )
         ),
+        # round-5: the training-window builder — pack offsets via the
+        # two-phase prefix sum, then ONE corpus shuffle (groupBy bin_id)
+        # assembles the 1024-token windows + span arrays. The offsets
+        # collect n_buckets scalar rows at build time (run-only, like
+        # ccnet; the snapshot captures the assembly tree).
+        "shape_materialize_bins": lambda: _bins_op(docs),
+        # round-5: size-balanced round-robin sharding — one ranked pass
+        # (repartitionByRange + Arrow offset stamping), shard id is a
+        # pure expression over the rank
+        "shape_assign_shards": lambda: _shards_op(docs),
+        # round-5: quality-ordered take-until-budget — the same ranked
+        # pass carrying the exclusive token cumsum; budget = ~half the
+        # corpus chars so the verdict flips mid-stream
+        "select_token_budget": lambda: _budget_op(docs),
         # 8 queries over the 10k hash-soup vocab; every term matches
         # ~1/10000 of corpus tokens, so the candidate set is realistic
         # (thousands of docs per query at 500k docs)
@@ -450,6 +464,42 @@ def _parity_op(docs):
         ).otherwise(F.col("tokens")),
     )
     return parity.token_equality_diff(toks, right)
+
+
+def _bins_op(docs):
+    from pyspark.sql import functions as F
+
+    from kglids_spark.operators.packing import materialize_bins
+
+    toks = _tokenize_hash(docs).withColumn(
+        "n_tok", F.greatest(F.size("tokens"), F.lit(0))
+    )
+    return materialize_bins(toks, 1024)
+
+
+def _shards_op(docs):
+    from pyspark.sql import functions as F
+
+    from kglids_spark.operators.sampling import assign_shards
+
+    sized = docs.select("doc_id", F.length("text").cast("int").alias("n_chars"))
+    return assign_shards(sized, 128, size_col="n_chars")
+
+
+def _budget_op(docs):
+    from pyspark.sql import functions as F
+
+    from kglids_spark.operators.sampling import select_until_budget
+
+    scored = docs.select(
+        "doc_id",
+        F.length("text").cast("int").alias("n_chars"),
+        (F.xxhash64("text") / 1e18).alias("score"),
+    )
+    # hash-soup docs average ~390 chars; half the corpus
+    return select_until_budget(
+        scored, DOCS * 195, score_col="score", size_col="n_chars"
+    )
 
 
 def _bpe_encode_op(docs):

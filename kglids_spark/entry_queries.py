@@ -5248,6 +5248,136 @@ def embedding_sanity(spark, sf_dir):
     )
 
 
+_SHARDS_SQL = """
+    SELECT doc_id, n_chars,
+           CAST((row_number() OVER (ORDER BY n_chars DESC, doc_id) - 1) % 8 AS INT)
+             AS shard
+    FROM documents
+"""
+
+
+@register("shard_assignment_balanced", _SHARDS_SQL)
+def shard_assignment_balanced(spark, sf_dir):
+    """Size-balanced output sharding (sampling.assign_shards):
+    round-robin over the size-descending global rank, computed with
+    the two-phase range-partitioned ranking pass — NEVER a single-task
+    `row_number()` window, which is exactly what the oracle's plain
+    window states as the semantics."""
+    from kglids_spark.operators import sampling
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return sampling.assign_shards(d, 8, size_col="n_chars")
+
+
+_BUDGET_SQL = """
+    WITH s AS (
+      SELECT doc_id, n_chars,
+             CASE WHEN n_chars > 0 THEN
+               length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE / n_chars
+             END AS alpha_frac
+      FROM documents),
+    c AS (
+      SELECT *, (COALESCE(sum(n_chars) OVER (
+           ORDER BY alpha_frac DESC NULLS LAST, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0))::BIGINT
+             AS cum_tokens_before
+      FROM s)
+    SELECT doc_id, n_chars, round(alpha_frac, 6) AS alpha_frac,
+           cum_tokens_before, cum_tokens_before < 150000 AS selected
+    FROM c
+"""
+
+
+@register("token_budget_selection", _BUDGET_SQL)
+def token_budget_selection(spark, sf_dir):
+    """Quality-ordered selection under a token budget
+    (sampling.select_until_budget): take documents in descending
+    alpha-character-fraction order until 150k chars are taken — the
+    "best N tokens" curation step. The running total comes from the
+    two-phase ranked prefix sum (plans/ranking.py); the ordering score
+    is an exact int/int double division, identical in both engines, so
+    the verdict column is value-exact (the budget-crossing doc is
+    selected, everything after is not)."""
+    from kglids_spark.operators import sampling
+
+    d = _t(spark, sf_dir, "documents")
+    alpha = F.when(
+        F.col("n_chars") > 0,
+        F.length(F.regexp_replace("text", "[^A-Za-z]", "")).cast("double")
+        / F.col("n_chars"),
+    )
+    scored = d.select("doc_id", "n_chars", alpha.alias("alpha_frac"))
+    sel = sampling.select_until_budget(
+        scored, 150000, score_col="alpha_frac", size_col="n_chars"
+    )
+    return sel.select(
+        "doc_id",
+        "n_chars",
+        F.round("alpha_frac", 6).alias("alpha_frac"),
+        "cum_tokens_before",
+        "selected",
+    )
+
+
+_BIN_WINDOWS_SQL = r"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_transform(
+               list_filter(
+                 string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+                 w -> w <> ''),
+               w -> CAST(('0x' || substring(md5(w), 1, 8)) AS BIGINT)) AS t
+      FROM documents),
+    sz AS (SELECT doc_id, t, len(t) AS L FROM toks),
+    ord AS (
+      SELECT *, (COALESCE(sum(L) OVER (
+          ORDER BY md5(doc_id::VARCHAR), doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0))::BIGINT AS o
+      FROM sz),
+    spans AS (
+      SELECT doc_id, t, L, o, unnest(range(o // 64, (o + L - 1) // 64 + 1)) AS b
+      FROM ord WHERE L >= 1),
+    pieces AS (
+      SELECT b::BIGINT AS bin_id,
+             (greatest(o, b * 64) - b * 64)::INT AS start,
+             doc_id,
+             t[(greatest(o, b * 64) - o + 1) : (least(o + L, (b + 1) * 64) - o)]
+               AS piece
+      FROM spans)
+    SELECT bin_id,
+           flatten(list(piece ORDER BY start)) AS tokens,
+           len(flatten(list(piece ORDER BY start)))::INT AS n_tok,
+           count(*)::INT AS n_docs,
+           list(doc_id ORDER BY start) AS span_docs,
+           list(start ORDER BY start) AS span_starts,
+           list(len(piece)::INT ORDER BY start) AS span_lens
+    FROM pieces GROUP BY bin_id
+"""
+
+
+@register("packed_bin_windows", _BIN_WINDOWS_SQL)
+def packed_bin_windows(spark, sf_dir):
+    """Materialized training windows (packing.materialize_bins): the
+    md5-word-id token stream concatenated in portable md5(doc_id)
+    order and cut every 64 tokens, with the per-bin document spans
+    (parallel arrays) a reader needs for cross-document attention
+    masking. Offsets ride pack_sequences' two-phase prefix sum; the
+    only corpus shuffle is the groupBy(bin_id) window assembly."""
+    from kglids_spark.operators.packing import materialize_bins
+
+    d = _t(spark, sf_dir, "documents")
+    ws = F.filter(dedup.split_words("text"), lambda w: w != "")
+    tokens = F.transform(
+        ws, lambda w: F.conv(F.substring(F.md5(w), 1, 8), 16, 10).cast("bigint")
+    )
+    toks = d.select("doc_id", tokens.alias("tokens")).withColumn(
+        "n_tok", F.greatest(F.size("tokens"), F.lit(0))
+    )
+    order = F.md5(F.col("doc_id").cast("string"))
+    bucket = F.conv(F.substring(order, 1, 2), 16, 10)
+    return materialize_bins(toks, 64, order_col=order, bucket_col=bucket)
+
+
 # =====================================================================
 # Driver registration order
 # =====================================================================
@@ -5385,8 +5515,17 @@ _DRIVER_PRIORITY = [
     # stay DuckDB-checked by tests/test_entry.py on every pytest run)
     "audio_fingerprint", "video_fingerprint",
     # (c) last checked in round 2
-    "ann_bruteforce_topk", "pipeline_top_used_libraries",
-    "pipelines_by_tags", "pipelines_for_deep_learning",
+    # (packed_bin_windows — the late-round-5 training-window builder,
+    # value-exact down to the per-bin span arrays — takes
+    # ann_bruteforce_topk's slot: the ANN family keeps r4-green
+    # ann_ivf_topk and ann_knn_join, and the brute-force query stays
+    # r2-green + DuckDB-checked by tests/test_entry.py on every run;
+    # shard_assignment_balanced — the size-balanced output-sharding
+    # rank — takes pipelines_by_tags's slot: the pipelines family
+    # keeps pipeline_top_used_libraries and pipelines_for_deep_learning
+    # in this window)
+    "packed_bin_windows", "pipeline_top_used_libraries",
+    "shard_assignment_balanced", "pipelines_for_deep_learning",
     # (split_leakage_pairs — the round-closing cross-split leakage
     # audit, value-exact oracle, never driver-checked — takes
     # dedup_clusters's slot within the same dedup family; the
@@ -5401,7 +5540,11 @@ _DRIVER_PRIORITY = [
     # r3-green + DuckDB-checked by tests/test_entry.py every run)
     "dedup_ngram_containment",
     # (d) last checked in round 3
-    "eda_operations", "float_bit_decomposition",
+    # (token_budget_selection — the late-round-5 quality-ordered
+    # budget-selection verdict, value-exact incl. the crossing-doc
+    # boundary — takes eda_operations's slot: both EDA queries stay
+    # r3-green and DuckDB-checked by tests/test_entry.py every run)
+    "token_budget_selection", "float_bit_decomposition",
     "intersect_except_keys",
     # (strip_html_docs — the late-round-5 markup-to-text extractor,
     # byte-exact oracle over planted markup — takes

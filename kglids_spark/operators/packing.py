@@ -187,3 +187,99 @@ def chunk_sequences(
         tokens_col,
         F.size(tokens_col).alias("n_tok"),
     )
+
+
+def materialize_bins(
+    df: DataFrame,
+    seq_len: int,
+    *,
+    key: str = "doc_id",
+    tokens_col: str = "tokens",
+    n_tok_col: str = "n_tok",
+    n_buckets: int = DEFAULT_RANGE_BUCKETS,
+    order_col: F.Column | None = None,
+    bucket_col: F.Column | None = None,
+) -> DataFrame:
+    """Build the actual fixed-length training windows pack_sequences
+    only ASSIGNS: concatenate the token arrays in the deterministic
+    pack order and cut the stream every ``seq_len`` tokens, documents
+    spanning bins split at the boundary. This is the final
+    batch-construction step before a training run — the reader
+    consumes (bin_id, tokens) rows of exactly seq_len tokens (the last
+    bin may be shorter) plus the per-bin document spans it needs for
+    attention masking / loss boundaries across concatenated documents.
+
+    Returns (bin_id, tokens, n_tok, n_docs, span_docs, span_starts,
+    span_lens) with the spans sorted by position; parallel arrays
+    rather than array<struct> so the row hashes identically across
+    engines. Documents with empty/NULL token arrays contribute no
+    tokens and are excluded (they occupy zero stream positions).
+
+    Scale shape: the offsets come from pack_sequences' two-phase
+    prefix sum (never a single-task window); each document then emits
+    its ≤ ceil(L/seq_len)+1 bin pieces MAP-SIDE (sequence + slice over
+    the once-projected array), and the only corpus-sized shuffle is
+    the groupBy(bin_id) that brings each bin's ~seq_len tokens
+    together — the minimum any window builder must move. Bin contents
+    tile the bin contiguously, so array_sort on (start, doc, piece)
+    structs is deterministic with unique starts."""
+    packed = pack_sequences(
+        df,
+        seq_len,
+        key=key,
+        n_tok_col=n_tok_col,
+        n_buckets=n_buckets,
+        order_col=order_col,
+        bucket_col=bucket_col,
+    )
+    S = F.lit(int(seq_len))
+    o = F.col("pack_offset")
+    L = F.col(n_tok_col).cast("long")
+    t = F.col(tokens_col)
+    # bins spanned: floor(o/S) .. floor((o+L-1)/S); pack_sequences
+    # already materialized the first as bin_id (integral div)
+    b_last = F.expr(f"(pack_offset + cast({n_tok_col} as bigint) - 1) div {int(seq_len)}")
+
+    def _piece(b):
+        gstart = F.greatest(o, b * S)  # global stream position
+        gend = F.least(o + L, (b + 1) * S)
+        return F.struct(
+            b.alias("b"),
+            (gstart - b * S).cast("int").alias("start"),
+            F.slice(t, (gstart - o + 1).cast("int"), (gend - gstart).cast("int")).alias(
+                "piece"
+            ),
+        )
+
+    pieces = F.transform(F.sequence(F.col("bin_id"), b_last), _piece)
+    expl = (
+        packed.where(L >= 1)
+        .select(F.col(key).alias("_doc"), F.explode(pieces).alias("_p"))
+        .select(
+            F.col("_p.b").alias("bin_id"),
+            F.col("_p.start").alias("_start"),
+            F.col("_doc"),
+            F.col("_p.piece").alias("_piece"),
+        )
+    )
+    agg = expl.groupBy("bin_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("_start"), F.col("_doc"), F.col("_piece")))
+        ).alias("_ps")
+    )
+    ps = F.col("_ps")
+    return agg.select(
+        "bin_id",
+        F.flatten(F.transform(ps, lambda p: p["_piece"])).alias(tokens_col),
+        F.transform(ps, lambda p: p["_doc"]).alias("span_docs"),
+        F.transform(ps, lambda p: p["_start"]).alias("span_starts"),
+        F.transform(ps, lambda p: F.size(p["_piece"]).cast("int")).alias("span_lens"),
+    ).select(
+        "bin_id",
+        tokens_col,
+        F.size(tokens_col).cast("int").alias("n_tok"),
+        F.size("span_docs").cast("int").alias("n_docs"),
+        "span_docs",
+        "span_starts",
+        "span_lens",
+    )

@@ -349,3 +349,85 @@ def mixture_counts(df: DataFrame, strata_col: str) -> DataFrame:
         .withColumn("share", F.col("n_rows") / F.col("_total"))
         .drop("_total")
     )
+
+
+def assign_shards(
+    df: DataFrame,
+    n_shards: int,
+    *,
+    size_col: str | None = None,
+    id_col: str = "doc_id",
+    seed: int = 0,
+) -> DataFrame:
+    """Deterministic output sharding for training readers: every row
+    gets a ``shard`` in [0, n_shards) by round-robin over a global
+    rank, so a ``df.write.partitionBy("shard")`` (or a repartition on
+    it) produces balanced files a data loader can stride over.
+
+    With ``size_col``: rank by (size DESC, id) — round-robin over the
+    size-descending order is the classic LPT-lite bound: every shard
+    receives one document per round of n_shards, so shard token totals
+    differ by at most one document's size per round and the largest
+    documents spread first. Without: rank by the seeded md5 hash of
+    the id (the global_positions order), giving exact ±1 row balance
+    in a reproducible shuffle order.
+
+    One ranked pass (plans/ranking.ranked_prefix — two-phase
+    range-partitioned, never a single-task sort); the shard id is a
+    pure expression over the rank. Output: input columns + ``shard``
+    int."""
+    from kglids_spark.plans.ranking import ranked_prefix
+
+    if n_shards <= 0:
+        raise ValueError(f"n_shards must be positive, got {n_shards}")
+    if size_col is not None:
+        ord_col, order = None, [F.desc_nulls_last(size_col), F.asc(id_col)]
+        work = df
+    else:
+        work = df.withColumn("_ord", _hash_key([id_col], seed, "shard"))
+        ord_col, order = "_ord", [F.asc("_ord"), F.asc(id_col)]
+    ranked = ranked_prefix(work, order)
+    out = ranked.withColumn(
+        "shard", F.pmod(F.col("_rank"), F.lit(n_shards)).cast("int")
+    ).drop("_rank")
+    return out.drop(ord_col) if ord_col else out
+
+
+def select_until_budget(
+    df: DataFrame,
+    budget: int,
+    *,
+    score_col: str,
+    size_col: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Quality-ordered data selection under a token budget: walk the
+    corpus in (score DESC NULLS LAST, id) order and keep documents
+    until ``budget`` tokens are taken — the "best N tokens" selection
+    step of a curated pretraining mix (the greedy form of DSIR-style
+    selection when the per-doc score is already computed).
+
+    A document is selected iff the running token total BEFORE it is
+    < budget, i.e. the budget-crossing document is included (greedy
+    take-until-filled) and everything after it is not. NULL scores
+    sort last deterministically, so they are only taken once every
+    scored document is.
+
+    One ranked pass (plans/ranking.ranked_prefix with the exclusive
+    running sum of ``size_col``); the verdict is a pure comparison,
+    so the full corpus never sorts in one task and the oracle is a
+    plain SQL window. Returns the input columns +
+    ``cum_tokens_before`` (long) + ``selected`` (boolean) — callers
+    filter on ``selected`` (kept as a flag so audits can see the
+    cut point)."""
+    from kglids_spark.plans.ranking import ranked_prefix
+
+    if budget < 0:
+        raise ValueError(f"budget must be >= 0, got {budget}")
+    order = [F.desc_nulls_last(score_col), F.asc(id_col)]
+    ranked = ranked_prefix(df, order, value_col=size_col)
+    return (
+        ranked.withColumn("cum_tokens_before", F.col("_cum_before"))
+        .withColumn("selected", F.col("_cum_before") < F.lit(int(budget)))
+        .drop("_rank", "_cum_before")
+    )

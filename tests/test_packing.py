@@ -202,3 +202,105 @@ def test_chunk_sequences_hand_computed(spark):
         .toString()
     )
     assert "Exchange" not in plan
+
+
+# ---------------------------------------------------------------------
+# round-5: materialize_bins (training-window construction)
+# ---------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def token_docs(spark):
+    # deterministic variable-length token arrays, incl. empty docs
+    n = F.pmod(F.xxhash64(F.lit("len"), "id"), F.lit(40))  # 0..39 tokens
+    toks = F.when(
+        n > 0, F.transform(F.sequence(F.lit(1), n), lambda i: F.xxhash64("id", i))
+    ).otherwise(F.array().cast("array<bigint>"))
+    return (
+        spark.range(800)
+        .select(F.col("id").alias("doc_id"), toks.alias("tokens"))
+        .withColumn("n_tok", F.size("tokens"))
+        .cache()
+    )
+
+
+def test_materialize_bins_hand_case(spark):
+    from kglids_spark.operators.packing import materialize_bins
+
+    rows = [(1, [1, 2, 3]), (2, [4, 5, 6, 7, 8]), (3, [9])]
+    df = (
+        spark.createDataFrame(rows, "doc_id long, tokens array<bigint>")
+        .withColumn("n_tok", F.size("tokens"))
+    )
+    out = {
+        r.bin_id: (r.tokens, r.span_docs, r.span_starts, r.span_lens)
+        for r in materialize_bins(
+            df, 4, order_col=F.col("doc_id").cast("string"), bucket_col=F.lit(0)
+        ).collect()
+    }
+    assert out == {
+        0: ([1, 2, 3, 4], [1, 2], [0, 3], [3, 1]),
+        1: ([5, 6, 7, 8], [2], [0], [4]),
+        2: ([9], [3], [0], [1]),
+    }
+
+
+def test_materialize_bins_reconstructs_stream(spark, token_docs):
+    """Concatenating bins in bin order must reproduce the exact global
+    token stream of pack_sequences' order, with every bin except the
+    last holding exactly seq_len tokens and spans tiling each bin."""
+    from kglids_spark.operators.packing import materialize_bins, pack_sequences
+
+    S = 64
+    bins = materialize_bins(token_docs, S).orderBy("bin_id").collect()
+    assert [r.bin_id for r in bins] == list(range(len(bins)))
+    for r in bins[:-1]:
+        assert r.n_tok == S
+    assert 1 <= bins[-1].n_tok <= S
+    for r in bins:
+        # spans tile the bin contiguously in order
+        pos = 0
+        for st, ln in zip(r.span_starts, r.span_lens):
+            assert st == pos and ln >= 1
+            pos += ln
+        assert pos == r.n_tok == len(r.tokens)
+        assert r.n_docs == len(r.span_docs)
+    stream = [t for r in bins for t in r.tokens]
+    packed = pack_sequences(token_docs, S).filter(F.col("n_tok") >= 1).collect()
+    want = [
+        t
+        for r in sorted(packed, key=lambda r: r.pack_offset)
+        for t in r.tokens
+    ]
+    assert stream == want
+
+
+def test_materialize_bins_invariant_under_partitioning(spark, token_docs):
+    from kglids_spark.operators.packing import materialize_bins
+
+    a = {
+        r.bin_id: (r.tokens, r.span_docs)
+        for r in materialize_bins(token_docs, 48, n_buckets=8).collect()
+    }
+    b = {
+        r.bin_id: (r.tokens, r.span_docs)
+        for r in materialize_bins(
+            token_docs.repartition(17), 48, n_buckets=64
+        ).collect()
+    }
+    assert a == b
+
+
+def test_materialize_bins_empty_docs_occupy_no_positions(spark, token_docs):
+    from kglids_spark.operators.packing import materialize_bins
+
+    n_empty = token_docs.filter(F.col("n_tok") == 0).count()
+    assert n_empty > 0  # fixture really exercises the edge
+    bins = materialize_bins(token_docs, 32).collect()
+    seen_docs = {d for r in bins for d in r.span_docs}
+    empty_ids = {
+        r.doc_id for r in token_docs.filter(F.col("n_tok") == 0).collect()
+    }
+    assert seen_docs.isdisjoint(empty_ids)
+    total = token_docs.agg(F.sum("n_tok")).collect()[0][0]
+    assert sum(r.n_tok for r in bins) == total

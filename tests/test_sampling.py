@@ -300,3 +300,159 @@ def test_split_and_epoch_hashes_are_domain_separated(spark, corpus):
         r.split for r in up.filter(F.col("epoch") == 2).select("split").distinct().collect()
     }
     assert "val" in extra_splits or "test" in extra_splits
+
+
+# ---------------------------------------------------------------------
+# round-5: ranked_prefix / assign_shards / select_until_budget
+# ---------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def sized(spark):
+    # deterministic skewed sizes + a score column with heavy ties and
+    # a few NULLs (the desc_nulls_last edge)
+    return spark.range(3000).select(
+        F.concat(F.lit("s"), "id").alias("doc_id"),
+        (F.pmod(F.xxhash64(F.lit("n"), "id"), F.lit(500)) + 1)
+        .cast("int")
+        .alias("n_tok"),
+        F.when(
+            F.pmod("id", F.lit(17)) != 0, F.pmod("id", F.lit(7)).cast("double")
+        ).alias("score"),
+    ).cache()
+
+
+def test_ranked_prefix_matches_single_window(spark, sized):
+    from kglids_spark.plans.ranking import ranked_prefix
+
+    order = [F.desc_nulls_last("score"), F.asc("doc_id")]
+    got = {
+        r.doc_id: (r._rank, r._cum_before)
+        for r in ranked_prefix(sized, order, value_col="n_tok").collect()
+    }
+    w = Window.orderBy(F.desc_nulls_last("score"), F.asc("doc_id"))
+    want = {
+        r.doc_id: (r.rk, r.cb)
+        for r in sized.withColumn("rk", F.row_number().over(w) - 1)
+        .withColumn(
+            "cb",
+            F.coalesce(
+                F.sum("n_tok").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+                F.lit(0),
+            ),
+        )
+        .collect()
+    }
+    assert got == want
+
+
+def test_ranked_prefix_invariant_under_partitioning(spark, sized):
+    from kglids_spark.plans.ranking import ranked_prefix
+
+    order = [F.asc("n_tok"), F.asc("doc_id")]
+    a = {r.doc_id: r._rank for r in ranked_prefix(sized, order).collect()}
+    b = {
+        r.doc_id: r._rank
+        for r in ranked_prefix(
+            sized.repartition(13), order, num_partitions=5
+        ).collect()
+    }
+    assert a == b
+
+
+def test_assign_shards_row_balance_hash_mode(spark, sized):
+    from kglids_spark.operators.sampling import assign_shards
+
+    out = assign_shards(sized, 7)
+    counts = {r.shard: r.n for r in out.groupBy("shard").agg(F.count("*").alias("n")).collect()}
+    assert set(counts) == set(range(7))
+    assert max(counts.values()) - min(counts.values()) <= 1
+    # deterministic under input partitioning
+    again = assign_shards(sized.repartition(11), 7)
+    assert {(r.doc_id, r.shard) for r in out.collect()} == {
+        (r.doc_id, r.shard) for r in again.collect()
+    }
+
+
+def test_assign_shards_size_balance(spark, sized):
+    from kglids_spark.operators.sampling import assign_shards
+
+    out = assign_shards(sized, 5, size_col="n_tok")
+    agg = out.groupBy("shard").agg(
+        F.count("*").alias("n"), F.sum("n_tok").alias("tok")
+    ).collect()
+    counts = {r.shard: r.n for r in agg}
+    toks = {r.shard: r.tok for r in agg}
+    assert set(counts) == set(range(5))
+    assert max(counts.values()) - min(counts.values()) <= 1
+    # LPT-lite guarantee: round-robin over the size-descending order
+    # keeps shard totals within one round's spread — use a generous
+    # bound of the max document size times the number of rounds' drift
+    # (empirically far tighter; this guards gross misassignment)
+    max_size = out.agg(F.max("n_tok")).collect()[0][0]
+    assert max(toks.values()) - min(toks.values()) <= 5 * max_size
+
+
+def test_assign_shards_rejects_bad_n(spark, sized):
+    from kglids_spark.operators.sampling import assign_shards
+
+    with pytest.raises(ValueError):
+        assign_shards(sized, 0)
+
+
+def test_select_until_budget_hand_case(spark):
+    from kglids_spark.operators.sampling import select_until_budget
+
+    rows = [
+        ("a", 10, 3.0),
+        ("b", 20, 2.0),
+        ("c", 30, 2.0),
+        ("d", 40, 1.0),
+        ("e", 50, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, n_tok int, score double")
+    out = {
+        r.doc_id: (r.cum_tokens_before, r.selected)
+        for r in select_until_budget(
+            df, 35, score_col="score", size_col="n_tok"
+        ).collect()
+    }
+    # order: a(3.0), b(2.0), c(2.0 — id tiebreak), d, e(null last)
+    assert out == {
+        "a": (0, True),
+        "b": (10, True),
+        "c": (30, True),  # crossing doc included (30 < 35)
+        "d": (60, False),
+        "e": (100, False),
+    }
+
+
+def test_select_until_budget_edges(spark, sized):
+    from kglids_spark.operators.sampling import select_until_budget
+
+    none = select_until_budget(sized, 0, score_col="score", size_col="n_tok")
+    assert none.filter("selected").count() == 0
+    total = sized.agg(F.sum("n_tok")).collect()[0][0]
+    allsel = select_until_budget(
+        sized, int(total) + 1, score_col="score", size_col="n_tok"
+    )
+    assert allsel.filter("selected").count() == sized.count()
+    with pytest.raises(ValueError):
+        select_until_budget(sized, -1, score_col="score", size_col="n_tok")
+
+
+def test_select_until_budget_null_scores_taken_last(spark, sized):
+    from kglids_spark.operators.sampling import select_until_budget
+
+    scored_total = (
+        sized.filter(F.col("score").isNotNull()).agg(F.sum("n_tok")).collect()[0][0]
+    )
+    out = select_until_budget(
+        sized, int(scored_total), score_col="score", size_col="n_tok"
+    )
+    # budget == total of scored docs: every scored doc selected, and of
+    # the null-score docs only the first (by id) can be the crossing doc
+    assert out.filter("selected AND score IS NOT NULL").count() == sized.filter(
+        F.col("score").isNotNull()
+    ).count()
+    assert out.filter("selected AND score IS NULL").count() <= 1
