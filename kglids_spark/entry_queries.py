@@ -5378,6 +5378,75 @@ def packed_bin_windows(spark, sf_dir):
     return materialize_bins(toks, 64, order_col=order, bucket_col=bucket)
 
 
+_LM_EXAMPLES_SQL = r"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_transform(
+               list_filter(
+                 string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+                 w -> w <> ''),
+               w -> CAST(('0x' || substring(md5(w), 1, 8)) AS BIGINT)) AS t
+      FROM documents),
+    sz AS (SELECT doc_id, t, len(t) AS L FROM toks),
+    ord AS (
+      SELECT *, (COALESCE(sum(L) OVER (
+          ORDER BY md5(doc_id::VARCHAR), doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0))::BIGINT AS o
+      FROM sz),
+    spans AS (
+      SELECT doc_id, t, L, o, unnest(range(o // 64, (o + L - 1) // 64 + 1)) AS b
+      FROM ord WHERE L >= 1),
+    pieces AS (
+      SELECT b::BIGINT AS bin_id,
+             (greatest(o, b * 64) - b * 64)::INT AS start,
+             t[(greatest(o, b * 64) - o + 1) : (least(o + L, (b + 1) * 64) - o)]
+               AS piece
+      FROM spans),
+    wp AS (
+      SELECT *, (row_number() OVER (PARTITION BY bin_id ORDER BY start) - 1)::INT
+               AS seg
+      FROM pieces),
+    agg AS (
+      SELECT bin_id,
+             flatten(list(piece ORDER BY start)) AS input_ids,
+             flatten(list(list_transform(piece, x -> seg) ORDER BY start))
+               AS segment_ids
+      FROM wp GROUP BY bin_id)
+    SELECT bin_id, input_ids,
+           list_transform(range(1, len(input_ids) + 1), i ->
+             CASE WHEN i < len(input_ids) AND segment_ids[i + 1] = segment_ids[i]
+                  THEN input_ids[i + 1] ELSE -100 END) AS labels,
+           segment_ids,
+           len(input_ids)::INT AS n_tok
+    FROM agg
+"""
+
+
+@register("lm_examples_windows", _LM_EXAMPLES_SQL)
+def lm_examples_windows(spark, sf_dir):
+    """Causal-LM training examples over the packed windows
+    (packing.lm_examples ∘ materialize_bins): next-token labels with
+    the cross-document boundary positions loss-masked to -100 and the
+    per-position segment ids attention isolation consumes — the final
+    ready-to-train surface. The masking is a zero-shuffle indexed
+    array transform over the span arrays the window builder already
+    carries."""
+    from kglids_spark.operators.packing import lm_examples, materialize_bins
+
+    d = _t(spark, sf_dir, "documents")
+    ws = F.filter(dedup.split_words("text"), lambda w: w != "")
+    tokens = F.transform(
+        ws, lambda w: F.conv(F.substring(F.md5(w), 1, 8), 16, 10).cast("bigint")
+    )
+    toks = d.select("doc_id", tokens.alias("tokens")).withColumn(
+        "n_tok", F.greatest(F.size("tokens"), F.lit(0))
+    )
+    order = F.md5(F.col("doc_id").cast("string"))
+    bucket = F.conv(F.substring(order, 1, 2), 16, 10)
+    bins = materialize_bins(toks, 64, order_col=order, bucket_col=bucket)
+    return lm_examples(bins)
+
+
 # =====================================================================
 # Driver registration order
 # =====================================================================
@@ -5524,8 +5593,14 @@ _DRIVER_PRIORITY = [
     # rank — takes pipelines_by_tags's slot: the pipelines family
     # keeps pipeline_top_used_libraries and pipelines_for_deep_learning
     # in this window)
+    # (lm_examples_windows — the causal-LM example builder with
+    # cross-document loss masking, the ready-to-train capstone of the
+    # packing family — takes pipelines_for_deep_learning's slot: the
+    # pipelines family keeps pipeline_top_used_libraries in this
+    # window and both pipeline queries stay r2-green + DuckDB-checked
+    # by tests/test_entry.py on every pytest run)
     "packed_bin_windows", "pipeline_top_used_libraries",
-    "shard_assignment_balanced", "pipelines_for_deep_learning",
+    "shard_assignment_balanced", "lm_examples_windows",
     # (split_leakage_pairs — the round-closing cross-split leakage
     # audit, value-exact oracle, never driver-checked — takes
     # dedup_clusters's slot within the same dedup family; the

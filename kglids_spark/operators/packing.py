@@ -283,3 +283,47 @@ def materialize_bins(
         "span_starts",
         "span_lens",
     )
+
+
+def lm_examples(
+    bins: DataFrame,
+    *,
+    tokens_col: str = "tokens",
+    mask_id: int = -100,
+) -> DataFrame:
+    """Turn materialize_bins windows into causal-LM training examples:
+    ``input_ids`` (the window), ``labels`` (next token, with positions
+    whose successor belongs to a DIFFERENT document masked to
+    ``mask_id`` — the standard cross-document loss mask over packed
+    windows, so the model never learns to predict doc B's first token
+    from doc A's last), and ``segment_ids`` (0-based span index per
+    position, the input attention-isolation kernels consume).
+
+    The window's last position is always masked (no successor). Pure
+    zero-shuffle array expressions over the span arrays
+    materialize_bins already emits — the indexed-lambda transform
+    keeps everything in whole-stage codegen, no explode, no Python."""
+    t = F.col(tokens_col)
+    seg = F.flatten(
+        F.transform(
+            F.col("span_lens"),
+            lambda ln, i: F.array_repeat(i.cast("int"), ln),
+        )
+    )
+    bins_s = bins.withColumn("segment_ids", seg)
+    s = F.col("segment_ids")
+    n = F.size(t)
+    labels = F.transform(
+        t,
+        lambda x, i: F.when(
+            (i < n - 1) & (F.element_at(s, i + 2) == F.element_at(s, i + 1)),
+            F.element_at(t, i + 2),
+        ).otherwise(F.lit(int(mask_id)).cast("bigint")),
+    )
+    return bins_s.select(
+        "bin_id",
+        t.alias("input_ids"),
+        labels.alias("labels"),
+        "segment_ids",
+        F.col("n_tok"),
+    )

@@ -304,3 +304,48 @@ def test_materialize_bins_empty_docs_occupy_no_positions(spark, token_docs):
     assert seen_docs.isdisjoint(empty_ids)
     total = token_docs.agg(F.sum("n_tok")).collect()[0][0]
     assert sum(r.n_tok for r in bins) == total
+
+
+def test_lm_examples_hand_case(spark):
+    from kglids_spark.operators.packing import lm_examples, materialize_bins
+
+    rows = [(1, [1, 2, 3]), (2, [4, 5, 6, 7, 8]), (3, [9])]
+    df = (
+        spark.createDataFrame(rows, "doc_id long, tokens array<bigint>")
+        .withColumn("n_tok", F.size("tokens"))
+    )
+    bins = materialize_bins(
+        df, 4, order_col=F.col("doc_id").cast("string"), bucket_col=F.lit(0)
+    )
+    out = {
+        r.bin_id: (r.input_ids, r.labels, r.segment_ids)
+        for r in lm_examples(bins).collect()
+    }
+    assert out == {
+        0: ([1, 2, 3, 4], [2, 3, -100, -100], [0, 0, 0, 1]),
+        1: ([5, 6, 7, 8], [6, 7, 8, -100], [0, 0, 0, 0]),
+        2: ([9], [-100], [0]),
+    }
+
+
+def test_lm_examples_masking_properties(spark, token_docs):
+    """labels[i] == input_ids[i+1] exactly when i+1 stays in the same
+    segment; every segment's last position (and the window end) is
+    masked — no label ever crosses a document boundary."""
+    from kglids_spark.operators.packing import lm_examples, materialize_bins
+
+    ex = lm_examples(materialize_bins(token_docs, 48)).collect()
+    assert ex
+    for r in ex:
+        n = len(r.input_ids)
+        assert len(r.labels) == len(r.segment_ids) == n == r.n_tok
+        for i in range(n):
+            if i + 1 < n and r.segment_ids[i + 1] == r.segment_ids[i]:
+                assert r.labels[i] == r.input_ids[i + 1]
+            else:
+                assert r.labels[i] == -100
+        # segment ids are 0-based, contiguous, non-decreasing
+        assert r.segment_ids[0] == 0
+        assert all(
+            b - a in (0, 1) for a, b in zip(r.segment_ids, r.segment_ids[1:])
+        )
