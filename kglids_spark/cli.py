@@ -417,6 +417,17 @@ def main(argv: list[str] | None = None) -> int:
     pr.add_argument("--merges", type=int, default=200)
     pr.add_argument("--merge-batch", type=int, default=16)
     pr.add_argument("--seq-len", type=int, default=2048)
+    pr.add_argument(
+        "--emit",
+        choices=["packed", "windows", "examples"],
+        default="packed",
+        help="output shape: 'packed' (default) keeps one row per "
+        "document with its bin assignment (doc_id, tokens, pack_offset, "
+        "bin_id, bin_pos); 'windows' materializes the fixed-length "
+        "training windows (bin_id, tokens, span arrays); 'examples' "
+        "additionally emits causal-LM (input_ids, labels, segment_ids) "
+        "with cross-document loss masking — the ready-to-train shape",
+    )
     pr.add_argument("--minhash-threshold", type=float, default=0.5)
     pr.add_argument("--line-min-count", type=int, default=2)
     pr.add_argument(
@@ -904,6 +915,11 @@ def main(argv: list[str] | None = None) -> int:
                 "--skip tokenize requires skipping pack too "
                 "(packing reads the tokens table)"
             )
+        if args.emit != "packed" and "pack" in skip:
+            raise SystemExit(
+                f"--emit {args.emit} builds the training windows, which "
+                "requires the pack stage (remove pack from --skip)"
+            )
 
         drop_buckets = {
             b.strip() for b in args.drop_quality_buckets.split(",") if b.strip()
@@ -1241,7 +1257,17 @@ def main(argv: list[str] | None = None) -> int:
                 source_col=args.source_col,
             )
             if "pack" not in skip:
-                out_df = pack_sequences(out_df, args.seq_len)
+                if args.emit == "packed":
+                    out_df = pack_sequences(out_df, args.seq_len)
+                else:
+                    from kglids_spark.operators.packing import (
+                        lm_examples,
+                        materialize_bins,
+                    )
+
+                    out_df = materialize_bins(out_df, args.seq_len)
+                    if args.emit == "examples":
+                        out_df = lm_examples(out_df)
             out_df.write.mode("overwrite").parquet(args.out)
             timings["tokenize_pack"] = round(_time.time() - t0, 2)
             extra = {"n_merges": len(merges), "vocab_size": len(vocab)}

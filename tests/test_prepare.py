@@ -299,3 +299,29 @@ def test_prepare_strip_html_stage(spark, tmp_path, capsys):
     texts = {r.doc_id: r.text for r in spark.read.parquet(out).collect()}
     assert texts["h0"].startswith("Page 0\n")
     assert "<" not in texts["h0"] and "var x" not in texts["h0"]
+
+
+def test_prepare_emit_examples(spark, docs_path, tmp_path, capsys):
+    """--emit examples ships the ready-to-train shape: fixed-length
+    windows with next-token labels masked at document boundaries."""
+    out, summary = _run(docs_path, tmp_path, capsys, "--emit", "examples")
+    assert summary["n_bins"] >= 1
+    rows = spark.read.parquet(out).collect()
+    assert sorted(spark.read.parquet(out).columns) == sorted(
+        ["bin_id", "input_ids", "labels", "segment_ids", "n_tok"]
+    )
+    assert len(rows) == summary["rows"] == summary["n_bins"]
+    full = [r for r in rows if r.n_tok == 64]
+    assert full  # 31 surviving docs × ~40 BPE tokens >> one 64-window
+    for r in rows:
+        assert len(r.input_ids) == len(r.labels) == len(r.segment_ids) == r.n_tok
+        for i in range(r.n_tok):
+            if i + 1 < r.n_tok and r.segment_ids[i + 1] == r.segment_ids[i]:
+                assert r.labels[i] == r.input_ids[i + 1]
+            else:
+                assert r.labels[i] == -100
+
+
+def test_prepare_emit_windows_requires_pack(docs_path, tmp_path, capsys):
+    with pytest.raises(SystemExit, match="pack stage"):
+        _run(docs_path, tmp_path, capsys, "--emit", "windows", "--skip", "pack")
