@@ -5488,7 +5488,7 @@ _DRIVER_PRIORITY = [
     # label_generation, sentence_embedding_labels, dedup_clusters
     # — each family keeps >=1 fresher row in this window) are
     # re-oracled against DuckDB by tests/test_entry.py on every pytest
-    # run; with 146 registered queries and a 50-slot window, most must
+    # run; with 150 registered queries and a 50-slot window, most must
     # sit two rounds back at any time — the exclusions are the
     # most-redundantly-pinned ones.
     # sample_fraction (inherently no-oracle, r2 rows recorded) stays
