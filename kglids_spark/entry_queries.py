@@ -5447,6 +5447,77 @@ def lm_examples_windows(spark, sf_dir):
     return lm_examples(bins)
 
 
+_SPAN_CORRUPTION_SQL = r"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_transform(
+               list_filter(
+                 string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+                 w -> w <> ''),
+               w -> CAST(('0x' || substring(md5(w), 1, 8)) AS BIGINT)) AS t
+      FROM documents),
+    nz AS (SELECT doc_id, COALESCE(t, CAST([] AS BIGINT[])) AS t FROM toks),
+    blk AS (
+      SELECT doc_id, t, unnest(range(0, (len(t) + 2) // 3)) AS b
+      FROM nz WHERE len(t) >= 1),
+    blk2 AS (
+      SELECT doc_id, b,
+             t[b * 3 + 1 : least((b + 1) * 3, len(t))] AS piece,
+             (CAST(('0x' || substring(md5(doc_id::VARCHAR || ':' || b::VARCHAR), 1, 8))
+                   AS BIGINT) % 100) < 15 AS masked
+      FROM blk),
+    mk AS (
+      SELECT *, (SUM(CASE WHEN masked THEN 1 ELSE 0 END) OVER (
+          PARTITION BY doc_id ORDER BY b
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1)::BIGINT AS k
+      FROM blk2),
+    parts AS (
+      SELECT doc_id, b, masked,
+             CASE WHEN masked THEN [100000 - k] ELSE piece END AS ip,
+             CASE WHEN masked THEN list_prepend(100000 - k, piece)
+                  ELSE CAST([] AS BIGINT[]) END AS lp
+      FROM mk),
+    agg AS (
+      SELECT doc_id,
+             flatten(list(ip ORDER BY b)) AS input_ids,
+             flatten(list(lp ORDER BY b)) AS lbl,
+             SUM(CASE WHEN masked THEN 1 ELSE 0 END)::INT AS nm
+      FROM parts GROUP BY doc_id)
+    SELECT z.doc_id,
+           COALESCE(a.input_ids, CAST([] AS BIGINT[])) AS input_ids,
+           list_append(COALESCE(a.lbl, CAST([] AS BIGINT[])),
+                       100000 - COALESCE(a.nm, 0)) AS labels,
+           len(z.t)::INT AS n_tok,
+           COALESCE(a.nm, 0)::INT AS n_masked_spans
+    FROM nz z LEFT JOIN agg a USING (doc_id)
+"""
+
+
+@register("span_corruption_docs", _SPAN_CORRUPTION_SQL)
+def span_corruption_docs(spark, sf_dir):
+    """T5 span-corruption examples (packing.span_corruption_examples):
+    3-token blocks masked by the portable md5(id:block) selector at
+    ~15% density, sentinels descending from 100000, labels sentinel_k
+    + span + the next-unused sentinel as EOS — the denoising twin of
+    lm_examples_windows, value-exact down to every sentinel position.
+    Zero shuffle; registered outside the 50-slot driver window because
+    its example-prep family already holds packed_bin_windows and
+    lm_examples_windows there (pytest's DuckDB cross-check pins it
+    every run)."""
+    from kglids_spark.operators.packing import span_corruption_examples
+
+    d = _t(spark, sf_dir, "documents")
+    ws = F.filter(dedup.split_words("text"), lambda w: w != "")
+    tokens = F.transform(
+        ws, lambda w: F.conv(F.substring(F.md5(w), 1, 8), 16, 10).cast("bigint")
+    )
+    toks = d.select(
+        "doc_id",
+        F.coalesce(tokens, F.array().cast("array<bigint>")).alias("tokens"),
+    )
+    return span_corruption_examples(toks)
+
+
 # =====================================================================
 # Driver registration order
 # =====================================================================

@@ -327,3 +327,100 @@ def lm_examples(
         "segment_ids",
         F.col("n_tok"),
     )
+
+
+def span_corruption_examples(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+    span_len: int = 3,
+    noise_pct: int = 15,
+    sentinel_base: int = 100_000,
+) -> DataFrame:
+    """T5-style span-corruption (denoising) examples — the
+    encoder-decoder twin of lm_examples: fixed-length token spans are
+    selected for masking, each masked span is replaced by ONE sentinel
+    id in ``input_ids`` (sentinel_base - k for the k-th masked span,
+    the <extra_id_k> convention), and ``labels`` is the concatenation
+    sentinel_0 span_0 sentinel_1 span_1 ... closed by the
+    next-unused sentinel as EOS (Raffel et al. 2020 §3.1.4).
+
+    Deterministic, engine-portable noise: block b of a document is
+    masked iff the first 8 hex digits of md5(id ':' b), read as an
+    integer, fall under ``noise_pct`` % 100 — reproducible across
+    runs, partitionings, and engines (the md5-twin convention), with
+    expected mask density noise_pct/100. Pure zero-shuffle array
+    expressions: blocks/flags/pieces project once, the span index k is
+    a prefix count over the flag array — O(blocks²) element touches
+    per document, so run this AFTER chunk_sequences bounds documents
+    to the model context (T5's own order of operations: examples are
+    corrupted at input length, ~171 blocks at 512/3 — trivial; an
+    unchunked book would not be). Returns
+    (id, input_ids, labels, n_tok, n_masked_spans)."""
+    if span_len <= 0:
+        raise ValueError(f"span_len must be positive, got {span_len}")
+    if not 0 <= noise_pct <= 100:
+        raise ValueError(f"noise_pct must be in [0, 100], got {noise_pct}")
+    t = F.col("_t")
+    n = F.size(t)
+    nblk = F.expr(f"(size(_t) + {span_len - 1}) div {span_len}")
+    bs = F.when(n >= 1, F.sequence(F.lit(0), nblk - 1)).otherwise(
+        F.array().cast("array<long>")
+    )
+    base = df.select(
+        F.col(id_col), F.col(tokens_col).alias("_t")
+    ).withColumn("_bs", bs)
+    hash8 = lambda b: F.conv(  # noqa: E731 — md5-twin block selector
+        F.substring(
+            F.md5(F.concat(F.col(id_col).cast("string"), F.lit(":"), b.cast("string"))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    staged = base.withColumn(
+        "_flags", F.transform(F.col("_bs"), lambda b: hash8(b) % 100 < noise_pct)
+    ).withColumn(
+        "_pieces",
+        F.transform(
+            F.col("_bs"), lambda b: F.slice(t, (b * span_len + 1).cast("int"), span_len)
+        ),
+    )
+    flags, pieces = F.col("_flags"), F.col("_pieces")
+    # k(b): 0-based index of masked block b among masked blocks =
+    # prefix count of set flags up to b (inclusive) minus one
+    k_of = lambda i: (  # noqa: E731
+        F.size(F.filter(F.slice(flags, 1, (i + 1).cast("int")), lambda x: x)) - 1
+    )
+    sent = lambda k: (F.lit(int(sentinel_base)) - k).cast("bigint")  # noqa: E731
+    input_ids = F.flatten(
+        F.transform(
+            F.col("_bs"),
+            lambda b, i: F.when(
+                F.element_at(flags, (i + 1).cast("int")), F.array(sent(k_of(i)))
+            ).otherwise(F.element_at(pieces, (i + 1).cast("int"))),
+        )
+    )
+    label_spans = F.flatten(
+        F.transform(
+            F.col("_bs"),
+            lambda b, i: F.when(
+                F.element_at(flags, (i + 1).cast("int")),
+                F.concat(
+                    F.array(sent(k_of(i))), F.element_at(pieces, (i + 1).cast("int"))
+                ),
+            ).otherwise(F.array().cast("array<bigint>")),
+        )
+    )
+    n_masked = F.size(F.filter(flags, lambda x: x))
+    return staged.select(
+        F.col(id_col),
+        input_ids.alias("input_ids"),
+        F.concat(label_spans, F.array(sent(n_masked))).alias("labels"),
+        # NULL token arrays behave like empty ones (no blocks, EOS-only
+        # labels); greatest clamps size(NULL) = -1 to 0
+        F.greatest(n, F.lit(0)).cast("int").alias("n_tok"),
+        n_masked.cast("int").alias("n_masked_spans"),
+    )

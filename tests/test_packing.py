@@ -349,3 +349,73 @@ def test_lm_examples_masking_properties(spark, token_docs):
         assert all(
             b - a in (0, 1) for a, b in zip(r.segment_ids, r.segment_ids[1:])
         )
+
+
+def test_span_corruption_hand_verified(spark):
+    """Independent pure-Python replay of the deterministic corruption:
+    same md5 block selector, same sentinel discipline."""
+    import hashlib
+
+    from kglids_spark.operators.packing import span_corruption_examples
+
+    rows = [(1, list(range(10, 24))), (2, list(range(50, 52))), (3, [])]
+    df = spark.createDataFrame(rows, "doc_id long, tokens array<bigint>")
+    got = {
+        r.doc_id: (r.input_ids, r.labels, r.n_tok, r.n_masked_spans)
+        for r in span_corruption_examples(df).collect()
+    }
+
+    def replay(doc_id, toks, span=3, pct=15, base=100000):
+        inp, lab, k = [], [], 0
+        for b in range(0, (len(toks) + span - 1) // span):
+            piece = toks[b * span : (b + 1) * span]
+            h = int(hashlib.md5(f"{doc_id}:{b}".encode()).hexdigest()[:8], 16)
+            if h % 100 < pct:
+                inp.append(base - k)
+                lab.extend([base - k] + piece)
+                k += 1
+            else:
+                inp.extend(piece)
+        return inp, lab + [base - k], len(toks), k
+
+    for doc_id, toks in rows:
+        assert got[doc_id] == replay(doc_id, toks), f"doc {doc_id}"
+
+
+def test_span_corruption_properties(spark, token_docs):
+    """Reconstruction: splicing each label span back over its sentinel
+    reproduces the original tokens exactly; sentinel count and density
+    bookkeeping hold for every doc."""
+    from kglids_spark.operators.packing import span_corruption_examples
+
+    base = 100000
+    out = span_corruption_examples(
+        token_docs.select("doc_id", F.coalesce(
+            "tokens", F.array().cast("array<bigint>")).alias("tokens"))
+    ).collect()
+    orig = {r.doc_id: list(r.tokens or []) for r in token_docs.collect()}
+    masked_any = 0
+    for r in out:
+        # the sentinel alphabet is exactly {base - k : k <= n_masked};
+        # xxhash64 token values collide with it with probability ~2^-60
+        sent_set = {base - k for k in range(r.n_masked_spans + 1)}
+        spans = {}
+        cur = None
+        for x in r.labels:
+            if x in sent_set:
+                cur = base - x
+                spans[cur] = []
+            else:
+                spans[cur].append(x)
+        eos = max(spans)
+        assert spans.pop(eos) == []  # the EOS sentinel closes labels
+        assert eos == r.n_masked_spans
+        rebuilt = []
+        for x in r.input_ids:
+            if x in sent_set and x != base - eos:
+                rebuilt.extend(spans[base - x])
+            else:
+                rebuilt.append(x)
+        assert rebuilt == orig[r.doc_id], f"doc {r.doc_id}"
+        masked_any += r.n_masked_spans
+    assert masked_any > 0  # the fixture really exercises masking
