@@ -918,7 +918,8 @@ def main(argv: list[str] | None = None) -> int:
         if args.emit != "packed" and "pack" in skip:
             raise SystemExit(
                 f"--emit {args.emit} builds the training windows, which "
-                "requires the pack stage (remove pack from --skip)"
+                "requires both the tokenize and pack stages — remove them "
+                "from --skip"
             )
 
         drop_buckets = {

@@ -4404,13 +4404,7 @@ def tokens_decontamination(spark, sf_dir):
     provably exists). Production joins on xxhash64 of the gram array;
     the oracle joins the literal arrays — identical counts modulo
     64-bit collisions (the char-LM hashed-keys convention)."""
-    d = _t(spark, sf_dir, "documents")
-    ws = F.filter(dedup.split_words("text"), lambda w: w != "")
-    tokens = F.transform(
-        ws,
-        lambda w: F.conv(F.substring(F.md5(w), 1, 8), 16, 10).cast("bigint"),
-    )
-    toks = d.select("doc_id", tokens.alias("tokens"))
+    toks = _md5_tokens(spark, sf_dir)
     bench = toks.filter(F.col("doc_id") % 97 == 0)
     return dedup.token_ngram_contamination(toks, bench, n=8)
 
@@ -4481,13 +4475,7 @@ def chunk_token_sequences(spark, sf_dir):
     as a zero-shuffle map-side slice/explode."""
     from kglids_spark.operators.packing import chunk_sequences
 
-    d = _t(spark, sf_dir, "documents")
-    ws = F.filter(dedup.split_words("text"), lambda w: w != "")
-    tokens = F.transform(
-        ws,
-        lambda w: F.conv(F.substring(F.md5(w), 1, 8), 16, 10).cast("bigint"),
-    )
-    toks = d.select("doc_id", tokens.alias("tokens"))
+    toks = _md5_tokens(spark, sf_dir)
     out = chunk_sequences(toks, max_len=16, stride=8, min_len=4)
     return out.select(
         "doc_id", "chunk_id", "tokens", F.col("n_tok").cast("int").alias("n_tok")
@@ -5365,12 +5353,7 @@ def packed_bin_windows(spark, sf_dir):
     only corpus shuffle is the groupBy(bin_id) window assembly."""
     from kglids_spark.operators.packing import materialize_bins
 
-    d = _t(spark, sf_dir, "documents")
-    ws = F.filter(dedup.split_words("text"), lambda w: w != "")
-    tokens = F.transform(
-        ws, lambda w: F.conv(F.substring(F.md5(w), 1, 8), 16, 10).cast("bigint")
-    )
-    toks = d.select("doc_id", tokens.alias("tokens")).withColumn(
+    toks = _md5_tokens(spark, sf_dir).withColumn(
         "n_tok", F.greatest(F.size("tokens"), F.lit(0))
     )
     order = F.md5(F.col("doc_id").cast("string"))
@@ -5433,12 +5416,7 @@ def lm_examples_windows(spark, sf_dir):
     carries."""
     from kglids_spark.operators.packing import lm_examples, materialize_bins
 
-    d = _t(spark, sf_dir, "documents")
-    ws = F.filter(dedup.split_words("text"), lambda w: w != "")
-    tokens = F.transform(
-        ws, lambda w: F.conv(F.substring(F.md5(w), 1, 8), 16, 10).cast("bigint")
-    )
-    toks = d.select("doc_id", tokens.alias("tokens")).withColumn(
+    toks = _md5_tokens(spark, sf_dir).withColumn(
         "n_tok", F.greatest(F.size("tokens"), F.lit(0))
     )
     order = F.md5(F.col("doc_id").cast("string"))
@@ -5506,14 +5484,8 @@ def span_corruption_docs(spark, sf_dir):
     every run)."""
     from kglids_spark.operators.packing import span_corruption_examples
 
-    d = _t(spark, sf_dir, "documents")
-    ws = F.filter(dedup.split_words("text"), lambda w: w != "")
-    tokens = F.transform(
-        ws, lambda w: F.conv(F.substring(F.md5(w), 1, 8), 16, 10).cast("bigint")
-    )
-    toks = d.select(
-        "doc_id",
-        F.coalesce(tokens, F.array().cast("array<bigint>")).alias("tokens"),
+    toks = _md5_tokens(spark, sf_dir).withColumn(
+        "tokens", F.coalesce("tokens", F.array().cast("array<bigint>"))
     )
     return span_corruption_examples(toks)
 
@@ -5559,7 +5531,7 @@ _DRIVER_PRIORITY = [
     # label_generation, sentence_embedding_labels, dedup_clusters
     # — each family keeps >=1 fresher row in this window) are
     # re-oracled against DuckDB by tests/test_entry.py on every pytest
-    # run; with 150 registered queries and a 50-slot window, most must
+    # run; with 151 registered queries and a 50-slot window, most must
     # sit two rounds back at any time — the exclusions are the
     # most-redundantly-pinned ones.
     # sample_fraction (inherently no-oracle, r2 rows recorded) stays

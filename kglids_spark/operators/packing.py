@@ -223,6 +223,14 @@ def materialize_bins(
     together — the minimum any window builder must move. Bin contents
     tile the bin contiguously, so array_sort on (start, doc, piece)
     structs is deterministic with unique starts."""
+    # normalize n_tok BEFORE the prefix sum: size(NULL) is -1 under
+    # Spark's legacy (non-ANSI) semantics and NULL under ANSI — either
+    # would corrupt every later document's offset (a -1 shifts the
+    # running sum; the clamp makes NULL-token docs occupy exactly zero
+    # stream positions, as documented)
+    df = df.withColumn(
+        n_tok_col, F.greatest(F.col(n_tok_col).cast("long"), F.lit(0))
+    )
     packed = pack_sequences(
         df,
         seq_len,

@@ -861,9 +861,9 @@ def ccnet_buckets(
     mapInPandas pass stamps rank = offset[pid] + local index. The
     ntile group then derives from the rank in a pure expression.
     This is the same partition-offset discipline as
-    plans/offsets.py's two-phase prefix sum."""
-    from pyspark import StorageLevel
-
+    plans/offsets.py's two-phase prefix sum (the pass itself now lives
+    in plans/ranking.ranked_prefix, shared with assign_shards and
+    select_until_budget)."""
     if labels is None:
         labels = (
             ["head", "middle", "tail"]
@@ -874,47 +874,13 @@ def ccnet_buckets(
         raise ValueError(
             f"labels has {len(labels)} entries for n_buckets={n_buckets}"
         )
+    from kglids_spark.plans.ranking import ranked_prefix_with_total
+
     base = df.select(id_col, score_col)
-    p = num_partitions or int(
-        df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
-    )
     order = [F.desc_nulls_last(score_col), F.asc(id_col)]
-    ordered = (
-        base.repartitionByRange(p, *order)
-        .sortWithinPartitions(*order)
-        .withColumn("_pid", F.spark_partition_id())
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    ranked, n_total = ranked_prefix_with_total(
+        base, order, num_partitions=num_partitions
     )
-    counts = {
-        r["_pid"]: r["n"]
-        for r in ordered.groupBy("_pid").agg(F.count(F.lit(1)).alias("n")).collect()
-    }
-    n_total = sum(counts.values())
-    offsets, acc = {}, 0
-    for pid in sorted(counts):
-        offsets[pid] = acc
-        acc += counts[pid]
-
-    out_schema = (
-        base.schema.simpleString().removeprefix("struct<").removesuffix(">")
-        + ",_rank bigint"
-    )
-
-    def add_rank(batches):
-        seen = 0
-        for pdf in batches:
-            if len(pdf) == 0:
-                pdf = pdf.drop(columns=["_pid"])
-                pdf["_rank"] = []
-                yield pdf
-                continue
-            start = offsets[int(pdf["_pid"].iloc[0])] + seen
-            seen += len(pdf)
-            pdf = pdf.drop(columns=["_pid"])
-            pdf["_rank"] = range(start, start + len(pdf))
-            yield pdf
-
-    ranked = ordered.mapInPandas(add_rank, schema=out_schema)
     # ntile group sizes: the first (n mod k) groups take ceil(n/k)
     k = n_buckets
     q, r = n_total // k, n_total % k
@@ -925,16 +891,16 @@ def ccnet_buckets(
         g = F.when(rank < r * (q + 1), F.floor(rank / (q + 1))).otherwise(
             r + F.floor((rank - r * (q + 1)) / q)
         )
-    out = ranked.select(
+    # ranked is already eagerly checkpointed (and its input released)
+    # by ranked_prefix; the ntile projection on top is lazy and narrow
+    return ranked.select(
         id_col,
         score_col,
         (g + 1).cast("int").alias("bucket"),
         F.element_at(
             F.array(*[F.lit(x) for x in labels]), (g + 1).cast("int")
         ).alias("bucket_label"),
-    ).localCheckpoint(eager=True)
-    ordered.unpersist()
-    return out
+    )
 
 
 def dedup_lines_within_doc(

@@ -22,8 +22,9 @@ plans/offsets.py and operators/packing.py's range-bucket prefix sum):
    given, ``cum_before = sum_offset[pid] + local exclusive cumsum``.
 
 The result is bit-identical to the single-task global window for any
-partition count (tests/test_round5_ops.py property test), so oracle
-queries stay plain SQL windows. No reference analog — the reference
+partition count (tests/test_sampling.py ranked_prefix property tests),
+so oracle queries stay plain SQL windows. No reference analog — the
+reference
 (CoDS-GCS/kglids) ranks nothing globally; this generalizes the ranking
 pass first built for text.ccnet_buckets (round 5)."""
 
@@ -50,6 +51,23 @@ def ranked_prefix(
     is persisted for the two passes and released via an eager
     localCheckpoint of the (narrow) result.
     """
+    out, _ = ranked_prefix_with_total(
+        df, order, value_col=value_col, num_partitions=num_partitions
+    )
+    return out
+
+
+def ranked_prefix_with_total(
+    df: DataFrame,
+    order: list[Column],
+    *,
+    value_col: str | None = None,
+    num_partitions: int | None = None,
+) -> tuple[DataFrame, int]:
+    """``ranked_prefix`` plus the total row count as a second return
+    value — the count falls out of the offset collect for free, and
+    rank-derived expressions (ntile groups, shard rounds) need it
+    before the plan is built. Returns ``(stamped_df, n_total)``."""
     from pyspark import StorageLevel
 
     p = num_partitions or int(
@@ -74,11 +92,12 @@ def ranked_prefix(
         racc += totals[pid][0]
         sacc += totals[pid][1]
 
-    out_schema = (
-        df.schema.simpleString().removeprefix("struct<").removesuffix(">")
-        + ",_rank bigint"
-        + (",_cum_before bigint" if value_col is not None else "")
-    )
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    out_fields = list(df.schema.fields) + [StructField("_rank", LongType())]
+    if value_col is not None:
+        out_fields.append(StructField("_cum_before", LongType()))
+    out_schema = StructType(out_fields)
 
     def stamp(batches):
         # _pid is constant per partition; `seen*` carry the running
@@ -106,4 +125,4 @@ def ranked_prefix(
 
     out = ordered.mapInPandas(stamp, schema=out_schema).localCheckpoint(eager=True)
     ordered.unpersist()
-    return out
+    return out, racc

@@ -325,3 +325,26 @@ def test_prepare_emit_examples(spark, docs_path, tmp_path, capsys):
 def test_prepare_emit_windows_requires_pack(docs_path, tmp_path, capsys):
     with pytest.raises(SystemExit, match="pack stage"):
         _run(docs_path, tmp_path, capsys, "--emit", "windows", "--skip", "pack")
+
+
+def test_prepare_emit_windows(spark, docs_path, tmp_path, capsys):
+    """--emit windows ships the materialized bins with their span
+    arrays; every bin except the last is exactly --seq-len tokens and
+    the spans tile each bin contiguously."""
+    out, summary = _run(docs_path, tmp_path, capsys, "--emit", "windows")
+    rows = sorted(spark.read.parquet(out).collect(), key=lambda r: r.bin_id)
+    assert sorted(spark.read.parquet(out).columns) == sorted(
+        ["bin_id", "tokens", "n_tok", "n_docs", "span_docs",
+         "span_starts", "span_lens"]
+    )
+    assert len(rows) == summary["rows"] == summary["n_bins"]
+    assert [r.bin_id for r in rows] == list(range(len(rows)))
+    for r in rows[:-1]:
+        assert r.n_tok == 64
+    for r in rows:
+        pos = 0
+        for st, ln in zip(r.span_starts, r.span_lens):
+            assert st == pos and ln >= 1
+            pos += ln
+        assert pos == r.n_tok == len(r.tokens)
+        assert r.n_docs == len(r.span_docs) == len(r.span_starts)
