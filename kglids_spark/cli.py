@@ -504,6 +504,25 @@ def main(argv: list[str] | None = None) -> int:
     )
     dc.add_argument("--cpus", type=int, default=None)
 
+    sh = sub.add_parser(
+        "shard",
+        help="write a table as size-balanced training shards: round-robin "
+        "over the size-descending global rank (or the hash order with no "
+        "--size-col), one shard=K/ parquet directory per shard — the "
+        "layout a striding data loader consumes",
+    )
+    sh.add_argument("--input", required=True, help="input table parquet")
+    sh.add_argument("--out", required=True, help="output directory")
+    sh.add_argument("--n-shards", type=int, required=True)
+    sh.add_argument("--id-col", default="doc_id")
+    sh.add_argument(
+        "--size-col",
+        default=None,
+        help="column to balance shard totals on (e.g. n_tok); omitted = "
+        "exact ±1 row balance in deterministic hash order",
+    )
+    sh.add_argument("--cpus", type=int, default=None)
+
     lk = sub.add_parser(
         "leakage",
         help="cross-split near-duplicate leakage audit over a documents "
@@ -1402,6 +1421,39 @@ def main(argv: list[str] | None = None) -> int:
             exact_dup=args.exact_dup,
         )
         print(json.dumps(card))
+        return 0
+
+    if args.cmd == "shard":
+        from kglids_spark.operators.sampling import assign_shards
+
+        df = spark.read.parquet(args.input)
+        if args.size_col is not None and args.size_col not in df.columns:
+            raise SystemExit(
+                f"--size-col {args.size_col!r} not in input columns {df.columns}"
+            )
+        sharded = assign_shards(
+            df, args.n_shards, size_col=args.size_col, id_col=args.id_col
+        ).persist()
+        sharded.write.mode("overwrite").partitionBy("shard").parquet(args.out)
+        aggs = [F.count(F.lit(1)).alias("n_rows")]
+        if args.size_col is not None:
+            aggs.append(F.sum(F.col(args.size_col).cast("long")).alias("total"))
+        per = {r["shard"]: r.asDict() for r in sharded.groupBy("shard").agg(*aggs).collect()}
+        sharded.unpersist()
+        rows = [per[s]["n_rows"] for s in sorted(per)]
+        summary = {
+            "written": args.out,
+            "n_shards": args.n_shards,
+            "rows": int(sum(rows)),
+            "rows_min": int(min(rows)),
+            "rows_max": int(max(rows)),
+        }
+        if args.size_col is not None:
+            tot = [per[s]["total"] for s in sorted(per)]
+            summary["size_col"] = args.size_col
+            summary["total_min"] = int(min(tot))
+            summary["total_max"] = int(max(tot))
+        print(json.dumps(summary))
         return 0
 
     if args.cmd == "leakage":

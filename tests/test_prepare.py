@@ -348,3 +348,52 @@ def test_prepare_emit_windows(spark, docs_path, tmp_path, capsys):
             pos += ln
         assert pos == r.n_tok == len(r.tokens)
         assert r.n_docs == len(r.span_docs) == len(r.span_starts)
+
+
+def test_cli_shard(spark, docs_path, tmp_path, capsys):
+    """`cli shard` writes shard=K/ directories with balanced row counts
+    and a truthful balance summary; assignment is deterministic."""
+    out = str(tmp_path / "shards")
+    rc = main(
+        ["shard", "--input", docs_path, "--out", out, "--n-shards", "4"]
+    )
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["rows"] == 34
+    assert summary["rows_max"] - summary["rows_min"] <= 1
+    back = spark.read.parquet(out)
+    assert back.count() == 34
+    assert back.select("shard").distinct().count() == 4
+    # deterministic: a re-shard assigns identically
+    out2 = str(tmp_path / "shards2")
+    main(["shard", "--input", docs_path, "--out", out2, "--n-shards", "4"])
+    capsys.readouterr()
+    a = {(r.doc_id, r.shard) for r in back.collect()}
+    b = {(r.doc_id, r.shard) for r in spark.read.parquet(out2).collect()}
+    assert a == b
+
+
+def test_cli_shard_bad_size_col(docs_path, tmp_path, capsys):
+    with pytest.raises(SystemExit, match="not in input columns"):
+        main(
+            ["shard", "--input", docs_path, "--out", str(tmp_path / "s"),
+             "--n-shards", "4", "--size-col", "nope"]
+        )
+
+
+def test_cli_shard_size_balanced(spark, tmp_path, capsys):
+    p = str(tmp_path / "tok_in")
+    spark.range(200).selectExpr(
+        "cast(id as string) as doc_id", "cast(id % 37 + 1 as int) as n_tok"
+    ).write.parquet(p)
+    out = str(tmp_path / "shards_sz")
+    rc = main(
+        ["shard", "--input", p, "--out", out, "--n-shards", "5",
+         "--size-col", "n_tok"]
+    )
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["rows"] == 200 and summary["size_col"] == "n_tok"
+    assert summary["rows_max"] - summary["rows_min"] <= 1
+    # LPT-lite: totals within a few max-sizes of each other
+    assert summary["total_max"] - summary["total_min"] <= 5 * 37
