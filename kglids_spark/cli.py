@@ -324,10 +324,14 @@ def main(argv: list[str] | None = None) -> int:
     pr.add_argument("--out", required=True, help="output parquet")
     pr.add_argument(
         "--input-format",
-        choices=["parquet", "jsonl"],
+        choices=["parquet", "jsonl", "warc"],
         default="parquet",
-        help="jsonl reads gzip/plain JSON-Lines via read_jsonl_corpus; "
-        "malformed lines are dropped and counted as corrupt_json_dropped",
+        help="jsonl reads gzip/plain JSON-Lines via read_jsonl_corpus "
+        "(malformed lines are dropped and counted as "
+        "corrupt_json_dropped); warc reads WARC/WET crawl containers "
+        "via read_warc — response/conversion records become (doc_id = "
+        "record id, text = HTTP body, source = container file), best "
+        "combined with --strip-html for response crawls",
     )
     pr.add_argument(
         "--input-schema",
@@ -1032,6 +1036,17 @@ def main(argv: list[str] | None = None) -> int:
                     "_corrupt_json"
                 )
                 counts["corrupt_json_dropped"] = n_all - df.count()
+        elif args.input_format == "warc":
+            from kglids_spark.sources.warc import http_payload_text, read_warc
+
+            recs = read_warc(
+                spark, args.input, types=["response", "conversion"]
+            )
+            df = http_payload_text(recs).select(
+                F.col("record_id").alias(icol),
+                F.col("text").alias(tcol),
+                F.col("file").alias(args.source_col or "source"),
+            )
         else:
             df = spark.read.parquet(args.input)
         base_cols = df.columns
