@@ -1037,16 +1037,39 @@ def main(argv: list[str] | None = None) -> int:
                 )
                 counts["corrupt_json_dropped"] = n_all - df.count()
         elif args.input_format == "warc":
+            from pyspark import StorageLevel as _SL
+
             from kglids_spark.sources.warc import http_payload_text, read_warc
 
-            recs = read_warc(
-                spark, args.input, types=["response", "conversion"]
+            recs = read_warc(spark, args.input).persist(_SL.MEMORY_AND_DISK)
+            n_corrupt = recs.filter(
+                F.col("warc_type") == "_corrupt_file"
+            ).count()
+            if n_corrupt:
+                counts["corrupt_warc_files"] = n_corrupt
+            kept = recs.filter(
+                F.lower("warc_type").isin("response", "conversion")
             )
-            df = http_payload_text(recs).select(
+            txt = http_payload_text(kept)
+            # keep successful fetches (2xx) and envelope-free records
+            # (WET conversions); chunked/compressed bodies would decode
+            # as framing noise or mojibake — drop them
+            df = txt.filter(
+                (
+                    F.col("http_status").isNull()
+                    | F.col("http_status").between(200, 299)
+                )
+                & ~F.col("http_encoded")
+            ).select(
                 F.col("record_id").alias(icol),
                 F.col("text").alias(tcol),
                 F.col("file").alias(args.source_col or "source"),
             )
+            # cut lineage at the text-sized documents frame so the
+            # container payloads (and their persist) release before the
+            # pipeline stages run
+            df = df.localCheckpoint(eager=True)
+            recs.unpersist()
         else:
             df = spark.read.parquet(args.input)
         base_cols = df.columns
@@ -1446,16 +1469,24 @@ def main(argv: list[str] | None = None) -> int:
             raise SystemExit(
                 f"--size-col {args.size_col!r} not in input columns {df.columns}"
             )
+        # no extra persist: ranked_prefix already materialized the
+        # stamped frame via an eager localCheckpoint, so the write and
+        # the summary aggregate are two narrow reads of that base
         sharded = assign_shards(
             df, args.n_shards, size_col=args.size_col, id_col=args.id_col
-        ).persist()
+        )
         sharded.write.mode("overwrite").partitionBy("shard").parquet(args.out)
         aggs = [F.count(F.lit(1)).alias("n_rows")]
         if args.size_col is not None:
             aggs.append(F.sum(F.col(args.size_col).cast("long")).alias("total"))
-        per = {r["shard"]: r.asDict() for r in sharded.groupBy("shard").agg(*aggs).collect()}
-        sharded.unpersist()
-        rows = [per[s]["n_rows"] for s in sorted(per)]
+        per = {
+            r["shard"]: r.asDict()
+            for r in sharded.groupBy("shard").agg(*aggs).collect()
+        }
+        # shards absent from the aggregate (n_shards > n_rows, or an
+        # empty input) hold zero rows — the summary must say so rather
+        # than report the minimum over non-empty shards only
+        rows = [per.get(s, {}).get("n_rows", 0) for s in range(args.n_shards)]
         summary = {
             "written": args.out,
             "n_shards": args.n_shards,
@@ -1464,10 +1495,13 @@ def main(argv: list[str] | None = None) -> int:
             "rows_max": int(max(rows)),
         }
         if args.size_col is not None:
-            tot = [per[s]["total"] for s in sorted(per)]
+            tot = [
+                int(per.get(s, {}).get("total") or 0)
+                for s in range(args.n_shards)
+            ]
             summary["size_col"] = args.size_col
-            summary["total_min"] = int(min(tot))
-            summary["total_max"] = int(max(tot))
+            summary["total_min"] = min(tot)
+            summary["total_max"] = max(tot)
         print(json.dumps(summary))
         return 0
 

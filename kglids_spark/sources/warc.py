@@ -41,7 +41,23 @@ def _parse_warc_bytes(name: str, data: bytes):
     if name.endswith(".gz"):
         import gzip
 
-        data = gzip.decompress(data)  # loops over concatenated members
+        try:
+            data = gzip.decompress(data)  # loops over concatenated members
+        except OSError:
+            # truncated/mislabeled container: one marker row instead of
+            # failing the job (the jsonl corrupt-line discipline at file
+            # granularity) — filterable/countable via warc_type
+            yield {
+                "file": name,
+                "record_id": "",
+                "warc_type": "_corrupt_file",
+                "target_uri": "",
+                "warc_date": "",
+                "content_type": "",
+                "payload": b"",
+                "n_bytes": 0,
+            }
+            return
     pos, n = 0, len(data)
     while pos < n:
         # seek the next version banner (tolerates leading/trailing junk
@@ -64,7 +80,12 @@ def _parse_warc_bytes(name: str, data: bytes):
         try:
             length = int(headers.get(b"content-length", b"").decode("ascii"))
         except (ValueError, UnicodeDecodeError):
-            # unframed record: skip to the next banner to stay robust
+            length = -1
+        if length < 0:
+            # unframed or corrupt-length record: skip past the header
+            # block to the next banner (a negative length must NOT feed
+            # the position arithmetic — pos could move backwards and
+            # re-parse the same record forever)
             pos = head_end + 4
             continue
         body_start = head_end + 4
@@ -103,49 +124,64 @@ def read_warc(
 
     want = {t.lower() for t in types} if types else None
 
+    cols = [
+        "file",
+        "record_id",
+        "warc_type",
+        "target_uri",
+        "warc_date",
+        "content_type",
+        "payload",
+        "n_bytes",
+    ]
+
     def parse(batches):
         for pdf in batches:
-            out = []
+            # one yield per FILE: binaryFile may coalesce several files
+            # into one Arrow batch, and holding every file's decompressed
+            # records at once would multiply peak executor memory at the
+            # ~1 GB-per-container scale this reader targets
             for name, data in zip(pdf["path"], pdf["content"]):
-                for rec in _parse_warc_bytes(str(name), bytes(data)):
-                    if want is None or rec["warc_type"].lower() in want:
-                        out.append(rec)
-            yield pd.DataFrame(
-                out,
-                columns=[
-                    "file",
-                    "record_id",
-                    "warc_type",
-                    "target_uri",
-                    "warc_date",
-                    "content_type",
-                    "payload",
-                    "n_bytes",
-                ],
-            )
+                out = [
+                    rec
+                    for rec in _parse_warc_bytes(str(name), bytes(data))
+                    if want is None or rec["warc_type"].lower() in want
+                ]
+                yield pd.DataFrame(out, columns=cols)
 
     files = spark.read.format("binaryFile").load(path).select("path", "content")
     return files.mapInPandas(parse, WARC_SCHEMA)
 
 
 def http_payload_text(df: DataFrame, payload_col: str = "payload") -> DataFrame:
-    """Split the HTTP envelope off ``response`` payloads: everything
-    after the first CRLFCRLF decodes (UTF-8, replacing) into ``text``;
-    ``http_status`` carries the status-line code. WET ``conversion``
-    payloads have no envelope — their decode is just
-    ``payload.cast("string")``. Pure codegen expressions: the payload
-    column is decoded once in its own projection (the split_words
-    discipline), no Python."""
+    """Decode payloads to ``text``, splitting the HTTP envelope ONLY
+    off payloads that actually are HTTP messages (start with "HTTP/"):
+    everything after the first CRLFCRLF becomes ``text`` and
+    ``http_status`` carries the status-line code. Non-HTTP payloads
+    (WET ``conversion`` records — which may legitimately contain blank
+    CRLF lines) pass through whole with a NULL status. ``http_encoded``
+    flags chunked/compressed HTTP bodies (Transfer-Encoding /
+    Content-Encoding in the envelope) whose bytes would decode as
+    framing noise or mojibake — callers filter them out rather than
+    feeding junk downstream (prepare's warc ingestion does). Pure
+    codegen expressions: the payload column is decoded once in its own
+    projection (the split_words discipline), no Python."""
     s = F.col(payload_col).cast("string")
     base = df.withColumn("_s", s)
     raw = F.col("_s")
+    is_http = raw.startswith("HTTP/")
     sep = F.expr("instr(_s, '\r\n\r\n')")
-    body = F.when(sep > 0, F.expr("substring(_s, instr(_s, '\r\n\r\n') + 4)")).otherwise(
+    head = F.when(sep > 0, F.expr("substring(_s, 1, instr(_s, '\r\n\r\n'))")).otherwise(
         raw
     )
+    body = F.when(
+        is_http & (sep > 0), F.expr("substring(_s, instr(_s, '\r\n\r\n') + 4)")
+    ).otherwise(raw)
     status = F.regexp_extract(raw, r"^HTTP/[0-9.]+\s+(\d{3})", 1)
+    encoded = is_http & head.rlike(r"(?i)\r\n(transfer-encoding|content-encoding):")
     return base.select(
         *[c for c in df.columns if c != payload_col],
-        F.when(status != "", status.cast("int")).alias("http_status"),
+        F.when(is_http & (status != ""), status.cast("int")).alias("http_status"),
+        F.when(is_http, encoded).otherwise(F.lit(False)).alias("http_encoded"),
         body.alias("text"),
     )

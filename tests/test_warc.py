@@ -152,3 +152,95 @@ def test_prepare_ingests_warc(spark, tmp_path, capsys):
     # the markup really was stripped before tokenization: no '<' token
     sample = back.limit(3).collect()
     assert all(r.n_tok > 0 for r in sample)
+
+
+def test_read_warc_negative_content_length_skipped(spark, tmp_path):
+    d = tmp_path / "w"
+    d.mkdir()
+    bad = (
+        b"WARC/1.0\r\nWARC-Type: response\r\n"
+        b"WARC-Record-ID: <urn:uuid:bad>\r\nContent-Length: -200\r\n\r\n"
+        b"junk junk junk\r\n\r\n"
+    )
+    data = bad + _record("ok", "response", "http://x/", b"fine body")
+    (d / "a.warc").write_bytes(data)
+    rows = read_warc(spark, str(d)).collect()  # must terminate
+    assert [r.record_id for r in rows] == ["<urn:uuid:ok>"]
+
+
+def test_read_warc_corrupt_gz_marker(spark, tmp_path):
+    d = tmp_path / "w"
+    d.mkdir()
+    (d / "good.warc").write_bytes(_record("g", "response", "http://x/", b"ok"))
+    (d / "broken.warc.gz").write_bytes(b"this is not gzip at all")
+    rows = {r.warc_type: r for r in read_warc(spark, str(d)).collect()}
+    assert set(rows) == {"response", "_corrupt_file"}
+    assert rows["_corrupt_file"].file.endswith("broken.warc.gz")
+
+
+def test_http_payload_conversion_with_blank_lines_passes_whole(spark, tmp_path):
+    d = tmp_path / "w"
+    d.mkdir()
+    wet = b"para one\r\n\r\npara two"
+    (d / "a.warc").write_bytes(_record("w", "conversion", "http://x/", wet))
+    r = http_payload_text(read_warc(spark, str(d))).collect()[0]
+    assert r.text == "para one\r\n\r\npara two"  # nothing stripped
+    assert r.http_status is None and r.http_encoded is False
+
+
+def test_http_payload_flags_encoded_bodies(spark, tmp_path):
+    d = tmp_path / "w"
+    d.mkdir()
+    chunked = (
+        b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n"
+        b"4\r\nwiki\r\n0\r\n"
+    )
+    plain = b"HTTP/1.1 200 OK\r\n\r\nreal text"
+    data = _record("c", "response", "http://x/1", chunked) + _record(
+        "p", "response", "http://x/2", plain
+    )
+    (d / "a.warc").write_bytes(data)
+    rows = {
+        r.record_id: r
+        for r in http_payload_text(read_warc(spark, str(d))).collect()
+    }
+    assert rows["<urn:uuid:c>"].http_encoded is True
+    assert rows["<urn:uuid:p>"].http_encoded is False
+    assert rows["<urn:uuid:p>"].text == "real text"
+
+
+def test_prepare_warc_filters_errors_and_counts_corrupt(spark, tmp_path, capsys):
+    import json
+
+    from kglids_spark.cli import main
+
+    d = tmp_path / "crawl"
+    d.mkdir()
+    ok_body = (
+        "HTTP/1.1 200 OK\r\n\r\n"
+        + " ".join(f"the good page holds words w{j} about data" for j in range(4))
+    ).encode()
+    notfound = b"HTTP/1.1 404 Not Found\r\n\r\nthe classic not found boilerplate page text here"
+    recs = (
+        _record("ok1", "response", "http://x/1", ok_body)
+        + _record("nf", "response", "http://x/404", notfound)
+        + _record("ok2", "response", "http://x/2", ok_body)
+    )
+    (d / "c.warc").write_bytes(recs)
+    (d / "broken.warc.gz").write_bytes(b"garbage")
+    out = str(tmp_path / "prep")
+    rc = main(
+        [
+            "prepare", "--input", str(d), "--input-format", "warc",
+            "--source-col", "source", "--out", out,
+            "--merges", "6", "--seq-len", "32",
+            "--skip", "gopher,linededup,fuzzy",
+        ]
+    )
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["stage_counts"]["corrupt_warc_files"] == 1
+    # the 404 body never enters the pipeline
+    assert summary["stage_counts"]["input"] == 2
+    ids = {r.doc_id for r in spark.read.parquet(out).collect()}
+    assert ids == {"<urn:uuid:ok1>", "<urn:uuid:ok2>"}
