@@ -2359,6 +2359,93 @@ def drift_psi_events(spark, sf_dir):
     )
 
 
+@register(
+    "drift_jsd_events",
+    f"""
+    WITH h AS ({_DRIFT_BINS}),
+    p AS (
+      SELECT c1 / (SELECT sum(c1) FROM h)::DOUBLE AS p1,
+             c2 / (SELECT sum(c2) FROM h)::DOUBLE AS p2
+      FROM h)
+    SELECT round(sum(
+        CASE WHEN p1 > 0 THEN 0.5 * p1 * ln(p1 / (0.5 * (p1 + p2))) ELSE 0 END
+      + CASE WHEN p2 > 0 THEN 0.5 * p2 * ln(p2 / (0.5 * (p1 + p2))) ELSE 0 END
+    ), 6) AS jsd FROM p
+    """,
+)
+def drift_jsd_events(spark, sf_dir):
+    """Jensen-Shannon divergence on the same binned click-vs-view
+    distributions as the KS/PSI verdicts — the smoothing-free
+    symmetric divergence (drift.js_divergence is the driver-math
+    twin; this is the same arithmetic in-plan over the nbins-row
+    histogram, oracle recomputed from first principles)."""
+    e = _t(spark, sf_dir, "events").filter(F.col("event_type").isin("click", "view"))
+    h = e.groupBy(F.floor("value").cast("bigint").alias("b")).agg(
+        F.sum((F.col("event_type") == "click").cast("long")).alias("c1"),
+        F.sum((F.col("event_type") == "view").cast("long")).alias("c2"),
+    )
+    # global windows over the nbins-row histogram h, not the corpus
+    # (see drift_ks_events)
+    n1 = F.sum("c1").over(Window.partitionBy())
+    n2 = F.sum("c2").over(Window.partitionBy())
+    p = h.select(
+        (F.col("c1") / n1).alias("p1"), (F.col("c2") / n2).alias("p2")
+    )
+    m = 0.5 * (F.col("p1") + F.col("p2"))
+    term = F.when(
+        F.col("p1") > 0, 0.5 * F.col("p1") * F.log(F.col("p1") / m)
+    ).otherwise(F.lit(0.0)) + F.when(
+        F.col("p2") > 0, 0.5 * F.col("p2") * F.log(F.col("p2") / m)
+    ).otherwise(F.lit(0.0))
+    return p.agg(F.round(F.sum(term), 6).alias("jsd"))
+
+
+@register(
+    "drift_emd_events",
+    f"""
+    WITH h AS ({_DRIFT_BINS}),
+    cum AS (
+      SELECT b,
+             sum(c1) OVER (ORDER BY b) / (SELECT sum(c1) FROM h)::DOUBLE AS cdf1,
+             sum(c2) OVER (ORDER BY b) / (SELECT sum(c2) FROM h)::DOUBLE AS cdf2,
+             lead(b) OVER (ORDER BY b) AS nb
+      FROM h)
+    SELECT round(sum(abs(cdf1 - cdf2) * COALESCE(nb - b, 0)), 6) AS emd FROM cum
+    """,
+)
+def drift_emd_events(spark, sf_dir):
+    """1D Wasserstein-1 distance between the click and view `value`
+    distributions: Σ |ECDF1−ECDF2| · gap over the integer binning —
+    gap-aware, so empty integer bins between populated ones still
+    contribute their constant CDF difference (the closed-form 1D
+    transport integral, drift.emd_statistic's in-plan twin). KS
+    reports the worst single CDF gap; this integrates all of it,
+    in x-axis units."""
+    e = _t(spark, sf_dir, "events").filter(F.col("event_type").isin("click", "view"))
+    h = e.groupBy(F.floor("value").cast("bigint").alias("b")).agg(
+        F.sum((F.col("event_type") == "click").cast("long")).alias("c1"),
+        F.sum((F.col("event_type") == "view").cast("long")).alias("c2"),
+    )
+    # global windows over the nbins-row histogram h, not the corpus
+    # (see drift_ks_events)
+    n1 = F.sum("c1").over(Window.partitionBy())
+    n2 = F.sum("c2").over(Window.partitionBy())
+    w = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, 0)
+    wl = Window.orderBy("b")
+    cum = h.select(
+        (F.sum("c1").over(w) / n1).alias("cdf1"),
+        (F.sum("c2").over(w) / n2).alias("cdf2"),
+        F.coalesce(F.lead("b", 1).over(wl) - F.col("b"), F.lit(0))
+        .cast("double")
+        .alias("gap"),
+    )
+    return cum.agg(
+        F.round(
+            F.sum(F.abs(F.col("cdf1") - F.col("cdf2")) * F.col("gap")), 6
+        ).alias("emd")
+    )
+
+
 # =====================================================================
 # Constraint suite on the documents table (validation-engine parity)
 # =====================================================================

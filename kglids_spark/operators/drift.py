@@ -110,6 +110,48 @@ def psi(h_actual: list[int], h_expected: list[int], eps: float = 1e-6) -> float:
     return total
 
 
+def js_divergence(h1: list[int], h2: list[int]) -> float:
+    """Jensen-Shannon divergence on a shared binning (natural log, so
+    bounded by ln 2 ≈ 0.693): 0.5·KL(P‖M) + 0.5·KL(Q‖M) with
+    M = (P+Q)/2. Unlike PSI it needs no epsilon floor — a cell empty
+    on one side contributes only its other-side mass against M, and a
+    cell empty on both sides contributes nothing — so it is the
+    smoothing-free symmetric divergence to quote when PSI's eps choice
+    would dominate (sparse histograms, many empty cells)."""
+    n1, n2 = sum(h1), sum(h2)
+    if n1 == 0 or n2 == 0:
+        return 0.0
+    total = 0.0
+    for a, b in zip(h1, h2):
+        p = a / n1
+        q = b / n2
+        m = 0.5 * (p + q)
+        if p > 0:
+            total += 0.5 * p * math.log(p / m)
+        if q > 0:
+            total += 0.5 * q * math.log(q / m)
+    return total
+
+
+def emd_statistic(h1: list[int], h2: list[int], bin_width: float = 1.0) -> float:
+    """1D Wasserstein-1 (earth-mover) distance between two histograms
+    on a shared binning: bin_width · Σ |ECDF1 − ECDF2|, the closed
+    form of the 1D transport problem. Where KS reports only the WORST
+    single gap between the CDFs, EMD integrates ALL of it — a mixture
+    that shifts slightly everywhere moves EMD but barely moves KS —
+    and its unit is the histogram's x-axis unit (e.g. tokens for an
+    n_tok histogram), so thresholds read in domain terms."""
+    n1, n2 = sum(h1), sum(h2)
+    if n1 == 0 or n2 == 0:
+        return 0.0
+    c1, c2, total = 0.0, 0.0, 0.0
+    for a, b in zip(h1, h2):
+        c1 += a / n1
+        c2 += b / n2
+        total += abs(c1 - c2)
+    return bin_width * total
+
+
 def evaluate_drift(
     actual_hist: list[int],
     baseline_hist: list[int],

@@ -60,6 +60,34 @@ def test_ks_psi_math():
     assert D.psi(h1, h2) > 0
 
 
+def test_jsd_emd_math():
+    import math
+
+    h1 = [10, 20, 30, 40]
+    # identical distributions: both zero
+    assert D.js_divergence(h1, h1) == pytest.approx(0.0, abs=1e-12)
+    assert D.emd_statistic(h1, h1) == pytest.approx(0.0, abs=1e-12)
+    # disjoint supports: JSD hits its ln(2) bound exactly
+    assert D.js_divergence([1, 0], [0, 1]) == pytest.approx(math.log(2))
+    # hand-computed EMD: cdf1=[.1,.3,.6,1], cdf2=[.4,.7,.9,1]
+    #   -> sum |diff| = .3+.4+.3+0 = 1.0 per unit bin
+    h2 = [40, 30, 20, 10]
+    assert D.emd_statistic(h1, h2) == pytest.approx(1.0)
+    # bin width scales linearly (transport distance in x units)
+    assert D.emd_statistic(h1, h2, bin_width=2.5) == pytest.approx(2.5)
+    # hand-computed JSD for p=[.5,.5], q=[1,0]:
+    #   m=[.75,.25]; 0.5*(.5 ln(.5/.75)+.5 ln(.5/.25)) + 0.5*(1*ln(1/.75))
+    want = 0.5 * (0.5 * math.log(0.5 / 0.75) + 0.5 * math.log(0.5 / 0.25)) + 0.5 * (
+        math.log(1 / 0.75)
+    )
+    assert D.js_divergence([5, 5], [10, 0]) == pytest.approx(want)
+    # empty side reports 0.0 (the n==0 convention shared with ks/psi)
+    assert D.js_divergence([0, 0], h1) == 0.0
+    assert D.emd_statistic(h1, [0, 0]) == 0.0
+    # JSD needs no epsilon floor: one-sided empty cells are finite
+    assert math.isfinite(D.js_divergence([10, 0, 5], [0, 10, 5]))
+
+
 def test_histogram_matches_duckdb(spark, tokens_df, duck):
     spec = D.HistSpec(column="n_tok", lo=0.0, hi=8192.0, nbins=8)
     got = list(D.histogram_df(tokens_df, spec).collect()[0].hist)
