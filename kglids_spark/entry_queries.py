@@ -5132,6 +5132,54 @@ def element_range_check(spark, sf_dir):
     )
 
 
+_TOKEN_INFO_SQL = (
+    "WITH "
+    + _MD5_TOKS_CTE
+    + r""",
+    ex AS (SELECT doc_id, unnest(t) AS token FROM toks),
+    g AS (SELECT doc_id, token, COUNT(*)::DOUBLE AS c FROM ex GROUP BY 1, 2),
+    vocab AS (SELECT token, SUM(c) AS ct FROM g GROUP BY 1),
+    tot AS (SELECT SUM(ct) AS n FROM vocab),
+    q AS (SELECT token, ln(ct / tot.n) AS logp FROM vocab, tot),
+    per AS (
+      SELECT doc_id, SUM(c) AS n, SUM(c * ln(c)) AS sclnc,
+             SUM(c * logp) AS sclogq
+      FROM g JOIN q USING (token) GROUP BY doc_id),
+    s AS (
+      SELECT doc_id, n, ln(n) - sclnc / n AS h, -(sclogq) / n AS ce
+      FROM per)
+    SELECT d.doc_id, COALESCE(s.n, 0)::BIGINT AS n_tok,
+           round(s.h, 6) AS entropy, round(s.ce, 6) AS cross_entropy,
+           round(s.ce - s.h, 6) AS kl
+    FROM documents d LEFT JOIN s USING (doc_id)
+"""
+)
+
+
+@register("token_information_docs", _TOKEN_INFO_SQL)
+def token_information_docs(spark, sf_dir):
+    """Per-document information statistics on the engine's own tokens
+    shape (md5-word-id sequences, the tokens_decontamination
+    convention): unigram entropy of the doc's own distribution,
+    cross-entropy under the corpus unigram distribution, and their
+    difference KL(doc ‖ corpus) — the information-theoretic quality/
+    novelty signals (low entropy = templated text, high KL =
+    off-distribution vocabulary). Oracle recomputes every stat from
+    first principles with the identical formula shape (H = ln n −
+    Σ c·ln c / n), value-exact at 6 dp."""
+    from kglids_spark.operators import frequency as FR
+
+    toks = _md5_tokens(spark, sf_dir)
+    s = FR.token_information_scores(toks)
+    return s.select(
+        "doc_id",
+        "n_tok",
+        F.round("entropy", 6).alias("entropy"),
+        F.round("cross_entropy", 6).alias("cross_entropy"),
+        F.round("kl", 6).alias("kl"),
+    )
+
+
 _STRIP_HTML_SQL = r"""
     WITH wrapped AS (
       SELECT doc_id,

@@ -29,6 +29,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 
 def _mg_map_fn(col_name: str, k: int):
@@ -106,3 +107,157 @@ def heavy_hitters(df: DataFrame, col: Column | str, k: int = 199) -> DataFrame:
 
     _release_local_checkpoints([summaries])
     return items.sparkSession.createDataFrame(rows, "item string, n long")
+
+
+# ---------------------------------------------------------------------------
+# Per-document token information statistics (entropy / cross-entropy / KL)
+
+
+def unigram_logprobs(df: DataFrame, array_col: str = "tokens") -> DataFrame:
+    """(token, logp): MLE log-probabilities of the corpus unigram
+    distribution over a tokens-array column. The explode combines
+    map-side into vocabulary-sized partials, so the one Exchange
+    carries the dictionary, never the corpus; the total folds in via a
+    broadcast 1-row aggregate (no single-partition window)."""
+    counts = (
+        df.select(F.explode(array_col).alias("token"))
+        .where(F.col("token").isNotNull())
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    total = counts.agg(F.sum("c").cast("double").alias("_n"))
+    return counts.crossJoin(F.broadcast(total)).select(
+        "token", F.log(F.col("c") / F.col("_n")).alias("logp")
+    )
+
+
+def token_information_scores(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    array_col: str = "tokens",
+    ref_logprobs: DataFrame | None = None,
+    default_logp: float | None = None,
+) -> DataFrame:
+    """Per-document information statistics over pre-tokenized
+    sequences: (id, n_tok, entropy, cross_entropy, kl).
+
+    - ``entropy`` — Shannon entropy (nats) of the document's OWN
+      unigram distribution: low = repetitive/templated text, the
+      information-theoretic twin of the Gopher repetition fractions.
+    - ``cross_entropy`` — −mean log q(t) under the CORPUS unigram
+      distribution q (or ``ref_logprobs``, a (token, logp) frame from
+      :func:`unigram_logprobs` over a reference corpus): high =
+      off-distribution/novel vocabulary, the model-free sibling of the
+      char-LM perplexity score and the per-doc view of what DSIR's
+      importance weights aggregate.
+    - ``kl = cross_entropy − entropy`` — KL(doc ‖ corpus) restricted
+      to the doc's support: how much of the surprisal is DISTRIBUTION
+      mismatch rather than the doc's own spread.
+
+    Scale shape: ONE explode → map-side-combined groupBy(id, token) —
+    the same corpus-dictionary discipline as char_lm_counts; that
+    reduced frame persists (MEMORY_AND_DISK) because it feeds both the
+    self-trained dictionary and the per-doc aggregate, so the corpus
+    is scanned exactly once. The dictionary broadcast-joins back
+    (vocabulary-sized — for a >10^8-token vocab swap in a shuffle
+    join); the per-doc aggregate's Exchange carries one row per doc.
+    Docs with NULL/empty token arrays survive via the left join with
+    n_tok=0 and NULL stats (the null-keeping convention).
+
+    When scoring against an EXTERNAL reference, tokens absent from it
+    get ``default_logp`` (required then — scoring the self-corpus
+    never hits it because every token is in its own dictionary)."""
+    # the id universe comes from df itself (the all-ids convention —
+    # ids are unique by the tokens-table contract, so no distinct)
+    ids = df.select(F.col(id_col).alias(id_col))
+    g = (
+        df.select(F.col(id_col).alias("_id"), F.explode(array_col).alias("token"))
+        .where(F.col("token").isNotNull())
+        .groupBy("_id", "token")
+        .agg(F.count(F.lit(1)).cast("double").alias("c"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    try:
+        if ref_logprobs is None:
+            vocab = g.groupBy("token").agg(F.sum("c").alias("ct"))
+            total = vocab.agg(F.sum("ct").alias("_n"))
+            q = vocab.crossJoin(F.broadcast(total)).select(
+                "token", F.log(F.col("ct") / F.col("_n")).alias("logp")
+            )
+            joined = g.join(F.broadcast(q), "token")
+        else:
+            if default_logp is None:
+                raise ValueError(
+                    "default_logp is required with ref_logprobs: tokens absent "
+                    "from an external reference need an OOV log-probability"
+                )
+            q = ref_logprobs.select("token", "logp")
+            joined = g.join(F.broadcast(q), "token", "left").withColumn(
+                "logp", F.coalesce("logp", F.lit(float(default_logp)))
+            )
+        per = joined.groupBy("_id").agg(
+            F.sum("c").alias("n"),
+            F.sum(F.col("c") * F.log("c")).alias("sclnc"),
+            F.sum(F.col("c") * F.col("logp")).alias("sclogq"),
+        )
+        n = F.col("n")
+        h = F.log(n) - F.col("sclnc") / n
+        ce = -F.col("sclogq") / n
+        out = ids.join(per.withColumnRenamed("_id", id_col), id_col, "left").select(
+            F.col(id_col),
+            F.coalesce(n, F.lit(0.0)).cast("long").alias("n_tok"),
+            h.alias("entropy"),
+            ce.alias("cross_entropy"),
+            (ce - h).alias("kl"),
+        )
+        # eager checkpoint materializes the bounded one-row-per-doc
+        # result so the persisted (id, token) stream can release now
+        # instead of pinning executor storage for the caller's
+        # lifetime (the char_lm_train_score discipline)
+        out = out.localCheckpoint(eager=True)
+    finally:
+        g.unpersist()
+    return out
+
+
+def doc_token_entropy(
+    df: DataFrame, id_col: str = "doc_id", array_col: str = "tokens"
+) -> DataFrame:
+    """Zero-shuffle twin of the entropy column of
+    :func:`token_information_scores`: per-row numpy ``unique`` over
+    the token array inside one Arrow-batched mapInPandas pass —
+    nothing leaves the executors, no explode, no shuffle. Use this
+    when only the per-doc spread is needed (no corpus distribution);
+    pinned equal to the grouped path by tests/test_frequency.py.
+    NULL/empty arrays emit n_tok=0 with NULL entropy."""
+    import numpy as np  # noqa: F401 (documented vectorized exception)
+
+    id_field = df.schema[id_col].dataType.simpleString()
+    schema = f"{id_col} {id_field}, n_tok long, entropy double"
+
+    def fn(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            ids, ns, hs = [], [], []
+            for i, arr in zip(pdf[id_col], pdf[array_col]):
+                ids.append(i)
+                if arr is None or len(arr) == 0:
+                    ns.append(0)
+                    hs.append(None)
+                    continue
+                a = np.asarray(arr)
+                a = a[~pd.isnull(a)]
+                if len(a) == 0:
+                    ns.append(0)
+                    hs.append(None)
+                    continue
+                _, c = np.unique(a, return_counts=True)
+                c = c.astype("float64")
+                n = float(c.sum())
+                hs.append(float(np.log(n) - (c * np.log(c)).sum() / n))
+                ns.append(int(n))
+            yield pd.DataFrame({id_col: ids, "n_tok": ns, "entropy": hs})
+
+    return df.select(id_col, array_col).mapInPandas(fn, schema)

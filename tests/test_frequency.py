@@ -53,3 +53,85 @@ def test_heavy_hitters_nulls_dropped(spark):
 def test_heavy_hitters_accepts_column_expression(spark, skewed):
     got = {r.item for r in heavy_hitters(skewed, F.upper(F.col("item")), k=9).collect()}
     assert "HOT" in got
+
+
+# ---------------------------------------------------------------------------
+# token information statistics
+
+
+@pytest.fixture(scope="module")
+def toks_df(spark):
+    rows = [
+        (1, [1, 1, 2, 3]),       # counts {1:2, 2:1, 3:1}
+        (2, [5, 5, 5, 5]),       # zero entropy (one symbol)
+        (3, [1, 2, 3, 4, 5]),    # uniform -> max entropy ln 5
+        (4, []),                 # empty
+        (5, None),               # null array
+    ]
+    return spark.createDataFrame(rows, "doc_id long, tokens array<long>").cache()
+
+
+def test_token_entropy_hand_computed(spark, toks_df):
+    import math
+
+    from kglids_spark.operators import frequency as FR
+
+    got = {r.doc_id: r for r in FR.token_information_scores(toks_df).collect()}
+    # doc 1: H = ln 4 - (2 ln 2)/4
+    assert got[1].entropy == pytest.approx(math.log(4) - 2 * math.log(2) / 4)
+    assert got[2].entropy == pytest.approx(0.0, abs=1e-12)
+    assert got[3].entropy == pytest.approx(math.log(5))
+    # null-keeping convention: empty/NULL arrays survive with n_tok=0
+    assert got[4].n_tok == 0 and got[4].entropy is None
+    assert got[5].n_tok == 0 and got[5].entropy is None
+    # Gibbs: cross-entropy >= entropy, so KL >= 0 on every doc
+    for d in (1, 2, 3):
+        assert got[d].kl >= -1e-12
+    # hand-check doc 2's cross-entropy: token 5 occurs 5 times in the
+    # 13-token corpus (4 in doc 2 + 1 in doc 3), so q(5) = 5/13
+    assert got[2].cross_entropy == pytest.approx(-math.log(5 / 13.0))
+
+
+def test_doc_token_entropy_lockstep(spark, toks_df):
+    from kglids_spark.operators import frequency as FR
+
+    grouped = {r.doc_id: r for r in FR.token_information_scores(toks_df).collect()}
+    fast = {r.doc_id: r for r in FR.doc_token_entropy(toks_df).collect()}
+    assert set(grouped) == set(fast)
+    for d, g in grouped.items():
+        assert fast[d].n_tok == g.n_tok
+        if g.entropy is None:
+            assert fast[d].entropy is None
+        else:
+            assert fast[d].entropy == pytest.approx(g.entropy, abs=1e-9)
+
+
+def test_token_information_external_reference(spark, toks_df):
+    import math
+
+    from kglids_spark.operators import frequency as FR
+
+    ref = toks_df.filter(F.col("doc_id") == 2)  # dictionary = {5}
+    q = FR.unigram_logprobs(ref)
+    # without an OOV floor the external reference must be refused
+    with pytest.raises(ValueError, match="default_logp"):
+        FR.token_information_scores(toks_df, ref_logprobs=q)
+    got = {
+        r.doc_id: r
+        for r in FR.token_information_scores(
+            toks_df, ref_logprobs=q, default_logp=math.log(1e-9)
+        ).collect()
+    }
+    # doc 2 is fully in-reference: q(5)=1 -> cross-entropy 0
+    assert got[2].cross_entropy == pytest.approx(0.0, abs=1e-12)
+    # doc 1 is fully OOV: cross-entropy = -default_logp
+    assert got[1].cross_entropy == pytest.approx(-math.log(1e-9))
+
+
+def test_unigram_logprobs_sums_to_one(spark, toks_df):
+    import math
+
+    from kglids_spark.operators import frequency as FR
+
+    q = FR.unigram_logprobs(toks_df).collect()
+    assert sum(math.exp(r.logp) for r in q) == pytest.approx(1.0)
