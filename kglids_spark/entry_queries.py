@@ -5180,6 +5180,54 @@ def token_information_docs(spark, sf_dir):
     )
 
 
+@register(
+    "zipf_fit_docs",
+    r"""
+    WITH ws AS (
+      SELECT unnest(
+        list_filter(
+          string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+          w -> w <> '')) AS w
+      FROM documents),
+    c AS (SELECT w, COUNT(*)::DOUBLE AS n FROM ws GROUP BY w),
+    r AS (SELECT n, ln(row_number() OVER (ORDER BY n DESC, w ASC)::DOUBLE) AS x,
+                 ln(n) AS y
+          FROM c),
+    s AS (
+      SELECT COUNT(*)::DOUBLE AS n, SUM(n)::BIGINT AS n_tokens,
+             SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy, SUM(x * x) AS sxx
+      FROM r)
+    SELECT n::BIGINT AS n_types, n_tokens,
+           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS zipf_slope,
+           round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6)
+             AS zipf_intercept
+    FROM s
+    """,
+)
+def zipf_fit_docs(spark, sf_dir):
+    """Zipf rank-frequency fit over the documents word vocabulary
+    (split_words convention): ln(count) regressed on ln(rank) with a
+    deterministic (count DESC, word ASC) ranking — slope near −1 is
+    Zipf's law; the oracle replays the identical normal-equation
+    formula shape over a row_number ranking."""
+    from kglids_spark.operators import frequency as FR
+
+    d = _t(spark, sf_dir, "documents")
+    ws = F.filter(dedup.split_words("text"), lambda w: w != "")
+    counts = (
+        d.select(F.explode(ws).alias("item"))
+        .groupBy("item")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    fit = FR.zipf_fit(counts)
+    return fit.select(
+        "n_types",
+        "n_tokens",
+        F.round("zipf_slope", 6).alias("zipf_slope"),
+        F.round("zipf_intercept", 6).alias("zipf_intercept"),
+    )
+
+
 _STRIP_HTML_SQL = r"""
     WITH wrapped AS (
       SELECT doc_id,

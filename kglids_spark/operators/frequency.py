@@ -109,6 +109,64 @@ def heavy_hitters(df: DataFrame, col: Column | str, k: int = 199) -> DataFrame:
     return items.sparkSession.createDataFrame(rows, "item string, n long")
 
 
+def zipf_fit(
+    counts: DataFrame,
+    item_col: str = "item",
+    count_col: str = "n",
+    max_rank: int | None = None,
+) -> DataFrame:
+    """Least-squares fit of the rank-frequency law over an (item,
+    count) frame: one row (n_types, n_tokens, zipf_slope,
+    zipf_intercept) with ln(count) regressed on ln(rank). A healthy
+    natural-language corpus sits near slope −1 (Zipf's law); a slope
+    far shallower flags templated/synthetic text, far steeper flags a
+    collapsed vocabulary — a one-number corpus-health diagnostic to
+    put next to the datacard.
+
+    Rank is the 1-based global position in (count DESC, item ASC) —
+    deterministic tie-break — stamped by the two-phase
+    ``ranked_prefix`` pass (a web-scale word vocabulary is 10^8+
+    types; never a single-task window). The regression itself is four
+    sums + a count in ONE map-side-combined aggregate over the
+    vocabulary frame, in the explicit normal-equation form
+    (n·Σxy − Σx·Σy)/(n·Σx² − (Σx)²) so an oracle can reproduce it
+    shape-for-shape. ``max_rank`` restricts the fit to the top ranks
+    (the conventional regime — the deep tail of hapax counts is
+    quantized and drags the fit); n_types/n_tokens then describe the
+    fitted prefix, not the corpus."""
+    from kglids_spark.plans.ranking import ranked_prefix
+
+    ranked = ranked_prefix(
+        counts.select(item_col, count_col),
+        [F.col(count_col).desc(), F.col(item_col).asc()],
+    ).withColumn("_r", (F.col("_rank") + 1).cast("double"))
+    if max_rank is not None:
+        ranked = ranked.filter(F.col("_r") <= float(max_rank))
+    x = F.log("_r")
+    y = F.log(F.col(count_col).cast("double"))
+    s = ranked.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(F.col(count_col)).cast("long").alias("n_tokens"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * y).alias("sxy"),
+        F.sum(x * x).alias("sxx"),
+    )
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    # a single rank (or an empty frame) has no spread in x — the fit
+    # is undefined; emit NULL rather than a 0/0 NaN
+    slope = F.when(
+        den != 0,
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / den,
+    )
+    return s.select(
+        F.col("n").cast("long").alias("n_types"),
+        F.col("n_tokens"),
+        slope.alias("zipf_slope"),
+        ((F.col("sy") - slope * F.col("sx")) / F.col("n")).alias("zipf_intercept"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Per-document token information statistics (entropy / cross-entropy / KL)
 

@@ -135,3 +135,48 @@ def test_unigram_logprobs_sums_to_one(spark, toks_df):
 
     q = FR.unigram_logprobs(toks_df).collect()
     assert sum(math.exp(r.logp) for r in q) == pytest.approx(1.0)
+
+
+# ---------------------------------------------------------------------------
+# Zipf rank-frequency fit
+
+
+def test_zipf_fit_matches_numpy_lstsq(spark):
+    import math
+
+    import numpy as np
+
+    from kglids_spark.operators import frequency as FR
+
+    counts = [("the", 100), ("of", 47), ("and", 30), ("to", 22), ("a", 17), ("in", 12)]
+    df = spark.createDataFrame(counts, "item string, n long")
+    row = FR.zipf_fit(df).collect()[0]
+    ranks = np.arange(1, len(counts) + 1, dtype="float64")
+    ys = np.log(np.array([c for _, c in counts], dtype="float64"))
+    slope, intercept = np.polyfit(np.log(ranks), ys, 1)
+    assert row.n_types == 6 and row.n_tokens == 228
+    assert row.zipf_slope == pytest.approx(slope, abs=1e-9)
+    assert row.zipf_intercept == pytest.approx(intercept, abs=1e-9)
+    assert -1.5 < row.zipf_slope < -0.5  # zipf-ish fixture
+
+
+def test_zipf_fit_max_rank_and_tie_break(spark):
+    from kglids_spark.operators import frequency as FR
+
+    # ties on count: rank order is (count DESC, item ASC), so the fit
+    # is deterministic under any partitioning
+    rows = [("b", 10), ("a", 10), ("c", 5), ("d", 2)]
+    df = spark.createDataFrame(rows, "item string, n long").repartition(4)
+    full = FR.zipf_fit(df).collect()[0]
+    again = FR.zipf_fit(df.repartition(2)).collect()[0]
+    assert full == again
+    top = FR.zipf_fit(df, max_rank=2).collect()[0]
+    assert top.n_types == 2 and top.n_tokens == 20
+
+
+def test_zipf_fit_single_rank_is_null(spark):
+    from kglids_spark.operators import frequency as FR
+
+    df = spark.createDataFrame([("only", 7)], "item string, n long")
+    row = FR.zipf_fit(df).collect()[0]
+    assert row.n_types == 1 and row.zipf_slope is None
