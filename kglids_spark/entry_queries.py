@@ -5228,6 +5228,50 @@ def zipf_fit_docs(spark, sf_dir):
     )
 
 
+@register(
+    "iqr_outliers_events",
+    """
+    WITH q AS (
+      SELECT quantile_cont(value, 0.25) AS q1, quantile_cont(value, 0.75) AS q3
+      FROM events),
+    f AS (
+      SELECT q1, q3, q1 - 1.5 * (q3 - q1) AS lo_fence,
+             q3 + 1.5 * (q3 - q1) AS hi_fence
+      FROM q)
+    SELECT round(any_value(f.q1), 6) AS q1, round(any_value(f.q3), 6) AS q3,
+           round(any_value(f.lo_fence), 6) AS lo_fence,
+           round(any_value(f.hi_fence), 6) AS hi_fence,
+           count(e.value)::BIGINT AS n_checked,
+           (count(*) FILTER (WHERE e.value < f.lo_fence))::BIGINT AS n_below,
+           (count(*) FILTER (WHERE e.value > f.hi_fence))::BIGINT AS n_above,
+           round((count(*) FILTER (WHERE e.value < f.lo_fence)
+                  + count(*) FILTER (WHERE e.value > f.hi_fence))::DOUBLE
+                 / count(e.value), 6) AS outlier_rate
+    FROM events e, f
+    """,
+)
+def iqr_outliers_events(spark, sf_dir):
+    """Tukey-fence outlier profile of events.value: exact interpolated
+    quartiles (Spark `percentile` and DuckDB `quantile_cont` share the
+    linear-interpolation definition), fences at 1.5·IQR, and the
+    below/above tail counts — the data-derived sibling of the fixed
+    `range` constraint, value-exact at 6 dp."""
+    from kglids_spark.operators import profiler as P
+
+    e = _t(spark, sf_dir, "events")
+    out = P.iqr_outliers(e, "value", k=1.5, exact=True)
+    return out.select(
+        F.round("q1", 6).alias("q1"),
+        F.round("q3", 6).alias("q3"),
+        F.round("lo_fence", 6).alias("lo_fence"),
+        F.round("hi_fence", 6).alias("hi_fence"),
+        "n_checked",
+        "n_below",
+        "n_above",
+        F.round("outlier_rate", 6).alias("outlier_rate"),
+    )
+
+
 _STRIP_HTML_SQL = r"""
     WITH wrapped AS (
       SELECT doc_id,

@@ -513,3 +513,88 @@ def correlation_profile(
     return df.sparkSession.createDataFrame(
         out, "table_id string, col1 string, col2 string, corr double"
     )
+
+
+def iqr_outliers(
+    df: DataFrame,
+    column: str,
+    k: float = 1.5,
+    exact: bool = True,
+) -> DataFrame:
+    """Tukey-fence outlier profile of a numeric column: one row
+    (q1, q3, lo_fence, hi_fence, n_checked, n_below, n_above,
+    outlier_rate) with fences at Q1 − k·IQR and Q3 + k·IQR (k=1.5 is
+    Tukey's convention; k=3 the "far out" variant). The data-derived
+    sibling of the fixed-bound ``range`` constraint — it flags the
+    tail the bounds author didn't anticipate.
+
+    Two passes by necessity (the fences depend on the quantiles):
+    a quantile aggregate — exact interpolated ``percentile`` for
+    oracle parity, or the one-pass mergeable ``approx_percentile``
+    KLL sketch at 10^12 rows (``exact=False``) — then one
+    zero-shuffle conditional-count aggregate under the broadcast
+    1-row fence frame. NULLs are excluded from both passes (that is
+    ``not_null``'s job). An all-NULL / empty column yields NULL
+    quantiles and zero counts rather than an error."""
+    col = F.col(column).cast("double")
+    if exact:
+        qf = df.agg(
+            F.percentile(col, F.lit(0.25)).alias("q1"),
+            F.percentile(col, F.lit(0.75)).alias("q3"),
+        )
+    else:
+        qf = df.agg(
+            F.percentile_approx(col, F.lit(0.25), F.lit(10000)).cast("double").alias("q1"),
+            F.percentile_approx(col, F.lit(0.75), F.lit(10000)).cast("double").alias("q3"),
+        )
+    fences = qf.select(
+        "q1",
+        "q3",
+        (F.col("q1") - F.lit(float(k)) * (F.col("q3") - F.col("q1"))).alias("lo_fence"),
+        (F.col("q3") + F.lit(float(k)) * (F.col("q3") - F.col("q1"))).alias("hi_fence"),
+    )
+    joined = df.select(col.alias("_v")).crossJoin(F.broadcast(fences))
+    v = F.col("_v")
+    return joined.agg(
+        F.first("q1").alias("q1"),
+        F.first("q3").alias("q3"),
+        F.first("lo_fence").alias("lo_fence"),
+        F.first("hi_fence").alias("hi_fence"),
+        F.count(v).alias("n_checked"),
+        # coalesce: an all-NULL or empty column sums NULL, not 0
+        F.coalesce(F.sum((v < F.col("lo_fence")).cast("long")), F.lit(0)).alias(
+            "n_below"
+        ),
+        F.coalesce(F.sum((v > F.col("hi_fence")).cast("long")), F.lit(0)).alias(
+            "n_above"
+        ),
+        (
+            (
+                F.coalesce(F.sum((v < F.col("lo_fence")).cast("long")), F.lit(0))
+                + F.coalesce(F.sum((v > F.col("hi_fence")).cast("long")), F.lit(0))
+            )
+            / F.nullif(F.count(v), F.lit(0))
+        ).alias("outlier_rate"),
+    )
+
+
+def iqr_outlier_rows(
+    df: DataFrame, column: str, k: float = 1.5, exact: bool = True
+) -> DataFrame:
+    """The rows outside the Tukey fences of :func:`iqr_outliers` —
+    the triage view (df's full schema plus a ``fence_side`` column,
+    'below'/'above'). Same two-pass shape; the filter under the
+    broadcast fence frame pushes into the scan."""
+    fences = iqr_outliers(df, column, k=k, exact=exact).select(
+        "lo_fence", "hi_fence"
+    )
+    col = F.col(column).cast("double")
+    joined = df.crossJoin(F.broadcast(fences))
+    side = F.when(col < F.col("lo_fence"), F.lit("below")).when(
+        col > F.col("hi_fence"), F.lit("above")
+    )
+    return (
+        joined.withColumn("fence_side", side)
+        .filter(F.col("fence_side").isNotNull())
+        .drop("lo_fence", "hi_fence")
+    )

@@ -158,3 +158,59 @@ def test_reference_profile_json_roundtrip(spark, tokens_df, tmp_path):
     back = load_reference_profiles(spark, base)
     key = lambda df: sorted(map(tuple, df.collect()))
     assert key(back) == key(prof)
+
+
+# ---------------------------------------------------------------------------
+# Tukey-fence outlier profile
+
+
+def test_iqr_outliers_hand_computed(spark):
+    import numpy as np
+
+    from kglids_spark.operators.profiler import iqr_outliers
+
+    vals = [1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0, 100.0, -50.0]
+    df = spark.createDataFrame([(v,) for v in vals], "value double")
+    row = iqr_outliers(df, "value").collect()[0]
+    q1, q3 = np.percentile(np.array(vals), [25, 75])  # linear interpolation
+    assert row.q1 == pytest.approx(q1)
+    assert row.q3 == pytest.approx(q3)
+    iqr = q3 - q1
+    assert row.lo_fence == pytest.approx(q1 - 1.5 * iqr)
+    assert row.hi_fence == pytest.approx(q3 + 1.5 * iqr)
+    assert row.n_checked == 10
+    assert row.n_below == 1 and row.n_above == 1  # -50 and 100
+    assert row.outlier_rate == pytest.approx(0.2)
+
+
+def test_iqr_outlier_rows_and_sides(spark):
+    from kglids_spark.operators.profiler import iqr_outlier_rows
+
+    vals = [(i, float(i)) for i in range(1, 9)] + [(99, 100.0), (98, -50.0)]
+    df = spark.createDataFrame(vals, "id long, value double")
+    got = {(r.id, r.fence_side) for r in iqr_outlier_rows(df, "value").collect()}
+    assert got == {(99, "above"), (98, "below")}
+
+
+def test_iqr_outliers_null_and_empty(spark):
+    from kglids_spark.operators.profiler import iqr_outliers
+
+    nulls = spark.createDataFrame([(None,), (None,)], "value double")
+    row = iqr_outliers(nulls, "value").collect()[0]
+    assert row.q1 is None and row.n_checked == 0
+    assert row.n_below == 0 and row.n_above == 0 and row.outlier_rate is None
+    empty = spark.createDataFrame([], "value double")
+    row = iqr_outliers(empty, "value").collect()[0]
+    assert row.n_checked == 0 and row.n_below == 0
+
+
+def test_iqr_outliers_approx_mode_close(spark):
+    import pyspark.sql.functions as F
+
+    from kglids_spark.operators.profiler import iqr_outliers
+
+    df = spark.range(10001).select((F.col("id") / 100.0).alias("value"))
+    exact = iqr_outliers(df, "value", exact=True).collect()[0]
+    approx = iqr_outliers(df, "value", exact=False).collect()[0]
+    assert approx.q1 == pytest.approx(exact.q1, rel=0.01)
+    assert approx.q3 == pytest.approx(exact.q3, rel=0.01)
