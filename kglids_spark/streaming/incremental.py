@@ -526,3 +526,82 @@ def drift_monitor_stream(
     if trigger_once:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def token_drift_monitor_stream(
+    spark: SparkSession,
+    input_dir: str,
+    baseline_cells: list[int],
+    out_dir: str,
+    checkpoint_dir: str,
+    array_col: str = "tokens",
+    vocab_size: int = 50257,
+    nbins: int = 64,
+    ks_threshold: float = 0.1,
+    psi_threshold: float = 0.2,
+    trigger_once: bool = True,
+):
+    """Per-micro-batch TOKEN-ID distribution drift: each batch's
+    vocabulary-usage histogram (drift.token_histogram_df — the explode
+    combines map-side into ≤ nbins+2 cells, so only a dictionary ever
+    leaves the executors) is compared against a fixed baseline
+    snapshot's cells, appending one verdict row (epoch, n_docs,
+    n_tokens, ks, psi, passes) per batch. This catches WHICH ingestion
+    batch swapped tokenizers / remapped the vocabulary — the failure
+    mode the scalar n_tok monitor (drift_monitor_stream) is blind to,
+    localized the way the batch-path token_distribution_drift (a
+    whole-table statement) cannot.
+
+    Statistics and cell layout are shared verbatim with the batch
+    operator (token_distribution_drift calls the same ks_statistic /
+    psi over the same bucketing), so the stream's verdicts are pinned
+    to the batch twin's on identical rows. Idempotent under
+    foreachBatch's at-least-once replay: the per-epoch dynamic
+    overwrite replaces exactly this epoch's verdict partition."""
+    from kglids_spark.operators import drift as D
+
+    if len(baseline_cells) > nbins + 2:
+        raise ValueError(
+            f"baseline has {len(baseline_cells)} cells, expected <= {nbins + 2}"
+        )
+
+    stream = spark.readStream.schema(TOKENS_SCHEMA).parquet(input_dir)
+
+    def process(batch_df: DataFrame, epoch_id: int) -> None:
+        sess = batch_df.sparkSession
+        n_docs = batch_df.count()
+        verdict = D.token_distribution_drift(
+            batch_df,
+            baseline_cells,
+            array_col=array_col,
+            vocab_size=vocab_size,
+            nbins=nbins,
+            ks_threshold=ks_threshold,
+            psi_threshold=psi_threshold,
+        )
+        sess.createDataFrame(
+            [
+                (
+                    int(epoch_id),
+                    int(n_docs),
+                    int(sum(verdict["cells"])),
+                    float(verdict["ks"]),
+                    float(verdict["psi"]),
+                    bool(verdict["ks_pass"]),
+                    bool(verdict["psi_pass"]),
+                )
+            ],
+            "epoch long, n_docs long, n_tokens long, ks double, psi double, "
+            "ks_pass boolean, psi_pass boolean",
+        ).write.mode("overwrite").option(
+            "partitionOverwriteMode", "dynamic"
+        ).partitionBy("epoch").parquet(out_dir)
+
+    writer = (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -408,3 +408,66 @@ def test_drift_monitor_stream_grouped_localizes_feed(spark, tmp_path):
         assert abs(r.ks - want[s].ks) < 1e-9, s
         assert abs(r.psi - want[s].psi) < 1e-9, s
         assert r.n_rows == want[s].n_rows
+
+
+def test_token_drift_monitor_stream_flags_vocab_remap(spark, tmp_path):
+    """Per-batch token-ID drift: a clean batch passes against the
+    baseline vocabulary-usage snapshot; a remapped batch (ids halved
+    into the low vocabulary range — n_tok untouched, so the scalar
+    monitor is blind to it) fails; and each epoch's stats equal the
+    batch-path token_distribution_drift on the same rows."""
+    from kglids_spark.operators import drift as D
+    from kglids_spark.streaming.incremental import token_drift_monitor_stream
+
+    clean = generate_tokens(spark, 4000, seed=11, plant_violations=False)
+    cells = {
+        int(r.cell): int(r.n)
+        for r in D.token_histogram_df(clean).collect()
+    }
+    baseline = [cells.get(i, 0) for i in range(66)]
+
+    src = str(tmp_path / "tok_drift_in")
+    clean2 = generate_tokens(spark, 4000, seed=12, plant_violations=False)
+    remapped = clean2.withColumn(
+        "tokens", F.transform("tokens", lambda t: (t / 2).cast("int"))
+    )
+    clean2.coalesce(1).write.mode("overwrite").parquet(src)
+    remapped.coalesce(1).write.mode("append").parquet(src)
+
+    out = str(tmp_path / "tok_drift_out")
+    q = token_drift_monitor_stream(
+        spark,
+        src,
+        baseline,
+        out,
+        checkpoint_dir=str(tmp_path / "tok_drift_ckpt"),
+    )
+    q.awaitTermination(300)
+
+    rows = spark.read.parquet(out).collect()
+    assert sum(r.n_docs for r in rows) == 8000
+    # the remapped half must fail; with availableNow both files may
+    # land in one epoch, in which case the mixture itself must fail
+    assert any(not (r.ks_pass and r.psi_pass) for r in rows)
+    if len(rows) >= 2:
+        assert any(r.ks_pass and r.psi_pass for r in rows)
+    # every epoch's verdict equals the batch twin on the same rows
+    whole = spark.read.parquet(src)
+    if len(rows) == 1:
+        batch = D.token_distribution_drift(whole, baseline)
+        assert rows[0].ks == pytest.approx(batch["ks"], abs=1e-12)
+        assert rows[0].psi == pytest.approx(batch["psi"], abs=1e-12)
+        assert rows[0].n_tokens == sum(batch["cells"])
+
+
+def test_token_drift_monitor_stream_rejects_bad_baseline(spark, tmp_path):
+    from kglids_spark.streaming.incremental import token_drift_monitor_stream
+
+    with pytest.raises(ValueError, match="cells"):
+        token_drift_monitor_stream(
+            spark,
+            str(tmp_path / "nope"),
+            [0] * 200,
+            str(tmp_path / "out"),
+            checkpoint_dir=str(tmp_path / "ckpt"),
+        )
