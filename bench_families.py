@@ -136,6 +136,7 @@ def family_ops(docs, vecs, queries, srcd, centroids, media=None):
         dsir,
         frequency,
         multimodal,
+        profiler,
         quality_classifier,
         retrieval,
         sampling,
@@ -233,6 +234,35 @@ def family_ops(docs, vecs, queries, srcd, centroids, media=None):
             docs.select(F.explode(F.split("text", " ")).alias("token")),
             "token",
             k=99,
+        ),
+        # round-5: per-doc information stats (entropy / cross-entropy /
+        # KL) over the hashed-token corpus — ONE explode into the
+        # map-side-combined (id, token) groupBy, persisted to feed both
+        # the self-trained dictionary and the per-doc aggregate; the
+        # "plan" variant builds the lazy tree (the eager checkpoint
+        # would collapse the snapshot to Scan ExistingRDD)
+        "freq_token_information": {
+            "run": lambda: frequency.token_information_scores(
+                _tokenize_hash(docs)
+            ),
+            "plan": lambda: frequency.token_information_scores(
+                _tokenize_hash(docs), materialize=False
+            ),
+        },
+        # round-5: Zipf rank-frequency fit — the word-count explode is
+        # the cost; the regression rides the vocabulary-sized ranked
+        # pass (10k types here) and reduces to four sums
+        "freq_zipf_fit": lambda: frequency.zipf_fit(
+            docs.select(F.explode(F.split("text", " ")).alias("item"))
+            .groupBy("item")
+            .agg(F.count(F.lit(1)).alias("n"))
+        ),
+        # round-5: Tukey-fence outlier profile — two scans of one
+        # numeric column (exact quartiles, then the broadcast-fence
+        # conditional count); the reading to record is scan-bound
+        # rows/sec, the plan has exactly the two aggregates
+        "profile_iqr_outliers": lambda: profiler.iqr_outliers(
+            docs.select(F.length("text").alias("n_chars")), "n_chars"
         ),
         # round-4 family — substring-level dedup: ~40M posexploded span
         # rows shuffle as int64 hashes into a map-side-combined groupBy

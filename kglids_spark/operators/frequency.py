@@ -195,6 +195,7 @@ def token_information_scores(
     array_col: str = "tokens",
     ref_logprobs: DataFrame | None = None,
     default_logp: float | None = None,
+    materialize: bool = True,
 ) -> DataFrame:
     """Per-document information statistics over pre-tokenized
     sequences: (id, n_tok, entropy, cross_entropy, kl).
@@ -233,8 +234,12 @@ def token_information_scores(
         .where(F.col("token").isNotNull())
         .groupBy("_id", "token")
         .agg(F.count(F.lit(1)).cast("double").alias("c"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    # materialize=False skips the persist AND the result checkpoint so
+    # plan tooling can inspect the lazy tree (the dedup convention);
+    # the self-trained dictionary then recomputes the gram stream
+    if materialize:
+        g = g.persist(StorageLevel.MEMORY_AND_DISK)
     try:
         if ref_logprobs is None:
             vocab = g.groupBy("token").agg(F.sum("c").alias("ct"))
@@ -272,9 +277,11 @@ def token_information_scores(
         # result so the persisted (id, token) stream can release now
         # instead of pinning executor storage for the caller's
         # lifetime (the char_lm_train_score discipline)
-        out = out.localCheckpoint(eager=True)
+        if materialize:
+            out = out.localCheckpoint(eager=True)
     finally:
-        g.unpersist()
+        if materialize:
+            g.unpersist()
     return out
 
 
