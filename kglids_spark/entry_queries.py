@@ -5779,13 +5779,13 @@ _DRIVER_PRIORITY = [
     # DuckDB-checked by tests/test_entry.py on every pytest run.
     "remove_duplicate_spans_docs", "ccnet_bucket_assignment",
     "dsir_doc_weights_docs", "dsir_resample_topk",
-    "quality_lr_gradient_step", "quality_lr_scores",
+    "quality_lr_gradient_step",
     # (the embedding-PCA pair displaces anti_join_customers_no_orders —
     # the anti-join/RI family keeps r4-green constraints_documents,
     # whose referential check IS a broadcast-bloom anti-join — and
     # csv_na_scan, whose NA-coercion semantics stay pinned in-window by
     # na_coercion_cast plus the round-4 pytest rows)
-    "embedding_covariance", "embedding_pca_projection",
+    "embedding_covariance",
     # (tokens_decontamination displaces benchmark_contamination — same
     # published protocol, the new query exercises it on the tokens
     # shape while the text variant stays r3-green and pytest-oracled;
@@ -5869,7 +5869,7 @@ _DRIVER_PRIORITY = [
     # pipelines family keeps pipeline_top_used_libraries in this
     # window and both pipeline queries stay r2-green + DuckDB-checked
     # by tests/test_entry.py on every pytest run)
-    "packed_bin_windows", "pipeline_top_used_libraries",
+    "packed_bin_windows",
     "shard_assignment_balanced", "lm_examples_windows",
     # (split_leakage_pairs — the round-closing cross-split leakage
     # audit, value-exact oracle, never driver-checked — takes
@@ -5889,8 +5889,7 @@ _DRIVER_PRIORITY = [
     # budget-selection verdict, value-exact incl. the crossing-doc
     # boundary — takes eda_operations's slot: both EDA queries stay
     # r3-green and DuckDB-checked by tests/test_entry.py every run)
-    "token_budget_selection", "float_bit_decomposition",
-    "intersect_except_keys",
+    "token_budget_selection",
     # (strip_html_docs — the late-round-5 markup-to-text extractor,
     # byte-exact oracle over planted markup — takes
     # json_extract_props's slot: the string-extraction family keeps
@@ -5898,7 +5897,6 @@ _DRIVER_PRIORITY = [
     # the JSON-props query stays r3-green + DuckDB-checked by
     # tests/test_entry.py on every pytest run)
     "strip_html_docs",
-    "na_coercion_cast",
     # (embedding_sanity — the late-round-5 vector_sanity constraint
     # probe, planted NaN/dim/norm failures, value-exact — takes
     # pii_redaction's slot: the text family is the densest in this
@@ -5906,8 +5904,6 @@ _DRIVER_PRIORITY = [
     # and the PII regexes stay r3-green + DuckDB-checked by
     # tests/test_entry.py on every pytest run)
     "embedding_sanity",
-    "rdf_ntriples_similarity",
-    "similarity_scores_reference",
     # (incremental_minhash_dedup — the late-round-5 batch-vs-ledger
     # near-dup gate, rows-only by design (xxhash64 signatures),
     # lockstep-pinned to the oracled pair op — takes
@@ -5923,6 +5919,25 @@ _DRIVER_PRIORITY = [
     # CCNet) and the repetition signals stay r3-green + DuckDB-checked
     # by tests/test_entry.py on every pytest run)
     "token_vocab_drift",
+    # --- final mid-round rotation: this being the LAST round, every
+    # slot goes to a query that has NEVER had a driver row. The 8
+    # incoming queries (3 earlier-round-5 stragglers + the 5 session
+    # additions) displace the 6 window entries that already carry
+    # green r2/r3 rows (pipeline_top_used_libraries,
+    # float_bit_decomposition, intersect_except_keys, na_coercion_cast,
+    # rdf_ntriples_similarity, similarity_scores_reference — all stay
+    # DuckDB-checked by tests/test_entry.py on every pytest run) plus
+    # the 2 rows-only lockstep-pinned queries whose families keep a
+    # value-exact sibling in-window (quality_lr_scores — the family
+    # keeps quality_lr_gradient_step; embedding_pca_projection — the
+    # family keeps embedding_covariance; both stay pinned by their
+    # independent-numpy lockstep tests). After this rotation the only
+    # registered queries without a driver row in r2∪r3∪r4∪r5 are those
+    # two rows-only twins and sample_fraction (the r2-recorded
+    # inherently-no-oracle precedent).
+    "span_corruption_docs", "jsonl_roundtrip", "cross_source_dup_matrix",
+    "drift_jsd_events", "drift_emd_events", "token_information_docs",
+    "zipf_fit_docs", "iqr_outliers_events",
 ]
 
 _missing = [n for n in _DRIVER_PRIORITY if n not in QUERIES]
