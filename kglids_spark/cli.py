@@ -150,6 +150,16 @@ def main(argv: list[str] | None = None) -> int:
         "or '--volume 1000:2000000'",
     )
     v.add_argument(
+        "--outlier-fence",
+        action="append",
+        default=[],
+        metavar="COL K MAXRATE",
+        help="Tukey-fence outlier verdict, e.g. 'n_tok 1.5 0.01': fail "
+        "when the fraction outside [Q1-K*IQR, Q3+K*IQR] exceeds "
+        "MAXRATE — the data-derived sibling of a fixed range bound "
+        "(costs one extra quantile+count pass per column; repeatable)",
+    )
+    v.add_argument(
         "--drift-by",
         default=None,
         metavar="COLUMN",
@@ -506,6 +516,12 @@ def main(argv: list[str] | None = None) -> int:
         action="store_true",
         help="exact count_distinct for the duplicate rate instead of HLL",
     )
+    dc.add_argument(
+        "--zipf",
+        action="store_true",
+        help="add the word rank-frequency (Zipf) slope to the card "
+        "(one extra word-count explode; ~-1 is healthy natural language)",
+    )
     dc.add_argument("--cpus", type=int, default=None)
 
     sh = sub.add_parser(
@@ -684,6 +700,26 @@ def main(argv: list[str] | None = None) -> int:
             suite.append(C.element_range(col, lo_i, hi_i))
         for spec in args.vector_sanity:
             suite.append(_parse_vector_sanity(spec))
+        # parse fence specs up front (usage errors fail fast, matching
+        # --check/--metric); the passes themselves run after validate —
+        # the fences depend on the column's own quantiles, so they
+        # cannot ride the single stats scan
+        fence_specs = []
+        for spec in args.outlier_fence:
+            parts = spec.split()
+            if len(parts) != 3:
+                raise SystemExit(
+                    f"--outlier-fence {spec!r}: expected 'COL K MAXRATE' "
+                    "(e.g. 'n_tok 1.5 0.01')"
+                )
+            col, k_s, rate_s = parts
+            try:
+                fence_specs.append((col, float(k_s), float(rate_s)))
+            except ValueError:
+                raise SystemExit(
+                    f"--outlier-fence {spec!r}: K and MAXRATE must be "
+                    f"numbers, got {k_s!r} {rate_s!r}"
+                )
         if args.volume is not None:
             lo_s, _, hi_s = args.volume.partition(":")
             try:
@@ -752,6 +788,18 @@ def main(argv: list[str] | None = None) -> int:
             .agg(F.sum("n_violations").alias("total"), F.min("passed").alias("ok"))
             .collect()
         }
+        for col, k_f, rate_f in fence_specs:
+            from kglids_spark.operators.profiler import iqr_outliers
+
+            row = iqr_outliers(df, col, k=k_f).collect()[0]
+            rate = float(row.outlier_rate or 0.0)
+            summary[f"outlier_fence({col})"] = {
+                "violations": int(row.n_below + row.n_above),
+                "passed": rate <= rate_f,
+            }
+            res.metrics[f"outlier_rate({col})"] = round(rate, 6)
+            res.metrics[f"outlier_fence_lo({col})"] = row.lo_fence
+            res.metrics[f"outlier_fence_hi({col})"] = row.hi_fence
         if args.quarantine:
             # full offending records (not just ids) for downstream
             # triage/reprocessing — the Deequ/DLT quarantine pattern.
@@ -1457,6 +1505,7 @@ def main(argv: list[str] | None = None) -> int:
             source_col=args.source_col,
             top_k=args.top_k,
             exact_dup=args.exact_dup,
+            zipf=args.zipf,
         )
         print(json.dumps(card))
         return 0

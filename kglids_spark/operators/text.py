@@ -998,6 +998,7 @@ def corpus_datacard(
     source_col: str | None = None,
     top_k: int = 10,
     exact_dup: bool = False,
+    zipf: bool = False,
 ) -> dict:
     """Release-note data card for a document corpus, as one JSON-able
     dict: scale (docs, chars, words, ws-tokens), length quantiles,
@@ -1011,7 +1012,11 @@ def corpus_datacard(
     groupBy per categorical axis (language, source) truncated to
     ``top_k`` by count. Nothing corpus-sized ever reaches the driver.
     ``exact_dup=True`` swaps the HLL duplicate estimate for an exact
-    count_distinct (one extra shuffle over the digest column)."""
+    count_distinct (one extra shuffle over the digest column).
+    ``zipf=True`` adds the rank-frequency slope over the word
+    vocabulary (frequency.zipf_fit — one extra word-count explode;
+    slope near −1 is healthy natural language, far off flags
+    templated/synthetic text)."""
     a = analyze_documents(df, text_col)
     dup_agg = (
         F.count_distinct("digest") if exact_dup else F.approx_count_distinct("digest")
@@ -1057,4 +1062,20 @@ def corpus_datacard(
     }
     if source_col and source_col in df.columns:
         card["sources"] = _dist(source_col)
+    if zipf:
+        from kglids_spark.operators.dedup import split_words
+        from kglids_spark.operators.frequency import zipf_fit
+
+        ws = F.filter(split_words(text_col), lambda w: w != "")
+        counts = (
+            df.where(F.col(text_col).isNotNull())
+            .select(F.explode(ws).alias("item"))
+            .groupBy("item")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        z = zipf_fit(counts).collect()[0]
+        card["zipf_slope"] = (
+            round(z.zipf_slope, 6) if z.zipf_slope is not None else None
+        )
+        card["zipf_n_types"] = z.n_types
     return card

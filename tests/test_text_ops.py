@@ -496,3 +496,35 @@ def test_extract_html_text_keeps_columns(spark):
     )
     out = extract_html_text(df).collect()[0]
     assert out.text == "hello" and out.source == "web" and out.doc_id == 1
+
+
+def test_corpus_datacard_zipf(spark):
+    from kglids_spark.operators import frequency as FR
+    from kglids_spark.operators.dedup import split_words
+    from kglids_spark.operators.text import corpus_datacard
+
+    import pyspark.sql.functions as F
+
+    rows = [
+        (1, "the cat sat on the mat", "src0"),
+        (2, "the dog ate the cat food", "src0"),
+        (3, "a completely different sentence here", "src1"),
+        (4, None, "src1"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    card = corpus_datacard(df, source_col="source", zipf=True)
+    # the card's slope equals the operator run standalone on the same
+    # word counts (NULL text contributes nothing)
+    ws = F.filter(split_words("text"), lambda w: w != "")
+    counts = (
+        df.where(F.col("text").isNotNull())
+        .select(F.explode(ws).alias("item"))
+        .groupBy("item")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    want = FR.zipf_fit(counts).collect()[0]
+    assert card["zipf_n_types"] == want.n_types
+    assert card["zipf_slope"] == round(want.zipf_slope, 6)
+    # without the flag the keys are absent (no silent extra explode)
+    card2 = corpus_datacard(df, source_col="source")
+    assert "zipf_slope" not in card2

@@ -911,3 +911,47 @@ def test_cli_drift_by_section(tmp_path):
     assert "web" not in gd["failing"]
     # and the global self-baseline verdict is trivially green
     assert out["verdict_summary"]["drift_psi(n_tok)"]["passed"]
+
+
+def test_cli_outlier_fence_verdict(tmp_path):
+    """--outlier-fence adds a Tukey-fence verdict: a clean lognormal
+    n_tok column passes at a loose rate, fails at rate 0, and a
+    malformed spec is a usage error before any Spark work."""
+    import json as J
+    import subprocess
+    import sys
+
+    def run(*extra):
+        return subprocess.run(
+            [sys.executable, "-m", "kglids_spark.cli", *extra],
+            capture_output=True, text=True,
+        )
+
+    clean = str(tmp_path / "of_clean")
+    assert (
+        run("generate", "--rows", "5000", "--out", clean, "--no-violations").returncode
+        == 0
+    )
+    r = run(
+        "validate", "--input", clean, "--cpus", "4", "--no-violation-rows",
+        "--outlier-fence", "n_tok 1.5 0.5",
+        "--outlier-fence", "n_tok 1.5 0.0",
+    )
+    assert r.returncode == 0, r.stdout[-500:] + r.stderr[-500:]
+    out = J.loads(r.stdout.strip().splitlines()[-1])
+    # both specs target the same column; the second (rate 0) overwrites
+    # the verdict key only if it produced a stricter verdict — the key
+    # is per-column, so the LAST spec wins; a lognormal tail always has
+    # some outliers above the 1.5 fence
+    v = out["verdict_summary"]["outlier_fence(n_tok)"]
+    assert v["violations"] > 0 and v["passed"] is False
+    assert out["metrics"]["outlier_rate(n_tok)"] > 0.0
+    assert out["metrics"]["outlier_fence_hi(n_tok)"] > out["metrics"][
+        "outlier_fence_lo(n_tok)"
+    ]
+    r = run(
+        "validate", "--input", clean, "--cpus", "4", "--no-violation-rows",
+        "--outlier-fence", "n_tok nope 0.01",
+    )
+    assert r.returncode != 0
+    assert "outlier-fence" in (r.stderr + r.stdout)
