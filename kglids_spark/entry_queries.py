@@ -5272,6 +5272,48 @@ def iqr_outliers_events(spark, sf_dir):
     )
 
 
+_TRUNCATION_STATS_SQL = (
+    "WITH "
+    + _MD5_TOKS_CTE
+    + r""",
+    lens AS (SELECT len(t)::BIGINT AS n FROM toks),
+    ls(seq_len) AS (VALUES (16), (32), (64), (128))
+    SELECT ls.seq_len::BIGINT AS seq_len,
+           count(n)::BIGINT AS n_docs,
+           COALESCE(sum(CASE WHEN n > ls.seq_len THEN 1 ELSE 0 END), 0)::BIGINT
+             AS docs_truncated,
+           COALESCE(sum(n), 0)::BIGINT AS total_tokens,
+           COALESCE(sum(least(n, ls.seq_len)), 0)::BIGINT AS tokens_kept_truncate,
+           round(sum(least(n, ls.seq_len))::DOUBLE / sum(n), 6) AS kept_frac,
+           COALESCE(sum(CAST(ceil(n::DOUBLE / ls.seq_len) AS BIGINT)), 0)::BIGINT
+             AS n_chunks
+    FROM lens, ls GROUP BY ls.seq_len
+"""
+)
+
+
+@register("truncation_stats_docs", _TRUNCATION_STATS_SQL)
+def truncation_stats_docs(spark, sf_dir):
+    """Window-length planning curve over the md5-token corpus: for
+    each candidate seq_len, how many tokens truncate-at-L loses and
+    how many windows chunk-at-L emits — one conditional-sum scan for
+    every candidate, value-exact per cell."""
+    from kglids_spark.operators import packing as PK
+
+    toks = _md5_tokens(spark, sf_dir)
+    lens = toks.select(F.size("tokens").cast("long").alias("n_tok"))
+    out = PK.truncation_stats(lens, [16, 32, 64, 128])
+    return out.select(
+        "seq_len",
+        "n_docs",
+        "docs_truncated",
+        "total_tokens",
+        "tokens_kept_truncate",
+        F.round("kept_frac", 6).alias("kept_frac"),
+        "n_chunks",
+    )
+
+
 _STRIP_HTML_SQL = r"""
     WITH wrapped AS (
       SELECT doc_id,

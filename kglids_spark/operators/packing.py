@@ -432,3 +432,73 @@ def span_corruption_examples(
         F.greatest(n, F.lit(0)).cast("int").alias("n_tok"),
         n_masked.cast("int").alias("n_masked_spans"),
     )
+
+
+def truncation_stats(
+    df: DataFrame,
+    seq_lens: list[int],
+    len_col: str = "n_tok",
+) -> DataFrame:
+    """Pick-your-seq_len analytic: for each candidate window length L,
+    one row (seq_len, n_docs, docs_truncated, total_tokens,
+    tokens_kept_truncate, kept_frac, n_chunks) quantifying what the
+    two standard batch-construction strategies cost at that L —
+    truncate-at-L loses ``total_tokens − tokens_kept_truncate`` tokens
+    (Σ min(n_tok, L)), chunk-at-L (chunk_sequences / pack_sequences
+    keep everything) emits ``n_chunks`` = Σ ceil(n_tok / L) windows.
+    The curve across L is what you consult BEFORE committing a corpus
+    to a training window size.
+
+    One map-side-combined aggregation computes every L's cells in a
+    single scan of the length column (the histogram_exprs discipline —
+    conditional sums, no explode, no shuffle beyond the 1-row
+    reduction); the per-L rows are then a driver-side unpivot of that
+    single row. NULL lengths are excluded everywhere (not_null's
+    job)."""
+    if not seq_lens:
+        raise ValueError("seq_lens must name at least one candidate length")
+    if any(int(s) <= 0 for s in seq_lens):
+        raise ValueError(f"seq_lens must be positive, got {sorted(seq_lens)}")
+    n = F.col(len_col).cast("long")
+    aggs = [
+        F.count(n).alias("n_docs"),
+        F.coalesce(F.sum(n), F.lit(0)).alias("total_tokens"),
+    ]
+    for s in sorted(set(int(s) for s in seq_lens)):
+        L = F.lit(s)
+        aggs.append(
+            F.coalesce(F.sum((n > L).cast("long")), F.lit(0)).alias(f"tr_{s}")
+        )
+        # least() SKIPS nulls (least(NULL, L) = L), which would credit
+        # every NULL length with L kept tokens — gate on isNotNull so
+        # NULLs stay excluded like everywhere else
+        aggs.append(
+            F.coalesce(
+                F.sum(F.when(n.isNotNull(), F.least(n, L))), F.lit(0)
+            ).alias(f"kept_{s}")
+        )
+        aggs.append(
+            F.coalesce(F.sum(F.ceil(n / L)), F.lit(0)).alias(f"ch_{s}")
+        )
+    row = df.agg(*aggs).collect()[0]
+    out = [
+        (
+            s,
+            int(row["n_docs"]),
+            int(row[f"tr_{s}"]),
+            int(row["total_tokens"]),
+            int(row[f"kept_{s}"]),
+            (
+                float(row[f"kept_{s}"]) / float(row["total_tokens"])
+                if row["total_tokens"]
+                else None
+            ),
+            int(row[f"ch_{s}"]),
+        )
+        for s in sorted(set(int(s) for s in seq_lens))
+    ]
+    return df.sparkSession.createDataFrame(
+        out,
+        "seq_len long, n_docs long, docs_truncated long, total_tokens long, "
+        "tokens_kept_truncate long, kept_frac double, n_chunks long",
+    )

@@ -419,3 +419,47 @@ def test_span_corruption_properties(spark, token_docs):
         assert rebuilt == orig[r.doc_id], f"doc {r.doc_id}"
         masked_any += r.n_masked_spans
     assert masked_any > 0  # the fixture really exercises masking
+
+
+def test_truncation_stats_hand_computed(spark):
+    from kglids_spark.operators.packing import truncation_stats
+
+    # lengths 3, 5, 8, 0, NULL at L in {4, 8}
+    df = spark.createDataFrame(
+        [(3,), (5,), (8,), (0,), (None,)], "n_tok long"
+    )
+    rows = {r.seq_len: r for r in truncation_stats(df, [8, 4]).collect()}
+    assert set(rows) == {4, 8}
+    r4 = rows[4]
+    # NULL excluded: 4 docs, 16 tokens; at L=4: 5->4, 8->4 truncate
+    assert r4.n_docs == 4 and r4.total_tokens == 16
+    assert r4.docs_truncated == 2
+    assert r4.tokens_kept_truncate == 3 + 4 + 4 + 0
+    assert r4.kept_frac == pytest.approx(11 / 16)
+    # chunks: ceil(3/4)+ceil(5/4)+ceil(8/4)+0 = 1+2+2+0
+    assert r4.n_chunks == 5
+    r8 = rows[8]
+    assert r8.docs_truncated == 0 and r8.tokens_kept_truncate == 16
+    assert r8.kept_frac == pytest.approx(1.0)
+    assert r8.n_chunks == 1 + 1 + 1 + 0
+
+
+def test_truncation_stats_validates_inputs(spark):
+    from kglids_spark.operators.packing import truncation_stats
+
+    df = spark.createDataFrame([(3,)], "n_tok long")
+    with pytest.raises(ValueError, match="at least one"):
+        truncation_stats(df, [])
+    with pytest.raises(ValueError, match="positive"):
+        truncation_stats(df, [8, 0])
+    # duplicate lengths collapse to one row
+    assert truncation_stats(df, [8, 8]).count() == 1
+
+
+def test_truncation_stats_empty_frame(spark):
+    from kglids_spark.operators.packing import truncation_stats
+
+    df = spark.createDataFrame([], "n_tok long")
+    r = truncation_stats(df, [4]).collect()[0]
+    assert r.n_docs == 0 and r.total_tokens == 0 and r.n_chunks == 0
+    assert r.kept_frac is None
