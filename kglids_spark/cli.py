@@ -121,7 +121,9 @@ def main(argv: list[str] | None = None) -> int:
         default=[],
         metavar="SPEC",
         help="extra functional-dependency constraint, e.g. 'doc_id -> source' "
-        "or 'a,b -> c' (determinants -> dependent); repeatable",
+        "or 'a,b -> c' (determinants -> dependent); append '@@ predicate' "
+        "for a conditional FD scoped to matching rows, e.g. "
+        "'doc_id -> source @@ n_tok > 0'; repeatable",
     )
     v.add_argument(
         "--element-range",
@@ -671,17 +673,29 @@ def main(argv: list[str] | None = None) -> int:
                 )
             suite.append(C.metric_range(col, stat, lo_f, hi_f))
         for spec in args.fd:
-            dets_s, sep, dep = spec.partition("->")
+            # optional conditional scope: 'a,b -> c @@ predicate'
+            # (rpartition like --check: '@@' may appear inside a SQL
+            # string literal in the predicate, never in the FD spec)
+            fd_spec, at_sep, where = spec.rpartition("@@")
+            if not at_sep:
+                fd_spec, where = spec, None
+            else:
+                where = where.strip()
+                if not where:
+                    raise SystemExit(
+                        f"--fd {spec!r}: empty predicate after '@@'"
+                    )
+            dets_s, sep, dep = fd_spec.partition("->")
             dets = [c.strip() for c in dets_s.split(",") if c.strip()]
             dep = dep.strip()
             # '->' in dep means a second arrow ('a -> b -> c') — reject
             # at parse time instead of a raw AnalysisException later
             if not sep or not dets or not dep or "->" in dep:
                 raise SystemExit(
-                    f"--fd {spec!r}: expected 'det1,det2 -> dependent' "
-                    "(exactly one '->')"
+                    f"--fd {spec!r}: expected 'det1,det2 -> dependent"
+                    "[ @@ predicate]' (exactly one '->')"
                 )
-            suite.append(C.functional_dependency(dets, dep))
+            suite.append(C.functional_dependency(dets, dep, where=where))
         for spec in args.element_range:
             parts = spec.split()
             if len(parts) != 3:

@@ -5314,6 +5314,33 @@ def truncation_stats_docs(spark, sf_dir):
     )
 
 
+@register(
+    "conditional_fd_groups",
+    """
+    SELECT doc_id % 7 AS g, COUNT(*)::BIGINT AS n_rows_in_group
+    FROM documents
+    WHERE lang = 'en' AND source IS NOT NULL
+    GROUP BY 1
+    HAVING min(source) != max(source)
+    ORDER BY g
+    """,
+)
+def conditional_fd_groups(spark, sf_dir):
+    """Conditional functional dependency (Bohannon et al. 2007 CFD
+    shape): the violating determinant groups of ``g -> source`` scoped
+    to ``lang = 'en'`` rows only — the where predicate filters before
+    the evidence groupBy, exactly what the oracle's WHERE clause
+    replays. Exercises the same fd_violating_groups machinery the
+    validate suite compiles, value-exact per group."""
+    from kglids_spark.operators import constraints as C
+
+    d = _t(spark, sf_dir, "documents").select(
+        (F.col("doc_id") % 7).alias("g"), "source", "lang"
+    )
+    c = C.functional_dependency(["g"], "source", where="lang = 'en'")
+    return C.fd_violating_groups(d, c).orderBy("g")
+
+
 _STRIP_HTML_SQL = r"""
     WITH wrapped AS (
       SELECT doc_id,

@@ -244,7 +244,10 @@ def metric_range(
 
 
 def functional_dependency(
-    determinants: list[str], dependent: str, cid: str | None = None
+    determinants: list[str],
+    dependent: str,
+    cid: str | None = None,
+    where: str | None = None,
 ) -> Constraint:
     """Functional dependency ``determinants -> dependent`` (Deequ has
     no direct analog; closest published shape is the FD checks in data
@@ -257,6 +260,13 @@ def functional_dependency(
     over its non-null dependents — exact for the >=2-distinct test on
     any orderable type, no hashing, no countDistinct expansion).
 
+    ``where`` makes it a CONDITIONAL functional dependency (the CFD of
+    the data-cleaning literature, Bohannon et al. 2007): only rows
+    satisfying the SQL predicate carry FD evidence — e.g. ``doc_id ->
+    source`` may hold only WHERE ``source != 'mirror'``. The predicate
+    filters BEFORE grouping (it pushes into the pruned scan), the cid
+    records it, and a NULL/false predicate row is simply out of scope.
+
     FD is a GLOBAL property — a new row can contradict a row validated
     in a prior run — so validate() re-evaluates it over the full input
     each run rather than incrementally (like drift, unlike row-level
@@ -266,12 +276,15 @@ def functional_dependency(
     dets = tuple(determinants)
     if not dets:
         raise ValueError("functional_dependency needs >=1 determinant column")
-    return Constraint(
-        cid or f"fd({','.join(dets)} -> {dependent})",
-        "fd",
-        dependent,
-        {"determinants": dets},
-    )
+    params: dict = {"determinants": dets}
+    base_cid = f"fd({','.join(dets)} -> {dependent})"
+    if where is not None:
+        where = where.strip()
+        if not where:
+            raise ValueError("where predicate must be a non-empty SQL expression")
+        params["where"] = where
+        base_cid = f"fd({','.join(dets)} -> {dependent} | {where})"
+    return Constraint(cid or base_cid, "fd", dependent, params)
 
 
 def volume(lo: int, hi: float = float("inf"), cid: str | None = None) -> Constraint:
@@ -546,6 +559,11 @@ def fd_violating_groups(df: DataFrame, c: Constraint) -> DataFrame:
     ignored (they carry no FD evidence)."""
     dets = list(c.params["determinants"])
     dep = c.column
+    where = c.params.get("where")
+    if where:
+        # conditional FD: only in-scope rows carry evidence (the
+        # predicate pushes into the pruned scan)
+        df = df.filter(F.expr(where))
     return (
         df.filter(F.col(dep).isNotNull())
         .groupBy(*[F.col(d) for d in dets])

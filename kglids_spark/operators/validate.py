@@ -561,8 +561,14 @@ def _validate_impl(
     fd_grouped_persisted: list[DataFrame] = []
     for c in fd_cs:
         dets = list(c.params["determinants"])
+        # conditional FD: the where predicate scopes BOTH the evidence
+        # groupBy and the violation semi-join below (an out-of-scope
+        # row must neither create a bad group nor be flagged by one)
+        fd_df = df
+        if c.params.get("where"):
+            fd_df = fd_df.filter(F.expr(c.params["where"]))
         grouped = (
-            df.filter(F.col(c.column).isNotNull())
+            fd_df.filter(F.col(c.column).isNotNull())
             .groupBy(*[F.col(d) for d in dets])
             .agg((F.min(c.column) != F.max(c.column)).alias("_fd_bad"))
         )
@@ -586,10 +592,10 @@ def _validate_impl(
             # semi-join too — plain equi-join would drop them
             cond = None
             for j, d in enumerate(dets):
-                term = df[d].eqNullSafe(bad_groups[f"_fd_det_{j}"])
+                term = fd_df[d].eqNullSafe(bad_groups[f"_fd_det_{j}"])
                 cond = term if cond is None else (cond & term)
             fd_viol_frames.append(
-                df.join(bad_groups, cond, "left_semi").select(
+                fd_df.join(bad_groups, cond, "left_semi").select(
                     F.col(key), F.lit(c.cid).alias("constraint_id")
                 )
             )

@@ -955,3 +955,86 @@ def test_cli_outlier_fence_verdict(tmp_path):
     )
     assert r.returncode != 0
     assert "outlier-fence" in (r.stderr + r.stdout)
+
+
+def test_conditional_fd_scopes_evidence_and_violations(spark):
+    """A dependency broken only OUT of scope passes as a CFD; in-scope
+    breakage fails and flags only in-scope rows."""
+    from kglids_spark.operators import constraints as C
+
+    rows = [
+        # scope = kind 'a'; g=1 consistent within scope, broken outside
+        (1, 1, "x", "a"), (2, 1, "x", "a"), (3, 1, "y", "b"),
+        # g=2 broken INSIDE scope
+        (4, 2, "x", "a"), (5, 2, "y", "a"), (6, 2, "y", "b"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, g long, dep string, kind string")
+
+    scoped = C.functional_dependency(["g"], "dep", where="kind = 'a'")
+    res = validate(df, [scoped], n_buckets=2, kll_col=None)
+    v = {r.constraint_id: r for r in res.verdicts.collect()}
+    cid = "fd(g -> dep | kind = 'a')"
+    assert cid in v and not v[cid].passed
+    # only g=2's IN-SCOPE rows (4, 5) are flagged — never row 3 or 6
+    flagged = {r.doc_id for r in res.violations.collect()}
+    assert flagged == {4, 5}
+    # bad group count: exactly g=2
+    bad = C.fd_violating_groups(df, scoped).collect()
+    assert [(r.g, r.n_rows_in_group) for r in bad] == [(2, 2)]
+
+    # the unconditional FD over the same frame fails on BOTH groups
+    plain = C.functional_dependency(["g"], "dep")
+    assert C.fd_violating_groups(df, plain).count() == 2
+
+    # a scope with no breakage passes outright
+    ok = C.functional_dependency(["g"], "dep", where="kind = 'zzz'")
+    res2 = validate(df, [ok], n_buckets=2, kll_col=None)
+    assert all(r.passed for r in res2.verdicts.collect())
+
+
+def test_conditional_fd_json_roundtrip_and_cid():
+    from kglids_spark.operators import constraints as C
+
+    suite = [
+        C.functional_dependency(["a", "b"], "c", where="src = 'web'"),
+        C.functional_dependency(["a"], "c"),
+    ]
+    assert suite[0].cid == "fd(a,b -> c | src = 'web')"
+    back = C.suite_from_json(C.suite_to_json(suite))
+    assert C.constraint_set_hash(back) == C.constraint_set_hash(suite)
+    assert back[0].params["where"] == "src = 'web'"
+    assert "where" not in back[1].params
+    with pytest.raises(ValueError, match="non-empty"):
+        C.functional_dependency(["a"], "c", where="   ")
+
+
+def test_cli_conditional_fd_spec(tmp_path):
+    import json as J
+    import subprocess
+    import sys
+
+    def run(*extra):
+        return subprocess.run(
+            [sys.executable, "-m", "kglids_spark.cli", *extra],
+            capture_output=True, text=True,
+        )
+
+    clean = str(tmp_path / "cfd_clean")
+    assert (
+        run("generate", "--rows", "5000", "--out", clean, "--no-violations").returncode
+        == 0
+    )
+    r = run(
+        "validate", "--input", clean, "--cpus", "4", "--no-violation-rows",
+        "--fd", "doc_id -> source @@ n_tok % 2 = 0",
+    )
+    assert r.returncode == 0, r.stdout[-500:] + r.stderr[-500:]
+    out = J.loads(r.stdout.strip().splitlines()[-1])
+    v = out["verdict_summary"]["fd(doc_id -> source | n_tok % 2 = 0)"]
+    assert v["passed"] is True
+    # empty predicate after @@ is a usage error
+    r = run(
+        "validate", "--input", clean, "--cpus", "4", "--no-violation-rows",
+        "--fd", "doc_id -> source @@  ",
+    )
+    assert r.returncode != 0 and "empty predicate" in (r.stderr + r.stdout)
