@@ -5973,14 +5973,17 @@ _DRIVER_PRIORITY = [
     # and the PII regexes stay r3-green + DuckDB-checked by
     # tests/test_entry.py on every pytest run)
     "embedding_sanity",
-    # (incremental_minhash_dedup — the late-round-5 batch-vs-ledger
-    # near-dup gate, rows-only by design (xxhash64 signatures),
-    # lockstep-pinned to the oracled pair op — takes
-    # split_assignment_sources's slot: the sampling family keeps
-    # r4-green sample_deterministic_hash plus mixture_plan_sources and
-    # pareto_quality_sample in this window, and the split query stays
-    # r3-green + DuckDB-checked by tests/test_entry.py every run)
-    "incremental_minhash_dedup",
+    # (conditional_fd_groups — the session's conditional-FD operator,
+    # value-exact against a WHERE+HAVING oracle — takes
+    # incremental_minhash_dedup's slot: that gate is rows-only by
+    # design (xxhash64 signatures) and stays lockstep-pinned to the
+    # oracled pair op by tests/test_eda_twins.py on every pytest run;
+    # a value-exact row on the validation engine's own constraint
+    # family outweighs a rows-only row on an already-pinned twin.
+    # truncation_stats_docs, the other session addition, stays outside
+    # the 50-slot window — every cell is DuckDB-checked by
+    # tests/test_entry.py on every pytest run)
+    "conditional_fd_groups",
     # (token_vocab_drift — the late-round-5 token-ID distribution
     # histogram, value-exact down to the integer bucketing — takes
     # text_repetition_signals's slot: the text family is the densest
