@@ -5341,6 +5341,53 @@ def conditional_fd_groups(spark, sf_dir):
     return C.fd_violating_groups(d, c).orderBy("g")
 
 
+@register(
+    "iqr_outliers_by_type",
+    """
+    WITH q AS (
+      SELECT event_type, quantile_cont(value, 0.25) AS q1,
+             quantile_cont(value, 0.75) AS q3
+      FROM events GROUP BY event_type),
+    f AS (
+      SELECT event_type, q1, q3, q1 - 1.5 * (q3 - q1) AS lo_fence,
+             q3 + 1.5 * (q3 - q1) AS hi_fence
+      FROM q)
+    SELECT e.event_type,
+           round(any_value(f.q1), 6) AS q1, round(any_value(f.q3), 6) AS q3,
+           round(any_value(f.lo_fence), 6) AS lo_fence,
+           round(any_value(f.hi_fence), 6) AS hi_fence,
+           count(e.value)::BIGINT AS n_checked,
+           (count(*) FILTER (WHERE e.value < f.lo_fence))::BIGINT AS n_below,
+           (count(*) FILTER (WHERE e.value > f.hi_fence))::BIGINT AS n_above,
+           round((count(*) FILTER (WHERE e.value < f.lo_fence)
+                  + count(*) FILTER (WHERE e.value > f.hi_fence))::DOUBLE
+                 / count(e.value), 6) AS outlier_rate
+    FROM events e JOIN f USING (event_type)
+    GROUP BY e.event_type
+    """,
+)
+def iqr_outliers_by_type(spark, sf_dir):
+    """Per-group Tukey-fence localization over events: each
+    event_type's OWN quartiles, fences, and tail counts — which feed's
+    tail moved, with fences fitted per feed. One row per group,
+    value-exact at 6 dp."""
+    from kglids_spark.operators import profiler as P
+
+    e = _t(spark, sf_dir, "events")
+    out = P.iqr_outliers_grouped(e, "value", "event_type", k=1.5, exact=True)
+    return out.select(
+        "event_type",
+        F.round("q1", 6).alias("q1"),
+        F.round("q3", 6).alias("q3"),
+        F.round("lo_fence", 6).alias("lo_fence"),
+        F.round("hi_fence", 6).alias("hi_fence"),
+        "n_checked",
+        "n_below",
+        "n_above",
+        F.round("outlier_rate", 6).alias("outlier_rate"),
+    )
+
+
 _STRIP_HTML_SQL = r"""
     WITH wrapped AS (
       SELECT doc_id,

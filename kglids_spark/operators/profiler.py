@@ -598,3 +598,85 @@ def iqr_outlier_rows(
         .filter(F.col("fence_side").isNotNull())
         .drop("lo_fence", "hi_fence")
     )
+
+
+def iqr_outliers_grouped(
+    df: DataFrame,
+    column: str,
+    group_col: str,
+    k: float = 1.5,
+    exact: bool = True,
+) -> DataFrame:
+    """Per-group Tukey-fence outlier profile: one row per value of
+    ``group_col`` with that group's OWN quartiles, fences, and tail
+    counts — outlier-failure LOCALIZATION, the fence sibling of
+    grouped_drift/grouped_verdicts (the global profile says *that* the
+    tail moved; this says *which feed* moved it, with fences fitted
+    per feed so a long-form source is not judged by a short-form
+    source's quartiles).
+
+    Two passes like the global op: a per-group quantile aggregate,
+    then one conditional-count aggregate joined back on the group (the
+    fence frame is dictionary-sized — one row per group — so the join
+    broadcasts). ``exact=True`` uses the exact interpolated
+    ``percentile`` for oracle parity — note its aggregation buffer
+    holds the group's values, fine at query scale; at 10^12 rows use
+    ``exact=False`` (mergeable KLL ``percentile_approx``, bounded
+    buffer). NULL values are excluded; NULL groups form their own
+    group (GROUP BY semantics); a group with <1 non-null value yields
+    NULL quantiles and zero counts."""
+    col = F.col(column).cast("double")
+    pfun = (
+        (lambda c: F.percentile(c, F.lit(0.25)))
+        if exact
+        else (lambda c: F.percentile_approx(c, F.lit(0.25), F.lit(10000)).cast("double"))
+    )
+    pfun75 = (
+        (lambda c: F.percentile(c, F.lit(0.75)))
+        if exact
+        else (lambda c: F.percentile_approx(c, F.lit(0.75), F.lit(10000)).cast("double"))
+    )
+    qf = df.groupBy(F.col(group_col)).agg(
+        pfun(col).alias("q1"), pfun75(col).alias("q3")
+    )
+    fences = qf.select(
+        group_col,
+        "q1",
+        "q3",
+        (F.col("q1") - F.lit(float(k)) * (F.col("q3") - F.col("q1"))).alias("lo_fence"),
+        (F.col("q3") + F.lit(float(k)) * (F.col("q3") - F.col("q1"))).alias("hi_fence"),
+    )
+    left = df.select(F.col(group_col), col.alias("_v"))
+    fr = fences.select(
+        F.col(group_col).alias("_g"), "q1", "q3", "lo_fence", "hi_fence"
+    )
+    # eqNullSafe: a NULL group forms its own group (GROUP BY
+    # semantics) and must match its own fence row — a plain equi-join
+    # would drop its fences
+    joined = left.join(
+        F.broadcast(fr), left[group_col].eqNullSafe(fr["_g"]), "left"
+    ).drop("_g")
+    v = F.col("_v")
+    return (
+        joined.groupBy(F.col(group_col))
+        .agg(
+            F.first("q1").alias("q1"),
+            F.first("q3").alias("q3"),
+            F.first("lo_fence").alias("lo_fence"),
+            F.first("hi_fence").alias("hi_fence"),
+            F.count(v).alias("n_checked"),
+            F.coalesce(F.sum((v < F.col("lo_fence")).cast("long")), F.lit(0)).alias(
+                "n_below"
+            ),
+            F.coalesce(F.sum((v > F.col("hi_fence")).cast("long")), F.lit(0)).alias(
+                "n_above"
+            ),
+            (
+                (
+                    F.coalesce(F.sum((v < F.col("lo_fence")).cast("long")), F.lit(0))
+                    + F.coalesce(F.sum((v > F.col("hi_fence")).cast("long")), F.lit(0))
+                )
+                / F.nullif(F.count(v), F.lit(0))
+            ).alias("outlier_rate"),
+        )
+    )

@@ -214,3 +214,48 @@ def test_iqr_outliers_approx_mode_close(spark):
     approx = iqr_outliers(df, "value", exact=False).collect()[0]
     assert approx.q1 == pytest.approx(exact.q1, rel=0.01)
     assert approx.q3 == pytest.approx(exact.q3, rel=0.01)
+
+
+def test_iqr_outliers_grouped_matches_per_group_global(spark):
+    """Each group's row equals the global operator run on that group
+    alone; NULL groups keep their own fences (null-safe join)."""
+    from kglids_spark.operators.profiler import iqr_outliers, iqr_outliers_grouped
+
+    rows = (
+        [("a", float(v)) for v in range(1, 9)] + [("a", 100.0)]
+        + [("b", float(v)) for v in (10, 20, 30, 40, -500)]
+        + [(None, 1.0), (None, 2.0), (None, 3.0), (None, 999.0)]
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(rows, "grp string, value double")
+    got = {r.grp: r for r in iqr_outliers_grouped(df, "value", "grp").collect()}
+    assert set(got) == {"a", "b", None}
+    for g in ("a", "b", None):
+        sub = df.filter(
+            df.grp.eqNullSafe(F.lit(g) if g is not None else F.lit(None).cast("string"))
+        )
+        want = iqr_outliers(sub, "value").collect()[0]
+        have = got[g]
+        for fld in ("q1", "q3", "lo_fence", "hi_fence"):
+            assert have[fld] == pytest.approx(want[fld]), (g, fld)
+        assert (have.n_checked, have.n_below, have.n_above) == (
+            want.n_checked,
+            want.n_below,
+            want.n_above,
+        ), g
+    # the NULL group's planted outlier is found under its OWN fences
+    assert got[None].n_above == 1
+
+
+def test_iqr_outliers_grouped_single_value_group(spark):
+    from kglids_spark.operators.profiler import iqr_outliers_grouped
+
+    df = spark.createDataFrame(
+        [("solo", 5.0), ("many", 1.0), ("many", 2.0), ("many", 3.0)],
+        "grp string, value double",
+    )
+    got = {r.grp: r for r in iqr_outliers_grouped(df, "value", "grp").collect()}
+    # a single-value group has zero IQR: fences collapse onto the value
+    assert got["solo"].q1 == got["solo"].q3 == 5.0
+    assert got["solo"].n_below == 0 and got["solo"].n_above == 0
