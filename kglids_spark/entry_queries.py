@@ -5388,6 +5388,32 @@ def iqr_outliers_by_type(spark, sf_dir):
     )
 
 
+@register(
+    "sample_exact_k_sources",
+    r"""
+    WITH h AS (
+      SELECT doc_id, source,
+             md5('exact_k:42' || chr(31) || CAST(doc_id AS VARCHAR)) AS hk
+      FROM documents),
+    r AS (
+      SELECT doc_id, source,
+             row_number() OVER (PARTITION BY source ORDER BY hk) AS rn
+      FROM h)
+    SELECT doc_id, source FROM r WHERE rn <= 3
+    """,
+)
+def sample_exact_k_sources(spark, sf_dir):
+    """Deterministic exact-3-per-source sample: the 3 smallest
+    md5(seed, doc_id) ranks within each source — a guaranteed row
+    count where fraction sampling only hits its expectation. The
+    oracle replays the identical md5 ranking, so the selected ids
+    match exactly."""
+    from kglids_spark.operators import sampling
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    return sampling.sample_exact_k(d, ["doc_id"], 3, seed=42, group_col="source")
+
+
 _STRIP_HTML_SQL = r"""
     WITH wrapped AS (
       SELECT doc_id,

@@ -431,3 +431,37 @@ def select_until_budget(
         .withColumn("selected", F.col("_cum_before") < F.lit(int(budget)))
         .drop("_rank", "_cum_before")
     )
+
+
+def sample_exact_k(
+    df: DataFrame,
+    key_cols: list[str],
+    k: int,
+    seed: int = 42,
+    group_col: str | None = None,
+) -> DataFrame:
+    """Deterministic EXACT-k uniform sample without replacement: the k
+    rows with the smallest md5(seed, key) rank — reproducible across
+    runs, partitionings, and engines (the hash-fraction discipline,
+    but with a guaranteed row count where `fraction` sampling only
+    hits its expectation). With ``group_col``, exactly min(k, group
+    size) rows per group — the balanced eval-set / per-source
+    inspection draw.
+
+    Scale shape: the global form compiles to TakeOrderedAndProject —
+    a per-partition k-heap merged on the driver, O(k) memory, no
+    global sort. The grouped form is one row_number window over the
+    group-keyed exchange (the standard per-group top-k plan,
+    WindowGroupLimit-pruned map-side to k per group before the
+    shuffle). Ties cannot occur: the md5 key includes the row key."""
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    h = _hash_key(key_cols, seed, "exact_k")
+    if group_col is None:
+        return df.orderBy(h.asc()).limit(int(k))
+    w = Window.partitionBy(group_col).orderBy(h.asc())
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= int(k))
+        .drop("_rn")
+    )

@@ -11,6 +11,8 @@ expressions (whole-stage codegen, zero Python in the hot path).
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -1062,6 +1064,32 @@ def corpus_datacard(
     }
     if source_col and source_col in df.columns:
         card["sources"] = _dist(source_col)
+        # mixture concentration: Shannon entropy of the FULL source
+        # distribution (the top_k table above truncates; this
+        # aggregates every group in-plan — dictionary-sized) and its
+        # exp(), the "effective number of sources" — 1.0 means a
+        # single-feed corpus however many nominal sources exist
+        grp = (
+            a.where(F.col(source_col).isNotNull())
+            .groupBy(source_col)
+            .agg(F.count(F.lit(1)).cast("double").alias("_n"))
+        )
+        tot = grp.agg(F.sum("_n").alias("_t"))
+        ent_row = (
+            grp.crossJoin(F.broadcast(tot))
+            .agg(
+                F.sum(
+                    -(F.col("_n") / F.col("_t"))
+                    * F.log(F.col("_n") / F.col("_t"))
+                ).alias("h")
+            )
+            .collect()[0]
+        )
+        h = float(ent_row["h"]) if ent_row["h"] is not None else None
+        card["source_entropy"] = round(h, 6) if h is not None else None
+        card["effective_sources"] = (
+            round(math.exp(h), 6) if h is not None else None
+        )
     if zipf:
         from kglids_spark.operators.dedup import split_words
         from kglids_spark.operators.frequency import zipf_fit

@@ -456,3 +456,44 @@ def test_select_until_budget_null_scores_taken_last(spark, sized):
         F.col("score").isNotNull()
     ).count()
     assert out.filter("selected AND score IS NULL").count() <= 1
+
+
+def test_sample_exact_k_global_and_grouped(spark):
+    from kglids_spark.operators import sampling
+
+    df = spark.range(1000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("s"), (F.col("id") % 5).cast("string")).alias("source"),
+    )
+    # global: exactly k rows, deterministic under repartitioning
+    a = {r.doc_id for r in sampling.sample_exact_k(df, ["doc_id"], 7).collect()}
+    b = {
+        r.doc_id
+        for r in sampling.sample_exact_k(df.repartition(13), ["doc_id"], 7).collect()
+    }
+    assert a == b and len(a) == 7
+    # grouped: exactly k per group, disjoint and deterministic
+    g = sampling.sample_exact_k(df, ["doc_id"], 4, group_col="source").collect()
+    per = {}
+    for r in g:
+        per.setdefault(r.source, set()).add(r.doc_id)
+    assert set(per) == {f"s{i}" for i in range(5)}
+    assert all(len(v) == 4 for v in per.values())
+    # a different seed draws a different sample
+    c = {
+        r.doc_id
+        for r in sampling.sample_exact_k(df, ["doc_id"], 7, seed=43).collect()
+    }
+    assert c != a
+
+
+def test_sample_exact_k_small_group_and_validation(spark):
+    from kglids_spark.operators import sampling
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "b")], "doc_id long, source string"
+    )
+    got = sampling.sample_exact_k(df, ["doc_id"], 10, group_col="source").collect()
+    assert len(got) == 3  # min(k, group size) per group
+    with pytest.raises(ValueError, match="positive"):
+        sampling.sample_exact_k(df, ["doc_id"], 0)

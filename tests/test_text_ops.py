@@ -528,3 +528,28 @@ def test_corpus_datacard_zipf(spark):
     # without the flag the keys are absent (no silent extra explode)
     card2 = corpus_datacard(df, source_col="source")
     assert "zipf_slope" not in card2
+
+
+def test_corpus_datacard_source_entropy(spark):
+    import math
+
+    from kglids_spark.operators.text import corpus_datacard
+
+    rows = [
+        (1, "alpha beta", "s0"), (2, "gamma delta", "s0"),
+        (3, "epsilon zeta", "s0"), (4, "eta theta", "s1"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    card = corpus_datacard(df, source_col="source")
+    # H = -(3/4 ln 3/4 + 1/4 ln 1/4); effective sources = exp(H)
+    want = -(0.75 * math.log(0.75) + 0.25 * math.log(0.25))
+    assert card["source_entropy"] == round(want, 6)
+    assert card["effective_sources"] == round(math.exp(want), 6)
+    # single-feed corpus: entropy 0, exactly 1 effective source
+    one = corpus_datacard(
+        df.withColumn("source", F.lit("only")), source_col="source"
+    )
+    assert one["source_entropy"] == 0.0
+    assert one["effective_sources"] == 1.0
+    # no source column requested -> keys absent
+    assert "source_entropy" not in corpus_datacard(df)
