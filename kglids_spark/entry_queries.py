@@ -5414,6 +5414,45 @@ def sample_exact_k_sources(spark, sf_dir):
     return sampling.sample_exact_k(d, ["doc_id"], 3, seed=42, group_col="source")
 
 
+@register(
+    "top_collocations_docs",
+    r"""
+    WITH ws AS (
+      SELECT list_filter(
+               string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+               w -> w <> '') AS w
+      FROM documents),
+    bi AS (
+      SELECT w[i] AS w1, w[i + 1] AS w2
+      FROM ws, unnest(range(1, len(w))) u(i)
+      WHERE len(w) >= 2),
+    p AS (
+      SELECT w1, w2, COUNT(*)::BIGINT AS n_pair
+      FROM bi GROUP BY 1, 2 HAVING COUNT(*) >= 10),
+    l AS (SELECT w1, COUNT(*)::BIGINT AS n_w1 FROM bi GROUP BY 1),
+    r AS (SELECT w2, COUNT(*)::BIGINT AS n_w2 FROM bi GROUP BY 1),
+    t AS (SELECT COUNT(*)::DOUBLE AS n FROM bi)
+    SELECT p.w1, p.w2, p.n_pair, l.n_w1, r.n_w2,
+           round(ln(p.n_pair * t.n / (l.n_w1 * r.n_w2)), 6) AS pmi
+    FROM p JOIN l USING (w1) JOIN r USING (w2), t
+    ORDER BY pmi DESC, w1, w2 LIMIT 20
+    """,
+)
+def top_collocations_docs(spark, sf_dir):
+    """Top-20 PMI collocations (Church & Hanks 1990) over the
+    documents corpus at min_count 10 — adjacent-pair counts and
+    bigram-stream marginals with the rounded-PMI (DESC, w1, w2)
+    tie-break, so both engines select the identical top-k set.
+    Value-exact per pair."""
+    from kglids_spark.operators import frequency as FR
+
+    d = _t(spark, sf_dir, "documents")
+    out = FR.top_collocations(d, min_count=10, k=20)
+    return out.select(
+        "w1", "w2", "n_pair", "n_w1", "n_w2", F.round("pmi", 6).alias("pmi")
+    )
+
+
 _STRIP_HTML_SQL = r"""
     WITH wrapped AS (
       SELECT doc_id,

@@ -326,3 +326,75 @@ def doc_token_entropy(
             yield pd.DataFrame({id_col: ids, "n_tok": ns, "entropy": hs})
 
     return df.select(id_col, array_col).mapInPandas(fn, schema)
+
+
+def top_collocations(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 10,
+    k: int = 100,
+) -> DataFrame:
+    """PMI-ranked bigram collocations over a text corpus: the top-k
+    adjacent word pairs by pointwise mutual information
+    ``ln(n_pair · N / (n_w1 · n_w2))`` among pairs occurring at least
+    ``min_count`` times — the classic collocation extractor (Church &
+    Hanks 1990), and a practical templated-boilerplate detector: a
+    crawl whose top collocations are navigation chrome ("all rights",
+    "privacy policy") needs the line/span dedup passes. Returns
+    (w1, w2, n_pair, n_w1, n_w2, pmi) ordered by (pmi DESC, w1, w2) —
+    the rounded-PMI tie-break makes the top-k deterministic across
+    engines.
+
+    Scale shape: words split once per doc (split_words discipline),
+    bigrams via the shifted-slice zip (`_zip_ngrams`, n=2) — no
+    per-element re-split; both count frames partial-aggregate
+    map-side, so the Exchanges carry the pair/word DICTIONARIES,
+    never the corpus. The ``min_count`` filter applies BEFORE the
+    unigram joins (shrinking the pair dictionary to the frequent
+    tail), the unigram dictionary joins twice (AQE broadcasts it when
+    small), and the final top-k is a TakeOrdered, never a global
+    sort. N (total bigram count) folds in via a broadcast 1-row
+    aggregate. PMI here uses bigram-stream marginals (n_w1 = pair
+    occurrences with w1 on the left), the convention that makes the
+    probabilities a proper joint/marginal pair."""
+    from kglids_spark.operators.dedup import _zip_ngrams, split_words
+
+    if min_count < 1:
+        raise ValueError(f"min_count must be >= 1, got {min_count}")
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    ws = F.filter(split_words(text_col), lambda w: w != "")
+    s = F.col("_s")
+    grams = (
+        df.select(ws.alias("_ws"))
+        .select(F.explode(_zip_ngrams(F.col("_ws"), 2)).alias("_s"))
+        # _zip_ngrams pads the trailing truncated window with NULL
+        .filter(s["1"].isNotNull())
+        .select(s["0"].alias("w1"), s["1"].alias("w2"))
+    )
+    pairs = (
+        grams.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+        .filter(F.col("n_pair") >= int(min_count))
+    )
+    left = grams.groupBy("w1").agg(F.count(F.lit(1)).alias("n_w1"))
+    right = grams.groupBy("w2").agg(F.count(F.lit(1)).alias("n_w2"))
+    total = grams.agg(F.count(F.lit(1)).cast("double").alias("_n"))
+    scored = (
+        pairs.join(left, "w1")
+        .join(right, "w2")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "w1",
+            "w2",
+            "n_pair",
+            "n_w1",
+            "n_w2",
+            F.log(
+                F.col("n_pair") * F.col("_n") / (F.col("n_w1") * F.col("n_w2"))
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(
+        F.round("pmi", 6).desc(), F.col("w1"), F.col("w2")
+    ).limit(int(k))

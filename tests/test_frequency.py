@@ -180,3 +180,50 @@ def test_zipf_fit_single_rank_is_null(spark):
     df = spark.createDataFrame([("only", 7)], "item string, n long")
     row = FR.zipf_fit(df).collect()[0]
     assert row.n_types == 1 and row.zipf_slope is None
+
+
+# ---------------------------------------------------------------------------
+# PMI collocations
+
+
+def test_top_collocations_hand_computed(spark):
+    import math
+
+    from kglids_spark.operators import frequency as FR
+
+    # "new york" appears 3x; "of the" 2x; singleton pairs fall below
+    # min_count=2
+    docs = [
+        ("new york is in new york state",),
+        ("the mayor of new york spoke of the city",),
+    ]
+    df = spark.createDataFrame(docs, "text string")
+    got = FR.top_collocations(df, min_count=2, k=10).collect()
+    by_pair = {(r.w1, r.w2): r for r in got}
+    assert ("new", "york") in by_pair
+    ny = by_pair[("new", "york")]
+    # bigram stream: doc1 has 6 pairs, doc2 has 8 -> N=14
+    assert ny.n_pair == 3
+    # left marginal of 'new' = 3, right marginal of 'york' = 3
+    assert ny.n_w1 == 3 and ny.n_w2 == 3
+    assert ny.pmi == pytest.approx(math.log(3 * 14 / (3 * 3)))
+    # every returned pair meets the count floor
+    assert all(r.n_pair >= 2 for r in got)
+
+
+def test_top_collocations_deterministic_and_validated(spark):
+    from kglids_spark.operators import frequency as FR
+
+    df = spark.createDataFrame(
+        [("a b a b a b c d c d",), ("a b c d a b",)], "text string"
+    )
+    one = [tuple(r) for r in FR.top_collocations(df, min_count=2, k=3).collect()]
+    two = [
+        tuple(r)
+        for r in FR.top_collocations(df.repartition(7), min_count=2, k=3).collect()
+    ]
+    assert one == two and len(one) == 3
+    with pytest.raises(ValueError, match="min_count"):
+        FR.top_collocations(df, min_count=0)
+    with pytest.raises(ValueError, match="k must"):
+        FR.top_collocations(df, k=0)
