@@ -249,6 +249,16 @@ def family_ops(docs, vecs, queries, srcd, centroids, media=None):
                 _tokenize_hash(docs), materialize=False
             ),
         },
+        # round-5: PMI collocations — the bigram explode persists once
+        # for its four consumers (pair counts, both marginals, total);
+        # the "plan" variant builds the lazy tree (the eager <= k-row
+        # checkpoint would collapse the snapshot to Scan ExistingRDD)
+        "freq_collocations": {
+            "run": lambda: frequency.top_collocations(docs, min_count=50, k=100),
+            "plan": lambda: frequency.top_collocations(
+                docs, min_count=50, k=100, materialize=False
+            ),
+        },
         # round-5: Zipf rank-frequency fit — the word-count explode is
         # the cost; the regression rides the vocabulary-sized ranked
         # pass (10k types here) and reduces to four sums

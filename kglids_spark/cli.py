@@ -673,10 +673,12 @@ def main(argv: list[str] | None = None) -> int:
                 )
             suite.append(C.metric_range(col, stat, lo_f, hi_f))
         for spec in args.fd:
-            # optional conditional scope: 'a,b -> c @@ predicate'
-            # (rpartition like --check: '@@' may appear inside a SQL
-            # string literal in the predicate, never in the FD spec)
-            fd_spec, at_sep, where = spec.rpartition("@@")
+            # optional conditional scope: 'a,b -> c @@ predicate'.
+            # partition on the FIRST '@@' — the opposite of --check's
+            # rpartition, because here the predicate comes LAST: a SQL
+            # string literal inside it may contain '@@', while the FD
+            # column spec before it cannot
+            fd_spec, at_sep, where = spec.partition("@@")
             if not at_sep:
                 fd_spec, where = spec, None
             else:

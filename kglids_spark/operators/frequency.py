@@ -333,6 +333,7 @@ def top_collocations(
     text_col: str = "text",
     min_count: int = 10,
     k: int = 100,
+    materialize: bool = True,
 ) -> DataFrame:
     """PMI-ranked bigram collocations over a text corpus: the top-k
     adjacent word pairs by pointwise mutual information
@@ -347,16 +348,22 @@ def top_collocations(
 
     Scale shape: words split once per doc (split_words discipline),
     bigrams via the shifted-slice zip (`_zip_ngrams`, n=2) — no
-    per-element re-split; both count frames partial-aggregate
-    map-side, so the Exchanges carry the pair/word DICTIONARIES,
-    never the corpus. The ``min_count`` filter applies BEFORE the
-    unigram joins (shrinking the pair dictionary to the frequent
-    tail), the unigram dictionary joins twice (AQE broadcasts it when
-    small), and the final top-k is a TakeOrdered, never a global
-    sort. N (total bigram count) folds in via a broadcast 1-row
-    aggregate. PMI here uses bigram-stream marginals (n_w1 = pair
-    occurrences with w1 on the left), the convention that makes the
-    probabilities a proper joint/marginal pair."""
+    per-element re-split; the exploded bigram stream PERSISTS
+    (MEMORY_AND_DISK) because four consumers read it — pair counts,
+    both marginals, and the total — and without the persist the
+    corpus would explode four times (the char-LM stream discipline;
+    released after the ≤k-row result eagerly checkpoints;
+    ``materialize=False`` builds the lazy tree for plan tooling).
+    Both count frames partial-aggregate map-side, so the Exchanges
+    carry the pair/word DICTIONARIES, never the corpus. The
+    ``min_count`` filter applies BEFORE the unigram joins (shrinking
+    the pair dictionary to the frequent tail), the unigram dictionary
+    joins twice (AQE broadcasts it when small), and the final top-k is
+    a TakeOrdered, never a global sort. N (total bigram count) folds
+    in via a broadcast 1-row aggregate. PMI here uses bigram-stream
+    marginals (n_w1 = pair occurrences with w1 on the left), the
+    convention that makes the probabilities a proper joint/marginal
+    pair."""
     from kglids_spark.operators.dedup import _zip_ngrams, split_words
 
     if min_count < 1:
@@ -372,6 +379,8 @@ def top_collocations(
         .filter(s["1"].isNotNull())
         .select(s["0"].alias("w1"), s["1"].alias("w2"))
     )
+    if materialize:
+        grams = grams.persist(StorageLevel.MEMORY_AND_DISK)
     pairs = (
         grams.groupBy("w1", "w2")
         .agg(F.count(F.lit(1)).alias("n_pair"))
@@ -395,6 +404,12 @@ def top_collocations(
             ).alias("pmi"),
         )
     )
-    return scored.orderBy(
+    out = scored.orderBy(
         F.round("pmi", 6).desc(), F.col("w1"), F.col("w2")
     ).limit(int(k))
+    if materialize:
+        # the result is <= k rows — eagerly checkpoint it so the
+        # corpus-sized bigram persist releases now
+        out = out.localCheckpoint(eager=True)
+        grams.unpersist()
+    return out
