@@ -274,6 +274,24 @@ def main(argv: list[str] | None = None) -> int:
     )
     td.add_argument("--cpus", type=int, default=None)
 
+    ti = sub.add_parser(
+        "token-info",
+        help="information-statistics summary of a tokens table: per-doc "
+        "entropy / cross-entropy / KL quantiles plus the truncate-vs-"
+        "chunk cost curve per candidate seq_len — the pick-your-window "
+        "analytics a training run consults before committing",
+    )
+    ti.add_argument("--input", required=True, help="tokens parquet")
+    ti.add_argument("--id-col", default="doc_id")
+    ti.add_argument("--array-col", default="tokens")
+    ti.add_argument(
+        "--seq-lens",
+        default="512,1024,2048",
+        metavar="L1,L2,...",
+        help="candidate window lengths for the truncation curve",
+    )
+    ti.add_argument("--cpus", type=int, default=None)
+
     p = sub.add_parser("profile", help="single-pass column profiles")
     p.add_argument("--input", required=True)
     p.add_argument("--exact", action="store_true")
@@ -902,6 +920,65 @@ def main(argv: list[str] | None = None) -> int:
         )
         if args.fail_on_anomaly and flags:
             return 2
+        return 0
+
+    if args.cmd == "token-info":
+        from kglids_spark.operators import frequency as FR
+        from kglids_spark.operators import packing as PK
+
+        try:
+            seq_lens = [int(s) for s in args.seq_lens.split(",") if s.strip()]
+        except ValueError:
+            raise SystemExit(
+                f"--seq-lens {args.seq_lens!r}: expected comma-separated integers"
+            )
+        if not seq_lens or any(s <= 0 for s in seq_lens):
+            raise SystemExit(
+                f"--seq-lens {args.seq_lens!r}: lengths must be positive integers"
+            )
+        df = spark.read.parquet(args.input)
+        info = FR.token_information_scores(
+            df, id_col=args.id_col, array_col=args.array_col
+        )
+        qs = F.array(F.lit(0.1), F.lit(0.5), F.lit(0.9))
+        stats = info.agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum((F.col("n_tok") == 0).cast("long")).alias("n_empty"),
+            *[
+                F.percentile_approx(c, qs, F.lit(10000)).alias(c)
+                for c in ("entropy", "cross_entropy", "kl")
+            ],
+        ).collect()[0]
+        trunc = PK.truncation_stats(
+            df.select(F.size(args.array_col).cast("long").alias("n_tok")),
+            seq_lens,
+        ).collect()
+        rnd = lambda xs: (  # noqa: E731
+            [round(float(x), 6) for x in xs] if xs is not None else None
+        )
+        print(
+            json.dumps(
+                {
+                    "n_docs": int(stats["n_docs"]),
+                    "n_empty": int(stats["n_empty"] or 0),
+                    "entropy_p10_p50_p90": rnd(stats["entropy"]),
+                    "cross_entropy_p10_p50_p90": rnd(stats["cross_entropy"]),
+                    "kl_p10_p50_p90": rnd(stats["kl"]),
+                    "truncation": [
+                        {
+                            "seq_len": r.seq_len,
+                            "docs_truncated": r.docs_truncated,
+                            "tokens_kept_truncate": r.tokens_kept_truncate,
+                            "kept_frac": round(r.kept_frac, 6)
+                            if r.kept_frac is not None
+                            else None,
+                            "n_chunks": r.n_chunks,
+                        }
+                        for r in sorted(trunc, key=lambda r: r.seq_len)
+                    ],
+                }
+            )
+        )
         return 0
 
     if args.cmd == "token-drift":

@@ -227,3 +227,37 @@ def test_top_collocations_deterministic_and_validated(spark):
         FR.top_collocations(df, min_count=0)
     with pytest.raises(ValueError, match="k must"):
         FR.top_collocations(df, k=0)
+
+
+def test_cli_token_info(tmp_path):
+    import json as J
+    import subprocess
+    import sys
+
+    def run(*extra):
+        return subprocess.run(
+            [sys.executable, "-m", "kglids_spark.cli", *extra],
+            capture_output=True, text=True,
+        )
+
+    toks = str(tmp_path / "ti_tokens")
+    assert (
+        run("generate", "--rows", "3000", "--out", toks, "--no-violations").returncode
+        == 0
+    )
+    r = run("token-info", "--input", toks, "--cpus", "4", "--seq-lens", "64,256")
+    assert r.returncode == 0, r.stdout[-500:] + r.stderr[-500:]
+    out = J.loads(r.stdout.strip().splitlines()[-1])
+    assert out["n_docs"] == 3000
+    # quantiles ordered; KL nonnegative (Gibbs)
+    e = out["entropy_p10_p50_p90"]
+    assert e[0] <= e[1] <= e[2]
+    assert out["kl_p10_p50_p90"][0] >= 0
+    curve = {c["seq_len"]: c for c in out["truncation"]}
+    assert set(curve) == {64, 256}
+    # longer windows keep at least as many tokens, emit fewer chunks
+    assert curve[256]["tokens_kept_truncate"] >= curve[64]["tokens_kept_truncate"]
+    assert curve[256]["n_chunks"] <= curve[64]["n_chunks"]
+    # malformed lengths are usage errors
+    r = run("token-info", "--input", toks, "--seq-lens", "64,x")
+    assert r.returncode != 0 and "seq-lens" in (r.stderr + r.stdout)
