@@ -253,10 +253,15 @@ def family_ops(docs, vecs, queries, srcd, centroids, media=None):
         # for its four consumers (pair counts, both marginals, total);
         # the "plan" variant builds the lazy tree (the eager <= k-row
         # checkpoint would collapse the snapshot to Scan ExistingRDD)
+        # min_count=2: the hash-soup corpus spreads ~30M bigrams over a
+        # 10^8-pair space (expected pair count 0.3), so a production
+        # floor like 50 empties the result and AQE short-circuits the
+        # marginal joins — 2 keeps the repeated-pair tail (planted
+        # clones + birthday collisions) flowing through the full plan
         "freq_collocations": {
-            "run": lambda: frequency.top_collocations(docs, min_count=50, k=100),
+            "run": lambda: frequency.top_collocations(docs, min_count=2, k=100),
             "plan": lambda: frequency.top_collocations(
-                docs, min_count=50, k=100, materialize=False
+                docs, min_count=2, k=100, materialize=False
             ),
         },
         # round-5: Zipf rank-frequency fit — the word-count explode is
