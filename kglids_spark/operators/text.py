@@ -507,6 +507,7 @@ def corpus_line_dedup(
     min_count: int = 2,
     hash_lines: bool = True,
     materialize: bool = True,
+    delimiter: str = "\n",
 ) -> DataFrame:
     """Corpus-WIDE line deduplication (the other half of C4 §2.2,
     Raffel et al. 2020: "we removed all but one of any three-sentence
@@ -526,10 +527,17 @@ def corpus_line_dedup(
     the duplicated-line set is small). The rebuild groups by doc with
     the surviving (pos, line) pairs, sorts each doc's array map-side
     (array_sort on the struct), and re-joins — doc order is restored
-    without a sort shuffle."""
+    without a sort shuffle.
+
+    ``delimiter`` changes the dedup granularity: the default "\\n"
+    dedups lines; "\\n\\n" dedups PARAGRAPHS (the other standard
+    boilerplate unit — repeated license blocks, cookie banners). It is
+    a Java regex (F.split semantics) used for splitting and reused
+    literally for the rebuild join, so it must be a literal separator
+    (no regex metacharacters beyond what also reads as the joiner)."""
     lines = df.select(
         F.col(id_col).alias("id"),
-        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+        F.posexplode(F.split(F.col(text_col), delimiter)).alias("pos", "line"),
     ).withColumn(
         # int64 digests shuffle 8-byte keys (production); the string
         # twin is bit-portable to the SQL oracle, differing only on
@@ -564,7 +572,7 @@ def corpus_line_dedup(
                 F.array_sort(F.collect_list(F.struct("pos", "line"))),
                 lambda s: s["line"],
             ),
-            "\n",
+            delimiter,
         ).alias("text_clean"),
         F.count(F.lit(1)).alias("_n_kept"),
     )

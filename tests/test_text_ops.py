@@ -553,3 +553,34 @@ def test_corpus_datacard_source_entropy(spark):
     assert one["effective_sources"] == 1.0
     # no source column requested -> keys absent
     assert "source_entropy" not in corpus_datacard(df)
+
+
+def test_corpus_paragraph_dedup_delimiter(spark):
+    """delimiter='\\n\\n' dedups PARAGRAPHS: a repeated license block
+    keeps only its first occurrence while single-newline lines inside
+    paragraphs stay intact."""
+    from kglids_spark.operators.text import corpus_line_dedup
+
+    lic = "license text\ncopyright someone"
+    rows = [
+        (1, f"{lic}\n\nunique para one\nwith a second line"),
+        (2, f"{lic}\n\nunique para two"),
+        (3, "no boilerplate here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: r
+        for r in corpus_line_dedup(df, delimiter="\n\n").collect()
+    }
+    # doc 1 keeps the license paragraph (first occurrence) AND its
+    # intra-paragraph newline survives untouched
+    assert got[1].text_clean == rows[0][1]
+    assert got[1].n_removed == 0
+    # doc 2 loses the repeated license paragraph
+    assert got[2].text_clean == "unique para two"
+    assert got[2].n_lines == 2 and got[2].n_removed == 1
+    assert got[3].n_removed == 0
+    # line-granularity on the same corpus removes the "license text"
+    # LINE from doc 2 instead (finer unit, same keeper discipline)
+    line_got = {r.doc_id: r for r in corpus_line_dedup(df).collect()}
+    assert "license text" not in line_got[2].text_clean
