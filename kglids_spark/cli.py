@@ -268,9 +268,25 @@ def main(argv: list[str] | None = None) -> int:
     td.add_argument("--ks-threshold", type=float, default=0.1)
     td.add_argument("--psi-threshold", type=float, default=0.2)
     td.add_argument(
+        "--by",
+        default=None,
+        metavar="COLUMN",
+        help="localize per value of this grouping column (e.g. the "
+        "source feed): the JSON gains a group section with per-feed "
+        "totals and the worst failing feeds by PSI",
+    )
+    td.add_argument(
+        "--by-cap",
+        type=int,
+        default=20,
+        metavar="N",
+        help="max failing groups listed under --by (totals stay exact)",
+    )
+    td.add_argument(
         "--fail-on-drift",
         action="store_true",
-        help="exit 2 if either verdict fails (CI gate)",
+        help="exit 2 if either verdict fails (CI gate; with --by, any "
+        "failing feed also fails the gate)",
     )
     td.add_argument("--cpus", type=int, default=None)
 
@@ -1002,19 +1018,56 @@ def main(argv: list[str] | None = None) -> int:
             ks_threshold=args.ks_threshold,
             psi_threshold=args.psi_threshold,
         )
-        print(
-            json.dumps(
-                {
-                    "ks": round(out["ks"], 6),
-                    "psi": round(out["psi"], 6),
-                    "ks_pass": out["ks_pass"],
-                    "psi_pass": out["psi_pass"],
-                    "cells": out["cells"],
-                    "baseline_cells": base_cells,
-                }
+        report = {
+            "ks": round(out["ks"], 6),
+            "psi": round(out["psi"], 6),
+            "ks_pass": out["ks_pass"],
+            "psi_pass": out["psi_pass"],
+            "cells": out["cells"],
+            "baseline_cells": base_cells,
+        }
+        any_group_failed = False
+        if args.by:
+            g = D.grouped_token_drift(
+                spark.read.parquet(args.input),
+                base_cells,
+                args.by,
+                array_col=args.array_col,
+                vocab_size=args.vocab_size,
+                nbins=args.nbins,
+                ks_threshold=args.ks_threshold,
+                psi_threshold=args.psi_threshold,
             )
-        )
-        if args.fail_on_drift and not (out["ks_pass"] and out["psi_pass"]):
+            tot = g.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(
+                    (~F.col("ks_pass") | ~F.col("psi_pass")).cast("int")
+                ).alias("failed"),
+            ).collect()[0]
+            worst = (
+                g.filter(~F.col("ks_pass") | ~F.col("psi_pass"))
+                .orderBy(F.desc("psi"))
+                .limit(args.by_cap)
+                .collect()
+            )
+            any_group_failed = int(tot.failed or 0) > 0
+            report["group"] = {
+                "group_col": args.by,
+                "groups_total": int(tot.n),
+                "groups_failed": int(tot.failed or 0),
+                "failing": {
+                    str(r[args.by]): {
+                        "n_tokens": r.n_tokens,
+                        "ks": round(r.ks, 6),
+                        "psi": round(r.psi, 6),
+                    }
+                    for r in worst
+                },
+            }
+        print(json.dumps(report))
+        if args.fail_on_drift and (
+            not (out["ks_pass"] and out["psi_pass"]) or any_group_failed
+        ):
             return 2
         return 0
 

@@ -278,16 +278,43 @@ def grouped_drift(
         raise ValueError(
             f"baseline has {len(baseline_hist)} cells, spec wants {spec.n_cells}"
         )
-    n2 = float(sum(baseline_hist))
-    if n2 <= 0:
-        raise ValueError("baseline histogram is empty")
-    base = F.array(*[F.lit(float(v)) for v in baseline_hist])
-
     h = histogram_df(df, spec, group_cols=[group_col])
     # a group whose every value is NULL aggregates NULL cells (sum over
     # an empty set) — coalesce to 0 so it reports n_rows=0, not NULL
     cells = F.transform("hist", lambda x: F.coalesce(x.cast("double"), F.lit(0.0)))
-    h = h.withColumn("__cells", cells).withColumn(
+    return _fold_drift_verdicts(
+        h.withColumn("__cells", cells),
+        baseline_hist,
+        group_col,
+        "n_rows",
+        ks_threshold,
+        psi_threshold,
+        eps,
+    )
+
+
+def _fold_drift_verdicts(
+    h: DataFrame,
+    baseline_hist: list[int],
+    group_col: str,
+    n_alias: str,
+    ks_threshold: float,
+    psi_threshold: float,
+    eps: float,
+) -> DataFrame:
+    """Shared tail of the grouped drift operators: given a frame with
+    (group_col, __cells: array<double>) and a baseline cell list, emit
+    one (group, n, ks, psi, ks_pass, psi_pass) row per group with the
+    KS and PSI reductions as zero-shuffle higher-order ``F.aggregate``
+    folds over the zipped cell arrays — results never leave the
+    executors, no per-group driver loop. Semantics match
+    evaluate_drift cell-for-cell, including the n==0 → 0.0
+    convention."""
+    n2 = float(sum(baseline_hist))
+    if n2 <= 0:
+        raise ValueError("baseline histogram is empty")
+    base = F.array(*[F.lit(float(v)) for v in baseline_hist])
+    h = h.withColumn(
         "__n1", F.aggregate("__cells", F.lit(0.0), lambda a, x: a + x)
     )
     n1 = F.col("__n1")
@@ -322,9 +349,71 @@ def grouped_drift(
     psi_c = F.when(n1 > 0, psi_fold).otherwise(F.lit(0.0))
     return h.select(
         F.col(group_col),
-        n1.cast("long").alias("n_rows"),
+        n1.cast("long").alias(n_alias),
         ks_c.alias("ks"),
         psi_c.alias("psi"),
         (ks_c <= F.lit(ks_threshold)).alias("ks_pass"),
         (psi_c <= F.lit(psi_threshold)).alias("psi_pass"),
+    )
+
+
+def grouped_token_drift(
+    df: DataFrame,
+    baseline_cells: list[int],
+    group_col: str,
+    array_col: str = "tokens",
+    vocab_size: int = 50257,
+    nbins: int = 64,
+    ks_threshold: float = 0.1,
+    psi_threshold: float = 0.2,
+    eps: float = 1e-6,
+) -> DataFrame:
+    """Per-group token-ID distribution drift vs a fixed baseline
+    snapshot: one (group, n_tokens, ks, psi, ks_pass, psi_pass) row
+    per value of ``group_col`` — WHICH FEED swapped tokenizers or
+    remapped its vocabulary, the localization the global
+    token_distribution_drift (a whole-table statement) cannot give and
+    the scalar grouped_drift (n_tok histograms) cannot see.
+
+    Plan: one explode into a map-side-combined (group, cell) groupBy —
+    the Exchange carries groups × ≤ nbins+2 rows, never the corpus —
+    then each group's dense cell array assembles zero-shuffle
+    (map_from_entries + a sequence lookup; collect_list per group is
+    bounded by the cell count) and the shared KS/PSI folds reduce
+    in-plan. Cell layout and statistics match the global operator
+    bucket-for-bucket; a group with only NULL arrays never appears in
+    the exploded stream (explode of NULL yields nothing), so absent
+    groups mean no token evidence."""
+    n_cells = nbins + 2
+    if len(baseline_cells) > n_cells:
+        raise ValueError(
+            f"baseline has {len(baseline_cells)} cells, expected <= {n_cells} "
+            f"(nbins={nbins} + under/overflow) — nbins/vocab_size must match "
+            "the baseline's"
+        )
+    base = list(baseline_cells) + [0] * (n_cells - len(baseline_cells))
+    tok = F.explode(array_col).alias("_tok")
+    counts = (
+        df.select(F.col(group_col), tok)
+        .where(F.col("_tok").isNotNull())
+        .select(
+            group_col, token_bucket_expr("_tok", vocab_size, nbins).alias("cell")
+        )
+        .groupBy(group_col, "cell")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    per_group = counts.groupBy(group_col).agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("cell"), F.col("n")))
+        ).alias("_m")
+    )
+    dense = F.transform(
+        F.sequence(F.lit(0), F.lit(n_cells - 1)),
+        lambda i: F.coalesce(
+            F.element_at("_m", i.cast("long")).cast("double"), F.lit(0.0)
+        ),
+    )
+    h = per_group.withColumn("__cells", dense).drop("_m")
+    return _fold_drift_verdicts(
+        h, base, group_col, "n_tokens", ks_threshold, psi_threshold, eps
     )

@@ -540,6 +540,7 @@ def token_drift_monitor_stream(
     ks_threshold: float = 0.1,
     psi_threshold: float = 0.2,
     trigger_once: bool = True,
+    group_col: str | None = None,
 ):
     """Per-micro-batch TOKEN-ID distribution drift: each batch's
     vocabulary-usage histogram (drift.token_histogram_df — the explode
@@ -557,7 +558,14 @@ def token_drift_monitor_stream(
     psi over the same bucketing), so the stream's verdicts are pinned
     to the batch twin's on identical rows. Idempotent under
     foreachBatch's at-least-once replay: the per-epoch dynamic
-    overwrite replaces exactly this epoch's verdict partition."""
+    overwrite replaces exactly this epoch's verdict partition.
+
+    ``group_col`` sharpens the localization one level further — WHICH
+    FEED inside the batch swapped tokenizers: verdict rows become one
+    per (epoch, group) via drift.grouped_token_drift, whose KS/PSI
+    folds reduce entirely in-plan (the parquet write streams from the
+    executors; a million-feed batch never collects per-group rows to
+    the driver)."""
     from kglids_spark.operators import drift as D
 
     if len(baseline_cells) > nbins + 2:
@@ -566,6 +574,21 @@ def token_drift_monitor_stream(
         )
 
     stream = spark.readStream.schema(TOKENS_SCHEMA).parquet(input_dir)
+
+    def process_grouped(batch_df: DataFrame, epoch_id: int) -> None:
+        g = D.grouped_token_drift(
+            batch_df,
+            baseline_cells,
+            group_col,
+            array_col=array_col,
+            vocab_size=vocab_size,
+            nbins=nbins,
+            ks_threshold=ks_threshold,
+            psi_threshold=psi_threshold,
+        ).withColumn("epoch", F.lit(int(epoch_id)).cast("long"))
+        g.write.mode("overwrite").option(
+            "partitionOverwriteMode", "dynamic"
+        ).partitionBy("epoch").parquet(out_dir)
 
     def process(batch_df: DataFrame, epoch_id: int) -> None:
         sess = batch_df.sparkSession
@@ -598,7 +621,9 @@ def token_drift_monitor_stream(
         ).partitionBy("epoch").parquet(out_dir)
 
     writer = (
-        stream.writeStream.foreachBatch(process)
+        stream.writeStream.foreachBatch(
+            process if group_col is None else process_grouped
+        )
         .option("checkpointLocation", checkpoint_dir)
         .outputMode("update")
     )

@@ -325,3 +325,118 @@ def test_cli_token_drift(spark, tmp_path, capsys):
     assert rc == 2 and not out["ks_pass"] and not out["psi_pass"]
     assert out["cells"] != out["baseline_cells"]
     assert sum(out["cells"]) == sum(out["baseline_cells"]) == 400
+
+
+def test_grouped_token_drift_localizes_feed(spark):
+    """One verdict row per feed; the feed whose ids are remapped fails
+    while untouched feeds pass, and each group's stats equal the
+    GLOBAL token operator run on that group alone."""
+    rows = []
+    for i in range(2000):
+        rows.append((i, "clean_a", [int((i * 37 + j) % 50257) for j in range(8)]))
+        rows.append((i + 10000, "clean_b", [int((i * 61 + j) % 50257) for j in range(8)]))
+        # remapped feed: ids collapsed into the low range
+        rows.append((i + 20000, "bad", [int(((i * 37 + j) % 50257) / 64) for j in range(8)]))
+    df = spark.createDataFrame(rows, "doc_id long, source string, tokens array<int>")
+    base_src = df.filter(F.col("source") == "clean_a")
+    cells = {int(r.cell): int(r.n) for r in D.token_histogram_df(base_src).collect()}
+    baseline = [cells.get(i, 0) for i in range(66)]
+
+    got = {
+        r.source: r
+        for r in D.grouped_token_drift(df, baseline, "source").collect()
+    }
+    assert set(got) == {"clean_a", "clean_b", "bad"}
+    assert got["clean_a"].ks_pass and got["clean_a"].psi_pass
+    assert not (got["bad"].ks_pass and got["bad"].psi_pass)
+    assert got["clean_a"].n_tokens == 16000
+    # per-group stats equal the global operator on the group alone
+    for src in ("clean_a", "clean_b", "bad"):
+        sub = df.filter(F.col("source") == src)
+        want = D.token_distribution_drift(sub, baseline)
+        assert got[src].ks == pytest.approx(want["ks"], abs=1e-12), src
+        assert got[src].psi == pytest.approx(want["psi"], abs=1e-12), src
+
+
+def test_grouped_token_drift_validation_and_nulls(spark):
+    df = spark.createDataFrame(
+        [(1, "a", [1, 2]), (2, "b", None)],
+        "doc_id long, source string, tokens array<int>",
+    )
+    with pytest.raises(ValueError, match="cells"):
+        D.grouped_token_drift(df, [0] * 200, "source")
+    got = {r.source: r for r in D.grouped_token_drift(df, [1, 1], "source", nbins=0).collect()}
+    # a feed with only NULL arrays contributes no token evidence
+    assert "b" not in got and got["a"].n_tokens == 2
+
+
+def test_cli_token_drift_by_feed(spark, tmp_path):
+    """token-drift --by source: the remapped feed appears in the
+    failing map, clean feeds do not, and the gate trips on any
+    failing feed."""
+    import json as J
+    import subprocess
+    import sys
+
+    base = spark.createDataFrame(
+        [(i, "a", [int((i * 37 + j) % 50257) for j in range(8)]) for i in range(1500)],
+        "doc_id long, source string, tokens array<int>",
+    )
+    cur = base.unionByName(
+        spark.createDataFrame(
+            [
+                (i + 50000, "bad", [int(((i * 37 + j) % 50257) / 64) for j in range(8)])
+                for i in range(1500)
+            ],
+            "doc_id long, source string, tokens array<int>",
+        )
+    )
+    bdir, cdir = str(tmp_path / "base"), str(tmp_path / "cur")
+    base.write.mode("overwrite").parquet(bdir)
+    cur.write.mode("overwrite").parquet(cdir)
+
+    r = subprocess.run(
+        [sys.executable, "-m", "kglids_spark.cli", "token-drift",
+         "--input", cdir, "--baseline", bdir, "--by", "source",
+         "--fail-on-drift", "--cpus", "4"],
+        capture_output=True, text=True,
+    )
+    out = J.loads(r.stdout.strip().splitlines()[-1])
+    g = out["group"]
+    assert g["groups_total"] == 2
+    assert "bad" in g["failing"] and "a" not in g["failing"]
+    assert r.returncode == 2  # the failing feed trips the gate
+
+
+def test_token_drift_monitor_stream_grouped(spark, tmp_path):
+    """group_col mode: one verdict row per (epoch, feed); the remapped
+    feed fails, the clean feed passes, stats equal the batch grouped
+    operator."""
+    from kglids_spark.streaming.incremental import token_drift_monitor_stream
+
+    rows = []
+    for i in range(1500):
+        rows.append((str(i), [int((i * 37 + j) % 50257) for j in range(8)], 8, "a"))
+        rows.append(
+            (str(i + 50000), [int(((i * 37 + j) % 50257) / 64) for j in range(8)], 8, "bad")
+        )
+    df = spark.createDataFrame(rows, "doc_id string, tokens array<int>, n_tok int, source string")
+    cells = {int(r.cell): int(r.n) for r in D.token_histogram_df(df.filter(F.col("source") == "a")).collect()}
+    baseline = [cells.get(i, 0) for i in range(66)]
+
+    src = str(tmp_path / "gtd_in")
+    df.coalesce(1).write.mode("overwrite").parquet(src)
+    out = str(tmp_path / "gtd_out")
+    q = token_drift_monitor_stream(
+        spark, src, baseline, out,
+        checkpoint_dir=str(tmp_path / "gtd_ckpt"),
+        group_col="source",
+    )
+    q.awaitTermination(300)
+    got = {r.source: r for r in spark.read.parquet(out).collect()}
+    assert set(got) == {"a", "bad"}
+    assert got["a"].ks_pass and not (got["bad"].ks_pass and got["bad"].psi_pass)
+    want = {r.source: r for r in D.grouped_token_drift(df, baseline, "source").collect()}
+    for s in ("a", "bad"):
+        assert got[s].ks == pytest.approx(want[s].ks, abs=1e-12)
+        assert got[s].n_tokens == want[s].n_tokens
