@@ -108,6 +108,15 @@ def main(argv: list[str] | None = None) -> int:
         "the columns it reads (repeatable)",
     )
     v.add_argument(
+        "--compliance",
+        action="append",
+        default=[],
+        metavar="PRED @@ COLS @@ MIN_RATIO",
+        help="ratio-compliance constraint (Deequ hasCompliance), e.g. "
+        "'n_tok > 0 @@ n_tok @@ 0.99': fail only when fewer than "
+        "MIN_RATIO of rows satisfy the predicate (repeatable)",
+    )
+    v.add_argument(
         "--metric",
         action="append",
         default=[],
@@ -689,6 +698,28 @@ def main(argv: list[str] | None = None) -> int:
                 )
             cols = [c.strip() for c in colspec.split(",") if c.strip()]
             suite.append(C.expression(pred.strip(), columns=cols))
+        for spec in args.compliance:
+            # rsplit: the trailing cols/ratio fields cannot contain
+            # '@@', the leading SQL predicate may (inside a literal)
+            parts = spec.rsplit("@@", 2)
+            if len(parts) != 3:
+                raise SystemExit(
+                    f"--compliance {spec!r}: expected "
+                    "'PREDICATE @@ col1,col2 @@ MIN_RATIO'"
+                )
+            pred, colspec, ratio_s = parts
+            cols = [c.strip() for c in colspec.split(",") if c.strip()]
+            try:
+                ratio = float(ratio_s)
+            except ValueError:
+                raise SystemExit(
+                    f"--compliance {spec!r}: MIN_RATIO must be a number, "
+                    f"got {ratio_s.strip()!r}"
+                )
+            try:
+                suite.append(C.compliance(pred.strip(), ratio, columns=cols))
+            except ValueError as e:
+                raise SystemExit(f"--compliance {spec!r}: {e}")
         for spec in args.metric:
             # clean usage error (matching --check) instead of a raw
             # ValueError traceback on a malformed spec

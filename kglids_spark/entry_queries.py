@@ -5453,6 +5453,50 @@ def top_collocations_docs(spark, sf_dir):
     )
 
 
+@register(
+    "compliance_ratio_docs",
+    """
+    SELECT 'long_docs' AS constraint_id,
+           count(*) FILTER (WHERE NOT coalesce(n_chars > 150, FALSE))::BIGINT
+             AS n_violations,
+           CAST(count(*) FILTER (WHERE NOT coalesce(n_chars > 150, FALSE))
+                <= 0.8 * count(*) AS INT) AS passed
+    FROM documents
+    UNION ALL
+    SELECT 'lang_known',
+           count(*) FILTER (WHERE NOT coalesce(lang IN ('en','de','fr','es'), FALSE)),
+           CAST(count(*) FILTER (WHERE NOT coalesce(lang IN ('en','de','fr','es'), FALSE))
+                <= 0.01 * count(*) AS INT)
+    FROM documents
+    """,
+)
+def compliance_ratio_docs(spark, sf_dir):
+    """Ratio-compliance verdicts through the REAL validate() engine
+    (Deequ hasCompliance shape): 'at least 20% of docs exceed 150
+    chars' and 'at least 99% have a known language' — counted
+    per-bucket on the single scan, verdicted globally on the merged
+    totals; the oracle recomputes both from first principles."""
+    from kglids_spark.operators import constraints as C
+    from kglids_spark.operators.validate import GLOBAL_BUCKET, validate
+
+    d = _t(spark, sf_dir, "documents")
+    suite = [
+        C.compliance("n_chars > 150", 0.2, columns=["n_chars"], cid="long_docs"),
+        C.compliance(
+            "lang IN ('en','de','fr','es')", 0.99, columns=["lang"], cid="lang_known"
+        ),
+    ]
+    res = validate(d, suite, n_buckets=8, extract_violation_rows=False, kll_col=None)
+    return (
+        res.verdicts.filter(F.col("bucket_id") == GLOBAL_BUCKET)
+        .select(
+            "constraint_id",
+            "n_violations",
+            F.col("passed").cast("int").alias("passed"),
+        )
+    )
+
+
 _STRIP_HTML_SQL = r"""
     WITH wrapped AS (
       SELECT doc_id,

@@ -217,6 +217,40 @@ def expression(
     )
 
 
+def compliance(
+    predicate: str,
+    min_ratio: float,
+    columns: list[str] | None = None,
+    cid: str | None = None,
+) -> Constraint:
+    """Ratio compliance (Deequ's ``hasCompliance`` analog): the suite
+    passes iff at least ``min_ratio`` of validated rows satisfy the
+    predicate — the tolerance-aware sibling of ``expression``, which
+    demands EVERY row comply. Real pipelines assert "≥ 99% of docs
+    have n_tok > 0", not "all docs" — one malformed crawl record must
+    not fail the table, a thousand must.
+
+    Counting is row-level (the predicate rides the same single stats
+    scan, per-bucket totals checkpoint and resume like every row
+    constraint, and violating rows are extractable for triage), but
+    the VERDICT is global: the ratio evaluates once over the merged
+    totals of every bucket ever validated under this constraint hash —
+    per-bucket ratio verdicts would flip with bucket boundaries.
+    Empty input fails (a ratio over nothing asserts nothing — the
+    metric_range contract). NULL predicate results count as
+    non-compliant, like ``expression``; ``columns`` must declare what
+    the predicate reads so the slim scan stays slim."""
+    r = float(min_ratio)
+    if not (0.0 <= r <= 1.0):
+        raise ValueError(f"min_ratio must be within [0, 1], got {min_ratio}")
+    return Constraint(
+        cid or f"compliance({predicate}>={r:g})",
+        "compliance",
+        None,
+        {"predicate": predicate, "columns": tuple(columns or ()), "min_ratio": r},
+    )
+
+
 METRIC_STATS = ("null_rate", "mean", "stddev", "min", "max")
 
 
@@ -358,7 +392,7 @@ KNOWN_KINDS = frozenset(
     {
         "not_null", "unique", "range", "tok_len_consistency", "referential",
         "drift_ks", "drift_psi", "schema_type", "expression", "metric",
-        "fd", "volume", "element_range", "vector_sanity",
+        "fd", "volume", "element_range", "vector_sanity", "compliance",
     }
 )
 
@@ -406,6 +440,7 @@ ROW_LEVEL_KINDS = {
     "referential",
     "referential_flag",
     "expression",
+    "compliance",
     "element_range",
     "element_precomputed",
     "vector_sanity",
@@ -472,8 +507,10 @@ def violation_expr(c: Constraint, df: DataFrame) -> Column:
     if c.kind == "referential_flag":
         # dim membership pre-joined as a boolean flag (validate.py)
         return F.col(c.column).isNotNull() & F.col(c.params["flag"]).isNull()
-    if c.kind == "expression":
-        # violation iff the predicate is not TRUE (NULL -> violation)
+    if c.kind in ("expression", "compliance"):
+        # violation iff the predicate is not TRUE (NULL -> violation);
+        # compliance counts identically — only its VERDICT differs
+        # (a global ratio instead of zero-violations)
         p = F.expr(c.params["predicate"])
         return F.coalesce(~p, F.lit(True))
     if c.kind == "element_range":
@@ -520,6 +557,16 @@ def grouped_verdicts(
         )
     if not rows_c:
         raise ValueError("no row-level constraints given")
+    def _passed(c: Constraint, i: int) -> Column:
+        # compliance passes on a per-group RATIO (empty group =
+        # vacuous pass here — the feed contributed no evidence; the
+        # whole-table verdict in validate() still fails empty input);
+        # every other row kind demands zero violations
+        if c.kind == "compliance":
+            tol = F.lit(1.0 - float(c.params["min_ratio"]))
+            return F.col(f"_v{i}").cast("double") <= tol * F.col("_n")
+        return F.col(f"_v{i}") == 0
+
     aggs = [F.count(F.lit(1)).alias("_n")] + [
         F.sum(violation_expr(c, df).cast("long")).alias(f"_v{i}")
         for i, c in enumerate(rows_c)
@@ -531,6 +578,7 @@ def grouped_verdicts(
                 F.struct(
                     F.lit(c.cid).alias("constraint_id"),
                     F.col(f"_v{i}").alias("n_violations"),
+                    _passed(c, i).alias("passed"),
                 )
                 for i, c in enumerate(rows_c)
             ]
@@ -541,7 +589,7 @@ def grouped_verdicts(
         F.col("_p.constraint_id").alias("constraint_id"),
         "n_checked",
         F.col("_p.n_violations").alias("n_violations"),
-        (F.col("_p.n_violations") == 0).alias("passed"),
+        F.col("_p.passed").alias("passed"),
     )
 
 

@@ -241,12 +241,13 @@ def _slim_projection(
                 cols[c.column] = None
             if c.kind == "referential_flag":
                 cols[c.params["flag"]] = None
-            if c.kind == "expression":
+            if c.kind in ("expression", "compliance"):
                 if not c.params.get("columns"):
                     raise ValueError(
-                        f"{c.cid}: expression constraints must declare the "
-                        "columns they read (constraints.expression(..., "
-                        "columns=[...])) so the slim scan stays slim"
+                        f"{c.cid}: {c.kind} constraints must declare the "
+                        "columns they read (constraints.expression/"
+                        "compliance(..., columns=[...])) so the slim scan "
+                        "stays slim"
                     )
                 for x in c.params["columns"]:
                     cols[x] = None
@@ -493,14 +494,32 @@ def _validate_impl(
     n_rows_total = 0
     baseline = baseline_hist
     merged_hist: list[int] = []
+    # compliance is counted per bucket (it rides the scan, checkpoints,
+    # and resumes like every row constraint) but VERDICTED globally: a
+    # per-bucket ratio would flip with bucket boundaries, so totals
+    # accumulate here and one GLOBAL row is emitted after the loop
+    compliance_cs = [c for c in row_cs if c.kind == "compliance"]
+    compliance_totals = {c.cid: 0 for c in compliance_cs}
     for r in merged_rows:
         n_rows_total += r.n_rows
         vc = r.viol_counts or {}
         for c in row_cs + unique_cs:
             nv = int(vc.get(c.cid, 0))
+            if c.kind == "compliance":
+                compliance_totals[c.cid] += nv
+                continue
             verdict_rows.append((int(r.bucket_id), c.cid, int(r.n_rows), nv, nv == 0))
         if drift_spec is not None and r.hist is not None:
             merged_hist = D.merge_histograms([merged_hist, list(r.hist)]) if merged_hist else list(r.hist)
+
+    for c in compliance_cs:
+        nv = compliance_totals[c.cid]
+        # empty input fails: a ratio over nothing asserts nothing (the
+        # metric_range contract)
+        ok = n_rows_total > 0 and nv <= (
+            (1.0 - float(c.params["min_ratio"])) * n_rows_total
+        )
+        verdict_rows.append((GLOBAL_BUCKET, c.cid, n_rows_total, nv, bool(ok)))
 
     sketch_metrics = {}
     if kll_col is not None and merged_rows:

@@ -1038,3 +1038,121 @@ def test_cli_conditional_fd_spec(tmp_path):
         "--fd", "doc_id -> source @@  ",
     )
     assert r.returncode != 0 and "empty predicate" in (r.stderr + r.stdout)
+
+
+def test_compliance_ratio_verdict_and_resume(spark, tmp_path):
+    """Compliance counts per bucket but verdicts globally: a 10%
+    violation rate passes at min_ratio 0.85, fails at 0.95, and the
+    ratio survives a resumed run over the SAME ledger (totals merge
+    across buckets ever validated)."""
+    from kglids_spark.operators import constraints as C
+    from kglids_spark.operators.validate import GLOBAL_BUCKET
+
+    df = spark.createDataFrame(
+        [(i, i % 10 != 0) for i in range(1000)], "doc_id long, ok boolean"
+    )
+    suite = [
+        C.compliance("ok", 0.85, columns=["ok"], cid="loose"),
+        C.compliance("ok", 0.95, columns=["ok"], cid="strict"),
+    ]
+    res = validate(df, suite, n_buckets=4, extract_violation_rows=True, kll_col=None)
+    glob = {
+        r.constraint_id: r
+        for r in res.verdicts.filter(F.col("bucket_id") == GLOBAL_BUCKET).collect()
+    }
+    assert glob["loose"].passed and glob["loose"].n_violations == 100
+    assert not glob["strict"].passed and glob["strict"].n_violations == 100
+    # only ONE verdict row per compliance constraint (no per-bucket rows)
+    assert res.verdicts.filter(F.col("constraint_id") == "loose").count() == 1
+    # violating rows are extractable for triage
+    assert res.violations.filter(F.col("constraint_id") == "strict").count() == 100
+
+    # resume: the same ledger re-run adds no rows and keeps the verdict
+    from kglids_spark.sources.tables import TableStore
+
+    ledger = TableStore(spark, str(tmp_path / "comp_ledger"))
+    r1 = validate(df, suite, n_buckets=4, ledger=ledger,
+                  extract_violation_rows=False, kll_col=None)
+    r2 = validate(df, suite, n_buckets=4, ledger=ledger,
+                  extract_violation_rows=False, kll_col=None)
+    g2 = {
+        r.constraint_id: r
+        for r in r2.verdicts.filter(F.col("bucket_id") == GLOBAL_BUCKET).collect()
+    }
+    assert g2["loose"].passed and g2["loose"].n_violations == 100
+    assert g2["loose"].n_checked == 1000  # merged, not doubled
+
+
+def test_compliance_empty_input_fails_and_validation(spark):
+    from kglids_spark.operators import constraints as C
+    from kglids_spark.operators.validate import GLOBAL_BUCKET
+
+    empty = spark.createDataFrame([], "doc_id long, ok boolean")
+    res = validate(
+        empty,
+        [C.compliance("ok", 0.5, columns=["ok"])],
+        n_buckets=2,
+        extract_violation_rows=False,
+        kll_col=None,
+    )
+    rows = res.verdicts.filter(F.col("bucket_id") == GLOBAL_BUCKET).collect()
+    assert len(rows) == 1 and not rows[0].passed
+    with pytest.raises(ValueError, match="min_ratio"):
+        C.compliance("ok", 1.5)
+    # round-trips the JSON suite surface with an identical hash
+    suite = [C.compliance("n_tok > 0", 0.99, columns=["n_tok"])]
+    back = C.suite_from_json(C.suite_to_json(suite))
+    assert C.constraint_set_hash(back) == C.constraint_set_hash(suite)
+    assert back[0].params["min_ratio"] == 0.99
+
+
+def test_compliance_grouped_verdicts_ratio(spark):
+    from kglids_spark.operators import constraints as C
+
+    rows = [(i, "good", True) for i in range(100)] + [
+        (i + 1000, "bad", i % 2 == 0) for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, ok boolean")
+    g = C.grouped_verdicts(
+        df,
+        [C.compliance("ok", 0.9, columns=["ok"], cid="c"), C.not_null("doc_id")],
+        "source",
+    )
+    got = {(r.source, r.constraint_id): r for r in g.collect()}
+    assert got[("good", "c")].passed
+    assert not got[("bad", "c")].passed  # 50% < 90%
+    assert got[("bad", "c")].n_violations == 50
+    assert got[("bad", "not_null(doc_id)")].passed
+
+
+def test_cli_compliance_spec(tmp_path):
+    import json as J
+    import subprocess
+    import sys
+
+    def run(*extra):
+        return subprocess.run(
+            [sys.executable, "-m", "kglids_spark.cli", *extra],
+            capture_output=True, text=True,
+        )
+
+    clean = str(tmp_path / "comp_clean")
+    assert (
+        run("generate", "--rows", "5000", "--out", clean, "--no-violations").returncode
+        == 0
+    )
+    r = run(
+        "validate", "--input", clean, "--cpus", "4", "--no-violation-rows",
+        "--compliance", "n_tok > 0 @@ n_tok @@ 0.5",
+        "--compliance", "n_tok > 100000 @@ n_tok @@ 0.99",
+    )
+    assert r.returncode == 0, r.stdout[-500:] + r.stderr[-500:]
+    out = J.loads(r.stdout.strip().splitlines()[-1])
+    vs = out["verdict_summary"]
+    assert vs["compliance(n_tok > 0>=0.5)"]["passed"] is True
+    assert vs["compliance(n_tok > 100000>=0.99)"]["passed"] is False
+    r = run(
+        "validate", "--input", clean, "--cpus", "4", "--no-violation-rows",
+        "--compliance", "n_tok > 0 @@ n_tok @@ nope",
+    )
+    assert r.returncode != 0 and "MIN_RATIO" in (r.stderr + r.stdout)
