@@ -6077,7 +6077,15 @@ _DRIVER_PRIORITY = [
     # production path is pinned by r4-green sentence_embedding_subword,
     # a strict superset adding the OOV backoff); both displaced queries
     # stay DuckDB-checked by tests/test_entry.py on every pytest run)
-    "audio_fingerprint", "video_fingerprint",
+    # (compliance_ratio_docs — the session's ratio-compliance verdicts
+    # through the real validate() engine, one passing + one failing —
+    # takes video_fingerprint's slot: the media near-dup family keeps
+    # image_phash and audio_fingerprint in this window, all three legs
+    # share the same persist + Hamming pair-join machinery, and the
+    # video query stays pytest-oracled on every run. The north rule is
+    # the constraint engine; a constraint-kind row outranks a third
+    # media modality.)
+    "audio_fingerprint", "compliance_ratio_docs",
     # (c) last checked in round 2
     # (packed_bin_windows — the late-round-5 training-window builder,
     # value-exact down to the per-bin span arrays — takes
