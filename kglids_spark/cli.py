@@ -55,6 +55,44 @@ def _parse_vector_sanity(spec: str):
     return C.vector_sanity(col, dim=dim, norm_lo=nlo, norm_hi=nhi)
 
 
+def _group_drift_summary(gd, group_col: str, cap: int, fields: list[str]) -> dict:
+    """Bounded JSON summary of a per-group drift frame, shared by
+    validate --drift-by and token-drift --by: exact totals reduce
+    in-plan to ONE row, only the ≤ cap worst failing groups (by PSI)
+    are ever collected, and the frame PERSISTS across the two actions
+    — without the persist each action re-runs the grouped explode/
+    aggregation against the raw input (review r5). ``fields`` names
+    the per-group row fields to surface; floats round to 6 dp."""
+    gd = gd.persist()
+    try:
+        tot = gd.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum((~F.col("ks_pass") | ~F.col("psi_pass")).cast("int")).alias(
+                "failed"
+            ),
+        ).collect()[0]
+        worst = (
+            gd.filter(~F.col("ks_pass") | ~F.col("psi_pass"))
+            .orderBy(F.desc("psi"))
+            .limit(cap)
+            .collect()
+        )
+    finally:
+        gd.unpersist()
+    return {
+        "group_col": group_col,
+        "groups_total": int(tot.n),
+        "groups_failed": int(tot.failed or 0),
+        "failing": {
+            str(r[group_col]): {
+                f: (round(r[f], 6) if isinstance(r[f], float) else r[f])
+                for f in fields
+            }
+            for r in worst
+        },
+    }
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="kglids_spark")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -832,37 +870,12 @@ def main(argv: list[str] | None = None) -> int:
         )
         group_drift = None
         if res.group_drift is not None:
-            # exact totals reduce in-plan to ONE row; only the <= cap
-            # worst failing groups are ever collected, so the JSON line
-            # stays bounded at millions of groups
-            gd = res.group_drift
-            tot = gd.agg(
-                F.count(F.lit(1)).alias("n"),
-                F.sum(
-                    (~F.col("ks_pass") | ~F.col("psi_pass")).cast("int")
-                ).alias("failed"),
-            ).collect()[0]
-            worst = (
-                gd.filter(~F.col("ks_pass") | ~F.col("psi_pass"))
-                .orderBy(F.desc("psi"))
-                .limit(args.drift_by_cap)
-                .collect()
+            group_drift = _group_drift_summary(
+                res.group_drift,
+                args.drift_by,
+                args.drift_by_cap,
+                ["n_rows", "ks", "psi", "ks_pass", "psi_pass"],
             )
-            group_drift = {
-                "group_col": args.drift_by,
-                "groups_total": int(tot.n),
-                "groups_failed": int(tot.failed or 0),
-                "failing": {
-                    str(r[args.drift_by]): {
-                        "n_rows": r.n_rows,
-                        "ks": round(r.ks, 6),
-                        "psi": round(r.psi, 6),
-                        "ks_pass": r.ks_pass,
-                        "psi_pass": r.psi_pass,
-                    }
-                    for r in worst
-                },
-            }
         summary = {
             r.constraint_id: {"violations": r.total, "passed": bool(r.ok)}
             for r in res.verdicts.groupBy("constraint_id")
@@ -997,7 +1010,15 @@ def main(argv: list[str] | None = None) -> int:
             ],
         ).collect()[0]
         trunc = PK.truncation_stats(
-            df.select(F.size(args.array_col).cast("long").alias("n_tok")),
+            # greatest(size, 0): NULL arrays count as 0-token docs in
+            # BOTH report sections (size(NULL) is NULL under ANSI and
+            # -1 under legacy sizeOfNull — either would make the
+            # truncation rows disagree with n_docs/n_empty above)
+            df.select(
+                F.greatest(F.size(args.array_col), F.lit(0))
+                .cast("long")
+                .alias("n_tok")
+            ),
             seq_lens,
         ).collect()
         rnd = lambda xs: (  # noqa: E731
@@ -1069,32 +1090,10 @@ def main(argv: list[str] | None = None) -> int:
                 ks_threshold=args.ks_threshold,
                 psi_threshold=args.psi_threshold,
             )
-            tot = g.agg(
-                F.count(F.lit(1)).alias("n"),
-                F.sum(
-                    (~F.col("ks_pass") | ~F.col("psi_pass")).cast("int")
-                ).alias("failed"),
-            ).collect()[0]
-            worst = (
-                g.filter(~F.col("ks_pass") | ~F.col("psi_pass"))
-                .orderBy(F.desc("psi"))
-                .limit(args.by_cap)
-                .collect()
+            report["group"] = _group_drift_summary(
+                g, args.by, args.by_cap, ["n_tokens", "ks", "psi"]
             )
-            any_group_failed = int(tot.failed or 0) > 0
-            report["group"] = {
-                "group_col": args.by,
-                "groups_total": int(tot.n),
-                "groups_failed": int(tot.failed or 0),
-                "failing": {
-                    str(r[args.by]): {
-                        "n_tokens": r.n_tokens,
-                        "ks": round(r.ks, 6),
-                        "psi": round(r.psi, 6),
-                    }
-                    for r in worst
-                },
-            }
+            any_group_failed = report["group"]["groups_failed"] > 0
         print(json.dumps(report))
         if args.fail_on_drift and (
             not (out["ks_pass"] and out["psi_pass"]) or any_group_failed

@@ -5459,14 +5459,16 @@ def top_collocations_docs(spark, sf_dir):
     SELECT 'long_docs' AS constraint_id,
            count(*) FILTER (WHERE NOT coalesce(n_chars > 150, FALSE))::BIGINT
              AS n_violations,
-           CAST(count(*) FILTER (WHERE NOT coalesce(n_chars > 150, FALSE))
-                <= 0.8 * count(*) AS INT) AS passed
+           -- exact integer boundary: (n - nv) * denom >= num * n for
+           -- min_ratio 0.2 = 1/5 (the engine's compliance_fraction rule)
+           CAST((count(*) - count(*) FILTER (WHERE NOT coalesce(n_chars > 150, FALSE)))
+                * 5 >= 1 * count(*) AS INT) AS passed
     FROM documents
     UNION ALL
     SELECT 'lang_known',
            count(*) FILTER (WHERE NOT coalesce(lang IN ('en','de','fr','es'), FALSE)),
-           CAST(count(*) FILTER (WHERE NOT coalesce(lang IN ('en','de','fr','es'), FALSE))
-                <= 0.01 * count(*) AS INT)
+           CAST((count(*) - count(*) FILTER (WHERE NOT coalesce(lang IN ('en','de','fr','es'), FALSE)))
+                * 100 >= 99 * count(*) AS INT)
     FROM documents
     """,
 )

@@ -251,6 +251,20 @@ def compliance(
     )
 
 
+def compliance_fraction(c: Constraint) -> tuple[int, int]:
+    """min_ratio as an exact (numerator, denominator) pair, via the
+    DECIMAL string of the float (Fraction(str(0.8)) == 4/5, not the
+    binary float 0.8000…0444). The pass rule everywhere is the exact
+    integer comparison ``(n − nv) · denom ≥ num · n`` — a dataset with
+    exactly min_ratio compliant rows PASSES, which the float form
+    ``nv ≤ (1−r)·n`` gets wrong at the boundary ((1.0−0.8)·10 =
+    1.9999…96 < 2 in IEEE doubles)."""
+    from fractions import Fraction
+
+    f = Fraction(str(c.params["min_ratio"]))
+    return f.numerator, f.denominator
+
+
 METRIC_STATS = ("null_rate", "mean", "stddev", "min", "max")
 
 
@@ -561,10 +575,14 @@ def grouped_verdicts(
         # compliance passes on a per-group RATIO (empty group =
         # vacuous pass here — the feed contributed no evidence; the
         # whole-table verdict in validate() still fails empty input);
-        # every other row kind demands zero violations
+        # every other row kind demands zero violations. Exact integer
+        # boundary semantics via compliance_fraction — decimal(38,0)
+        # products stay exact up to ~10^22-row groups
         if c.kind == "compliance":
-            tol = F.lit(1.0 - float(c.params["min_ratio"]))
-            return F.col(f"_v{i}").cast("double") <= tol * F.col("_n")
+            num, den = compliance_fraction(c)
+            dec = "decimal(38,0)"
+            compliant = (F.col("_n") - F.col(f"_v{i}")).cast(dec)
+            return compliant * F.lit(den) >= F.lit(num) * F.col("_n").cast(dec)
         return F.col(f"_v{i}") == 0
 
     aggs = [F.count(F.lit(1)).alias("_n")] + [

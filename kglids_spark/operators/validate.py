@@ -514,11 +514,13 @@ def _validate_impl(
 
     for c in compliance_cs:
         nv = compliance_totals[c.cid]
-        # empty input fails: a ratio over nothing asserts nothing (the
-        # metric_range contract)
-        ok = n_rows_total > 0 and nv <= (
-            (1.0 - float(c.params["min_ratio"])) * n_rows_total
-        )
+        # exact integer arithmetic (unbounded Python ints): a dataset
+        # with exactly min_ratio compliant rows passes — the float
+        # form (1-r)*n flips at the boundary (constraints.
+        # compliance_fraction). Empty input fails: a ratio over
+        # nothing asserts nothing (the metric_range contract).
+        num, den = C.compliance_fraction(c)
+        ok = n_rows_total > 0 and (n_rows_total - nv) * den >= num * n_rows_total
         verdict_rows.append((GLOBAL_BUCKET, c.cid, n_rows_total, nv, bool(ok)))
 
     sketch_metrics = {}

@@ -1156,3 +1156,53 @@ def test_cli_compliance_spec(tmp_path):
         "--compliance", "n_tok > 0 @@ n_tok @@ nope",
     )
     assert r.returncode != 0 and "MIN_RATIO" in (r.stderr + r.stdout)
+
+
+def test_compliance_exact_boundary_passes(spark):
+    """A dataset with EXACTLY min_ratio compliant rows passes — the
+    float form (1-r)*n flips at the boundary ((1.0-0.8)*10 =
+    1.9999999999999996 < 2); the engine compares exact integers via
+    compliance_fraction (review r5)."""
+    from kglids_spark.operators import constraints as C
+    from kglids_spark.operators.validate import GLOBAL_BUCKET
+
+    # 10 rows, exactly 8 compliant, min_ratio 0.8
+    df = spark.createDataFrame(
+        [(i, i < 8) for i in range(10)], "doc_id long, ok boolean"
+    )
+    res = validate(
+        df,
+        [C.compliance("ok", 0.8, columns=["ok"], cid="b")],
+        n_buckets=2,
+        extract_violation_rows=False,
+        kll_col=None,
+    )
+    row = res.verdicts.filter(F.col("bucket_id") == GLOBAL_BUCKET).collect()[0]
+    assert row.n_violations == 2 and row.passed
+    # 0.9 over 10 rows with exactly 1 violation: boundary again
+    res2 = validate(
+        spark.createDataFrame([(i, i < 9) for i in range(10)], "doc_id long, ok boolean"),
+        [C.compliance("ok", 0.9, columns=["ok"], cid="b9")],
+        n_buckets=2,
+        extract_violation_rows=False,
+        kll_col=None,
+    )
+    assert res2.verdicts.filter(F.col("bucket_id") == GLOBAL_BUCKET).collect()[0].passed
+    # one more violation fails
+    res3 = validate(
+        spark.createDataFrame([(i, i < 7) for i in range(10)], "doc_id long, ok boolean"),
+        [C.compliance("ok", 0.8, columns=["ok"], cid="b8")],
+        n_buckets=2,
+        extract_violation_rows=False,
+        kll_col=None,
+    )
+    assert not res3.verdicts.filter(F.col("bucket_id") == GLOBAL_BUCKET).collect()[0].passed
+    # the grouped pass rule agrees at the boundary
+    g = C.grouped_verdicts(
+        spark.createDataFrame(
+            [(i, "g", i < 8) for i in range(10)], "doc_id long, src string, ok boolean"
+        ),
+        [C.compliance("ok", 0.8, columns=["ok"], cid="gb")],
+        "src",
+    ).collect()
+    assert g[0].passed
