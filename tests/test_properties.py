@@ -1,10 +1,14 @@
 """Property-based tests (hypothesis) for the pure-Python engine parts:
 KLL sketch rank accuracy and merge laws, bloom filter no-false-negatives,
-KS/PSI drift math, histogram merge, and AST abstraction resolution.
-All driver-side — no SparkSession — so they shrink fast.
+KS/PSI/JSD/EMD drift math, histogram merge, AST abstraction resolution,
+and the compliance boundary rule. Mostly driver-side (no SparkSession,
+fast shrinking); the round-5 information/truncation laws run tiny
+random corpora through the real operators against pure-Python
+references (session-scoped spark fixture).
 """
 
 import numpy as np
+import pytest
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
@@ -283,3 +287,123 @@ def test_dhash_is_resize_stable_on_constant_rows(w, h, seed):
     img_a = np.repeat(row, h, axis=0)
     img_b = np.repeat(row, max(1, h // 2), axis=0)
     assert dhash64(img_a) == dhash64(img_b)
+
+
+# ---------------------------------------------------------------------------
+# round-5 final additions: information stats, JSD/EMD, compliance boundary
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=10**6), min_size=2, max_size=64))
+def test_jsd_bounds_symmetry_identity(hist):
+    import math
+
+    from kglids_spark.operators import drift as D
+
+    other = list(reversed(hist))
+    j = D.js_divergence(hist, other)
+    assert 0.0 <= j <= math.log(2) + 1e-12
+    assert j == pytest.approx(D.js_divergence(other, hist), abs=1e-12)
+    assert D.js_divergence(hist, hist) == pytest.approx(0.0, abs=1e-12)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.lists(st.integers(min_value=0, max_value=10**6), min_size=2, max_size=64),
+    st.lists(st.integers(min_value=0, max_value=10**6), min_size=2, max_size=64),
+)
+def test_emd_metric_properties(h1, h2):
+    from kglids_spark.operators import drift as D
+
+    n = min(len(h1), len(h2))
+    h1, h2 = h1[:n], h2[:n]
+    e = D.emd_statistic(h1, h2)
+    assert e >= 0.0
+    assert e == pytest.approx(D.emd_statistic(h2, h1), abs=1e-9)
+    assert D.emd_statistic(h1, h1) == pytest.approx(0.0, abs=1e-12)
+    # EMD is bounded by the support length (max transport distance)
+    if sum(h1) and sum(h2):
+        assert e <= n
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.integers(min_value=0, max_value=10**7),
+    st.integers(min_value=0, max_value=10**7),
+    st.sampled_from([0.0, 0.2, 0.5, 0.8, 0.9, 0.95, 0.99, 0.999, 1.0]),
+)
+def test_compliance_fraction_matches_exact_rational(n, nv, ratio):
+    """The engine's integer pass rule equals exact rational arithmetic
+    against the DECIMAL reading of the ratio for every (n, nv) —
+    including the boundary cases the float form gets wrong."""
+    from fractions import Fraction
+
+    from kglids_spark.operators import constraints as C
+
+    nv = min(nv, n)
+    c = C.compliance("x", ratio, columns=["x"])
+    num, den = C.compliance_fraction(c)
+    engine = n > 0 and (n - nv) * den >= num * n
+    exact = n > 0 and Fraction(n - nv, max(n, 1)) >= Fraction(str(ratio))
+    assert engine == exact
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.integers(min_value=0, max_value=50), min_size=0, max_size=30),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_token_information_matches_pure_python(spark, docs):
+    """Entropy / cross-entropy / KL from the distributed operator equal
+    an independent pure-Python computation over random corpora."""
+    import math
+    from collections import Counter
+
+    from kglids_spark.operators import frequency as FR
+
+    rows = [(i, d) for i, d in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, tokens array<long>")
+    got = {r.doc_id: r for r in FR.token_information_scores(df).collect()}
+
+    corpus = Counter()
+    for d in docs:
+        corpus.update(d)
+    N = sum(corpus.values())
+    for i, d in enumerate(docs):
+        r = got[i]
+        if not d:
+            assert r.n_tok == 0 and r.entropy is None
+            continue
+        c = Counter(d)
+        n = len(d)
+        h = -sum((v / n) * math.log(v / n) for v in c.values())
+        ce = -sum(v * math.log(corpus[t] / N) for t, v in c.items()) / n
+        assert r.n_tok == n
+        assert r.entropy == pytest.approx(h, abs=1e-9)
+        assert r.cross_entropy == pytest.approx(ce, abs=1e-9)
+        assert r.kl == pytest.approx(ce - h, abs=1e-9)
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.lists(st.one_of(st.none(), st.integers(min_value=0, max_value=5000)), min_size=0, max_size=50),
+    st.lists(st.integers(min_value=1, max_value=64), min_size=1, max_size=4),
+)
+def test_truncation_stats_matches_pure_python(spark, lens, seq_lens):
+    import math
+
+    from kglids_spark.operators.packing import truncation_stats
+
+    df = spark.createDataFrame([(v,) for v in lens], "n_tok long")
+    rows = {r.seq_len: r for r in truncation_stats(df, seq_lens).collect()}
+    vals = [v for v in lens if v is not None]
+    for L in set(seq_lens):
+        r = rows[L]
+        assert r.n_docs == len(vals)
+        assert r.total_tokens == sum(vals)
+        assert r.docs_truncated == sum(1 for v in vals if v > L)
+        assert r.tokens_kept_truncate == sum(min(v, L) for v in vals)
+        assert r.n_chunks == sum(math.ceil(v / L) for v in vals)
