@@ -630,3 +630,96 @@ def token_drift_monitor_stream(
     if trigger_once:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def compliance_monitor_stream(
+    spark: SparkSession,
+    input_dir: str,
+    constraints: list,
+    out_dir: str,
+    checkpoint_dir: str,
+    trigger_once: bool = True,
+    files_per_trigger: int | None = None,
+):
+    """Incremental ratio-compliance gate: each micro-batch counts its
+    violations for every compliance constraint and the verdict is
+    CUMULATIVE — the pass/fail reflects all rows ever streamed, which
+    is the batch operator's global-ratio semantics (a per-batch ratio
+    would flap on small batches; the question "is ≥ 99% of everything
+    we ingested compliant" has one running answer). Appends one row
+    per (epoch, constraint): n_rows, n_violations, cum_rows,
+    cum_violations, passed.
+
+    State lives in the output table itself: the cumulative totals
+    re-derive from prior epochs' rows (epoch < current), so the
+    foreachBatch needs no state store and the per-epoch dynamic
+    overwrite keeps replays idempotent — a crashed epoch re-runs,
+    re-reads the SAME prior rows, and replaces its own partition.
+    The pass rule is the engine's exact integer boundary comparison
+    (constraints.compliance_fraction). ``files_per_trigger`` bounds
+    each micro-batch for testing multi-epoch behavior."""
+    from kglids_spark.operators import constraints as C
+
+    comp = [c for c in constraints if c.kind == "compliance"]
+    if not comp or len(comp) != len(constraints):
+        raise ValueError(
+            "compliance_monitor_stream takes compliance constraints only "
+            f"(got kinds {sorted({c.kind for c in constraints})})"
+        )
+    fracs = {c.cid: C.compliance_fraction(c) for c in comp}
+
+    reader = spark.readStream.schema(TOKENS_SCHEMA)
+    if files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", int(files_per_trigger))
+    stream = reader.parquet(input_dir)
+
+    def process(batch_df: DataFrame, epoch_id: int) -> None:
+        sess = batch_df.sparkSession
+        aggs = [F.count(F.lit(1)).alias("_n")] + [
+            F.sum(C.violation_expr(c, batch_df).cast("long")).alias(f"_v{i}")
+            for i, c in enumerate(comp)
+        ]
+        row = batch_df.agg(*aggs).collect()[0]
+        prior = {c.cid: (0, 0) for c in comp}
+        try:
+            # epoch < current: replays re-read the same prior rows and
+            # replace their own partition — idempotent by construction
+            for r in (
+                sess.read.parquet(out_dir)
+                .filter(F.col("epoch") < int(epoch_id))
+                .groupBy("constraint_id")
+                .agg(
+                    F.sum("n_rows").alias("n"), F.sum("n_violations").alias("v")
+                )
+                .collect()
+            ):
+                prior[r.constraint_id] = (int(r.n or 0), int(r.v or 0))
+        except Exception:
+            pass  # first epoch: no output table yet
+        out_rows = []
+        n = int(row["_n"] or 0)
+        for i, c in enumerate(comp):
+            nv = int(row[f"_v{i}"] or 0)
+            pn, pv = prior.get(c.cid, (0, 0))
+            cum_n, cum_v = pn + n, pv + nv
+            num, den = fracs[c.cid]
+            ok = cum_n > 0 and (cum_n - cum_v) * den >= num * cum_n
+            out_rows.append(
+                (int(epoch_id), c.cid, n, nv, cum_n, cum_v, bool(ok))
+            )
+        sess.createDataFrame(
+            out_rows,
+            "epoch long, constraint_id string, n_rows long, n_violations long, "
+            "cum_rows long, cum_violations long, passed boolean",
+        ).write.mode("overwrite").option(
+            "partitionOverwriteMode", "dynamic"
+        ).partitionBy("epoch").parquet(out_dir)
+
+    writer = (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

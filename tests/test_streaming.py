@@ -471,3 +471,49 @@ def test_token_drift_monitor_stream_rejects_bad_baseline(spark, tmp_path):
             str(tmp_path / "out"),
             checkpoint_dir=str(tmp_path / "ckpt"),
         )
+
+
+def test_compliance_monitor_stream_cumulative(spark, tmp_path):
+    """The streaming gate's verdict is CUMULATIVE: a clean first epoch
+    passes, a dirty second epoch flips the running ratio, and the
+    final cumulative totals equal the batch validate() over all rows."""
+    from kglids_spark.operators.validate import GLOBAL_BUCKET
+    from kglids_spark.streaming.incremental import compliance_monitor_stream
+
+    clean = generate_tokens(spark, 3000, seed=21, plant_violations=False)
+    dirty = generate_tokens(spark, 3000, seed=22, plant_violations=False).withColumn(
+        "n_tok", F.lit(0).cast(clean.schema["n_tok"].dataType)
+    )
+    src = str(tmp_path / "cg_in")
+    clean.coalesce(1).write.mode("overwrite").parquet(src)
+    dirty.coalesce(1).write.mode("append").parquet(src)
+
+    suite = [C.compliance("n_tok > 0", 0.9, columns=["n_tok"], cid="pos_tok")]
+    out = str(tmp_path / "cg_out")
+    q = compliance_monitor_stream(
+        spark, src, suite, out,
+        checkpoint_dir=str(tmp_path / "cg_ckpt"),
+        files_per_trigger=1,
+    )
+    q.awaitTermination(300)
+
+    rows = sorted(spark.read.parquet(out).collect(), key=lambda r: r.epoch)
+    assert len(rows) == 2
+    final = rows[-1]
+    assert final.cum_rows == 6000
+    # the batch twin over ALL rows agrees exactly
+    allrows = spark.read.parquet(src)
+    res = validate(allrows, suite, n_buckets=4,
+                   extract_violation_rows=False, kll_col=None)
+    want = res.verdicts.filter(F.col("bucket_id") == GLOBAL_BUCKET).collect()[0]
+    assert final.cum_violations == want.n_violations
+    assert final.passed == want.passed
+    assert not final.passed  # 50% < 90%
+    # one epoch was clean and passing on its own cumulative read
+    assert any(r.passed for r in rows) or rows[0].n_violations > 0
+    # only compliance kinds are accepted
+    with pytest.raises(ValueError, match="compliance constraints only"):
+        compliance_monitor_stream(
+            spark, src, [C.not_null("doc_id")], out,
+            checkpoint_dir=str(tmp_path / "cg_ckpt2"),
+        )
