@@ -5499,6 +5499,57 @@ def compliance_ratio_docs(spark, sf_dir):
     )
 
 
+@register(
+    "drift_equidepth_events",
+    """
+    WITH v AS (SELECT value FROM events WHERE event_type = 'view'),
+    e AS (
+      SELECT list_transform(
+        quantile_cont(value, [0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875]),
+        x -> round(x, 6)) AS qs
+      FROM v),
+    b AS (
+      SELECT ev.event_type,
+             len(list_filter(e.qs, q -> ev.value >= q)) AS bin
+      FROM events ev, e WHERE ev.event_type IN ('click', 'view')),
+    h AS (
+      SELECT bin,
+             count(*) FILTER (WHERE event_type = 'click') AS c1,
+             count(*) FILTER (WHERE event_type = 'view') AS c2
+      FROM b GROUP BY bin),
+    cum AS (
+      SELECT sum(c1) OVER (ORDER BY bin) / (SELECT sum(c1) FROM h)::DOUBLE AS cdf1,
+             sum(c2) OVER (ORDER BY bin) / (SELECT sum(c2) FROM h)::DOUBLE AS cdf2
+      FROM h),
+    p AS (
+      SELECT greatest(c1 / (SELECT sum(c1) FROM h)::DOUBLE, 1e-6) AS p1,
+             greatest(c2 / (SELECT sum(c2) FROM h)::DOUBLE, 1e-6) AS p2
+      FROM h)
+    SELECT round((SELECT max(abs(cdf1 - cdf2)) FROM cum), 6) AS ks,
+           round((SELECT sum((p1 - p2) * ln(p1 / p2)) FROM p), 6) AS psi
+    """,
+)
+def drift_equidepth_events(spark, sf_dir):
+    """KS + PSI on the EQUAL-MASS binning derived from the baseline
+    ('view' events' octile edges, rounded to 6 dp for cross-engine bin
+    parity), click scored against it — the heavy-tail-sensitive drift
+    variant (every cell holds equal baseline mass, so PSI's epsilon
+    floor never dominates and tail shifts move full cells). The oracle
+    replays the identical edge derivation and binning."""
+    from kglids_spark.operators import drift as D
+
+    e = _t(spark, sf_dir, "events")
+    out = D.equidepth_drift(
+        e.filter(F.col("event_type") == "click"),
+        e.filter(F.col("event_type") == "view"),
+        "value",
+        nbins=8,
+    )
+    return spark.createDataFrame(
+        [(round(out["ks"], 6), round(out["psi"], 6))], "ks double, psi double"
+    )
+
+
 _STRIP_HTML_SQL = r"""
     WITH wrapped AS (
       SELECT doc_id,

@@ -417,3 +417,86 @@ def grouped_token_drift(
     return _fold_drift_verdicts(
         h, base, group_col, "n_tokens", ks_threshold, psi_threshold, eps
     )
+
+
+def equidepth_edges(
+    df: DataFrame,
+    column: str,
+    nbins: int = 16,
+    exact: bool = True,
+    round_dp: int = 6,
+) -> list[float]:
+    """Interior quantile edges (nbins − 1 of them) of ``column`` from a
+    baseline frame — the equal-MASS binning. The equi-width HistSpec
+    wastes most of its cells on a heavy-tailed column (n_tok: half the
+    bins may hold <1% of the mass, so a tail shift barely moves KS);
+    equi-depth bins give every cell the same baseline mass, the
+    standard fix. ``exact`` uses the interpolated ``percentile`` (one
+    aggregate; its buffer holds the column — query-scale); at 10^12
+    rows use ``exact=False`` (mergeable KLL ``percentile_approx``).
+    Edges ROUND to ``round_dp`` so two engines computing interpolated
+    quantiles with different float paths agree on the binning —
+    a raw-bit edge difference would flip boundary values between
+    neighboring bins."""
+    if nbins < 2:
+        raise ValueError(f"nbins must be >= 2, got {nbins}")
+    col = F.col(column).cast("double")
+    qs = [i / nbins for i in range(1, nbins)]
+    qarr = F.array(*[F.lit(q) for q in qs])
+    if exact:
+        row = df.agg(F.percentile(col, qarr).alias("e")).collect()[0]
+    else:
+        row = df.agg(
+            F.percentile_approx(col, qarr, F.lit(10000)).alias("e")
+        ).collect()[0]
+    if row["e"] is None:
+        raise ValueError(f"{column}: no non-null values to derive edges from")
+    return [round(float(v), round_dp) for v in row["e"]]
+
+
+def equidepth_histogram(df: DataFrame, column: str, edges: list[float]) -> list[int]:
+    """Counts per equi-depth bin under ``edges`` (interior edges from
+    :func:`equidepth_edges`): bin index = #edges ≤ value, giving
+    len(edges)+1 cells with no under/overflow (the outer bins are
+    open). One map-side-combined groupBy over the bin index — the
+    Exchange carries ≤ nbins rows; NULLs are excluded."""
+    col = F.col(column).cast("double")
+    idx = sum(
+        ((col >= F.lit(float(e))).cast("int") for e in edges), F.lit(0)
+    ).alias("bin")
+    counts = {
+        int(r["bin"]): int(r["n"])
+        for r in df.where(col.isNotNull())
+        .select(idx)
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    return [counts.get(i, 0) for i in range(len(edges) + 1)]
+
+
+def equidepth_drift(
+    df: DataFrame,
+    baseline_df: DataFrame,
+    column: str,
+    nbins: int = 16,
+    ks_threshold: float = 0.1,
+    psi_threshold: float = 0.2,
+    exact: bool = True,
+) -> dict:
+    """KS + PSI on the equal-mass binning DERIVED FROM THE BASELINE:
+    edges from baseline quantiles, both frames histogrammed on those
+    edges, then the shared driver math. On a heavy-tailed column this
+    is strictly more sensitive than the equi-width HistSpec path — the
+    baseline occupies every cell equally (PSI's epsilon floor never
+    dominates) and a tail shift moves full cells rather than the one
+    overflow bucket. Returns the evaluate_drift dict plus the edges
+    and both cell lists."""
+    edges = equidepth_edges(baseline_df, column, nbins=nbins, exact=exact)
+    base = equidepth_histogram(baseline_df, column, edges)
+    cur = equidepth_histogram(df, column, edges)
+    out = evaluate_drift(cur, base, ks_threshold, psi_threshold)
+    out["edges"] = edges
+    out["cells"] = cur
+    out["baseline_cells"] = base
+    return out

@@ -440,3 +440,40 @@ def test_token_drift_monitor_stream_grouped(spark, tmp_path):
     for s in ("a", "bad"):
         assert got[s].ks == pytest.approx(want[s].ks, abs=1e-12)
         assert got[s].n_tokens == want[s].n_tokens
+
+
+def test_equidepth_drift_sensitivity_and_edges(spark):
+    """Equi-depth drift: identical distributions read ~0; a pure tail
+    shift that the equi-width spec shoves into one overflow bucket
+    moves multiple equal-mass cells; edge/bin bookkeeping is exact."""
+    import random
+
+    rng = random.Random(3)
+    base_vals = [rng.lognormvariate(5.0, 1.0) for _ in range(4000)]
+    base = spark.createDataFrame([(v,) for v in base_vals], "value double")
+
+    edges = D.equidepth_edges(base, "value", nbins=8)
+    assert len(edges) == 7 and edges == sorted(edges)
+    h = D.equidepth_histogram(base, "value", edges)
+    assert sum(h) == 4000
+    # equal mass: every cell holds ~1/8 of the baseline
+    assert all(abs(c - 500) <= 10 for c in h)
+
+    same = spark.createDataFrame(
+        [(v,) for v in [rng.lognormvariate(5.0, 1.0) for _ in range(4000)]],
+        "value double",
+    )
+    clean = D.equidepth_drift(same, base, "value", nbins=8)
+    assert clean["ks_pass"] and clean["psi_pass"]
+
+    # location shift: fails on the equal-mass binning
+    shifted = base.select((F.col("value") * 1.8).alias("value"))
+    bad = D.equidepth_drift(shifted, base, "value", nbins=8)
+    assert not (bad["ks_pass"] and bad["psi_pass"])
+    assert bad["ks"] > clean["ks"] and bad["psi"] > clean["psi"]
+
+    with pytest.raises(ValueError, match="nbins"):
+        D.equidepth_edges(base, "value", nbins=1)
+    nulls = spark.createDataFrame([(None,)], "value double")
+    with pytest.raises(ValueError, match="no non-null"):
+        D.equidepth_edges(nulls, "value")
