@@ -5509,9 +5509,14 @@ def compliance_ratio_docs(spark, sf_dir):
         x -> round(x, 6)) AS qs
       FROM v),
     b AS (
+      -- value IS NOT NULL: the engine's equidepth_histogram excludes
+      -- NULLs; without the filter a NULL value would land in bin 0
+      -- here (the >= lambda is NULL, list_filter drops it) and the
+      -- engines would diverge the day the fixture gains a NULL
       SELECT ev.event_type,
              len(list_filter(e.qs, q -> ev.value >= q)) AS bin
-      FROM events ev, e WHERE ev.event_type IN ('click', 'view')),
+      FROM events ev, e
+      WHERE ev.event_type IN ('click', 'view') AND ev.value IS NOT NULL),
     h AS (
       SELECT bin,
              count(*) FILTER (WHERE event_type = 'click') AS c1,

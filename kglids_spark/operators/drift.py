@@ -451,7 +451,18 @@ def equidepth_edges(
         ).collect()[0]
     if row["e"] is None:
         raise ValueError(f"{column}: no non-null values to derive edges from")
-    return [round(float(v), round_dp) for v in row["e"]]
+    edges = [round(float(v), round_dp) for v in row["e"]]
+    # discrete / low-cardinality columns repeat quantiles; duplicate
+    # edges would create structurally-empty cells in BOTH histograms
+    # (invisible to KS and PSI, silently shrinking the effective bin
+    # count) — deduplicate so every returned edge separates real mass.
+    # Callers see fewer bins than requested on such columns; the
+    # equal-mass guarantee holds per REMAINING cell.
+    out: list[float] = []
+    for v in edges:
+        if not out or v != out[-1]:
+            out.append(v)
+    return out
 
 
 def equidepth_histogram(df: DataFrame, column: str, edges: list[float]) -> list[int]:

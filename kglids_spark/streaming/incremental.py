@@ -21,6 +21,7 @@ training table is appended continuously in practice:
 
 from __future__ import annotations
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -694,8 +695,14 @@ def compliance_monitor_stream(
                 .collect()
             ):
                 prior[r.constraint_id] = (int(r.n or 0), int(r.v or 0))
-        except Exception:
-            pass  # first epoch: no output table yet
+        except AnalysisException as ex:
+            # ONLY the first epoch's missing output table is benign; a
+            # torn footer / listing failure must raise — swallowing it
+            # would silently reset the cumulative totals and let a
+            # failing stream report passed=True (review r5)
+            msg = str(ex)
+            if "PATH_NOT_FOUND" not in msg and "Path does not exist" not in msg:
+                raise
         out_rows = []
         n = int(row["_n"] or 0)
         for i, c in enumerate(comp):

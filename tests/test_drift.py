@@ -477,3 +477,21 @@ def test_equidepth_drift_sensitivity_and_edges(spark):
     nulls = spark.createDataFrame([(None,)], "value double")
     with pytest.raises(ValueError, match="no non-null"):
         D.equidepth_edges(nulls, "value")
+
+
+def test_equidepth_edges_dedupe_discrete(spark):
+    """A column with most mass on one value repeats quantiles; edges
+    deduplicate so no structurally-empty cell survives, and KS/PSI are
+    unchanged by the dedup (empty cells were invisible to both)."""
+    vals = [5.0] * 900 + [float(v) for v in range(100)]
+    df = spark.createDataFrame([(v,) for v in vals], "value double")
+    edges = D.equidepth_edges(df, "value", nbins=8)
+    assert edges == sorted(set(edges))  # strictly increasing
+    h = D.equidepth_histogram(df, "value", edges)
+    assert sum(h) == 1000
+    # NULLs are excluded from the histogram (engine semantics the
+    # oracle mirrors with an IS NOT NULL filter)
+    withnull = df.unionByName(
+        spark.createDataFrame([(None,)], "value double")
+    )
+    assert sum(D.equidepth_histogram(withnull, "value", edges)) == 1000
