@@ -235,6 +235,27 @@ def family_ops(docs, vecs, queries, srcd, centroids, media=None):
             "token",
             k=99,
         ),
+        # round-5: per-feed token-ID drift over the hashed-token corpus
+        # (hashes folded into the GPT-2 vocab range — raw xxhash64 ids
+        # would overflow the id*nbins bucket product under ANSI) vs a
+        # flat literal baseline (semantics need a real snapshot; the
+        # COST — the explode into the (group, cell) groupBy and the
+        # in-plan fold — does not). 20 feeds via pmod(doc_id, 20).
+        "validate_grouped_token_drift": lambda: drift.grouped_token_drift(
+            _tokenize_hash(docs)
+            .withColumn(
+                "tokens",
+                F.transform("tokens", lambda t: F.pmod(t, F.lit(50257))),
+            )
+            .withColumn(
+                "source",
+                F.concat(
+                    F.lit("src"), F.pmod(F.col("doc_id"), F.lit(20)).cast("int")
+                ),
+            ),
+            [1] * 66,
+            "source",
+        ),
         # round-5: per-doc information stats (entropy / cross-entropy /
         # KL) over the hashed-token corpus — ONE explode into the
         # map-side-combined (id, token) groupBy, persisted to feed both

@@ -2401,6 +2401,42 @@ def drift_jsd_events(spark, sf_dir):
 
 
 @register(
+    "drift_chi2_events",
+    f"""
+    WITH h AS ({_DRIFT_BINS}),
+    t AS (SELECT sum(c1)::DOUBLE AS n1, sum(c2)::DOUBLE AS n2 FROM h)
+    SELECT round(sum(
+      CASE WHEN c2 > 0
+           THEN (c1 - t.n1 * (c2 / t.n2)) * (c1 - t.n1 * (c2 / t.n2))
+                / (t.n1 * (c2 / t.n2))
+           ELSE 0 END), 6) AS chi2
+    FROM h, t
+    """,
+)
+def drift_chi2_events(spark, sf_dir):
+    """Pearson chi-square of click counts against the view
+    distribution's proportions on the same binning as the KS/PSI
+    verdicts — the count-scaled goodness-of-fit stat with a known
+    null (χ²_{{k−1}}); baseline-empty cells excluded per the textbook
+    applicability rule (drift.chi2_statistic is the driver-math
+    twin)."""
+    e = _t(spark, sf_dir, "events").filter(F.col("event_type").isin("click", "view"))
+    h = e.groupBy(F.floor("value").cast("bigint").alias("b")).agg(
+        F.sum((F.col("event_type") == "click").cast("long")).alias("c1"),
+        F.sum((F.col("event_type") == "view").cast("long")).alias("c2"),
+    )
+    # global windows over the nbins-row histogram h, not the corpus
+    # (see drift_ks_events)
+    n1 = F.sum("c1").over(Window.partitionBy()).cast("double")
+    n2 = F.sum("c2").over(Window.partitionBy()).cast("double")
+    exp = n1 * (F.col("c2") / n2)
+    term = F.when(
+        F.col("c2") > 0, (F.col("c1") - exp) * (F.col("c1") - exp) / exp
+    ).otherwise(F.lit(0.0))
+    return h.select(term.alias("t")).agg(F.round(F.sum("t"), 6).alias("chi2"))
+
+
+@register(
     "drift_emd_events",
     f"""
     WITH h AS ({_DRIFT_BINS}),

@@ -152,6 +152,34 @@ def emd_statistic(h1: list[int], h2: list[int], bin_width: float = 1.0) -> float
     return bin_width * total
 
 
+def chi2_statistic(h_actual: list[int], h_expected: list[int]) -> float:
+    """Pearson chi-square statistic of the actual histogram against
+    the baseline's proportions: Σ (o_i − e_i)² / e_i with expected
+    counts e_i = n_actual · q_i — the classic goodness-of-fit test,
+    completing the standard drift-stat set (KS for worst CDF gap, PSI
+    for smoothed log-ratio mass, JSD for bounded symmetric
+    divergence, EMD for transport distance, chi-square for
+    count-scaled cell deviations with a known null distribution —
+    χ²_{k−1}, so an actual p-value is available when the analyst
+    wants one). Cells empty in the BASELINE are excluded from the sum
+    (their expected count is 0 — the textbook applicability rule) but
+    their ACTUAL mass still counts in n_actual, so mass appearing
+    where the baseline had none still shifts every expected count and
+    the statistic; a direct read on such cells is JSD's job, which
+    needs no exclusion. Empty either side reports 0.0 (the shared
+    n==0 convention)."""
+    n1, n2 = sum(h_actual), sum(h_expected)
+    if n1 == 0 or n2 == 0:
+        return 0.0
+    total = 0.0
+    for o, b in zip(h_actual, h_expected):
+        if b == 0:
+            continue
+        e = n1 * (b / n2)
+        total += (o - e) * (o - e) / e
+    return total
+
+
 def evaluate_drift(
     actual_hist: list[int],
     baseline_hist: list[int],

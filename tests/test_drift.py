@@ -495,3 +495,19 @@ def test_equidepth_edges_dedupe_discrete(spark):
         spark.createDataFrame([(None,)], "value double")
     )
     assert sum(D.equidepth_histogram(withnull, "value", edges)) == 1000
+
+
+def test_chi2_math():
+    # identical distributions (scaled): chi2 = 0
+    assert D.chi2_statistic([10, 20, 30], [100, 200, 300]) == pytest.approx(0.0)
+    # hand-computed: actual [8, 2] vs baseline [5, 5] (n1=10, q=0.5):
+    #   e = [5, 5]; chi2 = 9/5 + 9/5 = 3.6
+    assert D.chi2_statistic([8, 2], [5, 5]) == pytest.approx(3.6)
+    # baseline-empty cell excluded from the SUM (textbook rule), but
+    # its actual mass still counts in n1 — expected counts become
+    # 17*0.5 = 8.5 each: (8-8.5)^2/8.5 + (2-8.5)^2/8.5 = 5.0 (mass
+    # appearing where the baseline had none still shifts the fit)
+    assert D.chi2_statistic([8, 2, 7], [5, 5, 0]) == pytest.approx(5.0)
+    # empty-side convention
+    assert D.chi2_statistic([0, 0], [5, 5]) == 0.0
+    assert D.chi2_statistic([5, 5], [0, 0]) == 0.0
